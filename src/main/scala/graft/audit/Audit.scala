@@ -1,0 +1,64 @@
+package graft.audit
+
+import java.sql.Timestamp
+
+/** Audit data model — Spark-native mirrors of the reference's four-level
+  * audit trail (SURVEY.md §1.1c-d; FIXTURES.md §4).
+  */
+
+/** One rule-level summary metric, ≡ DQ.DataQualityHistory
+  * ($T/DQ.DataQualityHistory.sql:9-28). */
+case class RuleSummary(
+    loadId: Long,
+    entityName: String,
+    severityName: String,
+    columnName: String,
+    ruleType: String,
+    checkName: String,
+    dqMessage: String,
+    ruleId: Int,
+    ruleAssocCode: Int,
+    rowsAffected: Long,
+    percentageValue: Option[Double],
+    sequence: Int,
+    createdAt: Timestamp)
+
+/** Draft produced by compiled rules before loadId/timestamps exist. */
+case class SummaryDraft(
+    code: Int,
+    ruleId: Int,
+    ruleType: String,
+    checkName: String,
+    severityName: String,
+    columnName: String,
+    dqMessage: String,
+    rowsAffected: Long,
+    percentageValue: Option[Double])
+
+/** ≡ DQ.RuleExecutionHistory: the compiled-plan lineage of what executed
+  * ($T/DQ.RuleExecutionHistory.sql:9-21). We log the Catalyst expression SQL
+  * instead of generated T-SQL strings. */
+case class RuleLineage(
+    loadId: Long,
+    ruleAssocCode: Int,
+    ruleType: String,
+    description: String,
+    compiledSql: String)
+
+/** ≡ Audit.RoutineLoad node (parent/child LoadId tree,
+  * $T/Audit.RoutineLoad.sql:9-28). Status vocabulary preserved. */
+case class LoadNode(
+    loadId: Long,
+    parentLoadId: Option[Long],
+    process: String,
+    status: String, // SUCCESS | FAILURE | LOGGED | NOT LOGGED
+    startTime: Timestamp,
+    endTime: Option[Timestamp],
+    durationSec: Option[Double])
+
+object LoadStatus {
+  val Success = "SUCCESS"
+  val Failure = "FAILURE"
+  val Logged = "LOGGED"
+  val NotLogged = "NOT LOGGED"
+}

@@ -1,0 +1,98 @@
+package graft.catalog
+
+import org.apache.spark.sql.types.StructType
+
+/** Eager, driver-side catalog validation — the Spark equivalent of the
+  * fatal pre-checks every apply proc runs before its cursor loop
+  * ($P/DQ.sApplyDQRuleValueCorrect.sql:243-328; SURVEY.md §2.2).
+  *
+  * The reference validates lazily per rule at execution time; we validate the
+  * whole catalog against the entity schema before a single executor task runs,
+  * producing either a clean worklist or typed errors for the audit trail.
+  */
+object CatalogValidator {
+
+  sealed trait CatalogError { def code: Int; def message: String }
+  /** ≡ `COL_LENGTH(...) IS NULL` fatal (:257-280), with the IGNORE/ALL escape
+    * hatches ($P/DQ.sApplyDQRuleExpression.sql:233-234). */
+  case class MissingEvaluationColumn(code: Int, column: String) extends CatalogError {
+    def message = s"FATAL: evaluation column [$column] does not exist (association $code)"
+  }
+  case class MissingReferenceColumn(code: Int, table: String, column: String) extends CatalogError {
+    def message = s"FATAL: Missing Reference - [$table].[$column] does not exist (association $code)"
+  }
+  /** ≡ neither rule nor ruleset populated (:307-328) — here: empty spec. */
+  case class EmptyRule(code: Int, detail: String) extends CatalogError {
+    def message = s"FATAL: association $code has no executable rule content: $detail"
+  }
+  case class DuplicateAssociationCode(code: Int) extends CatalogError {
+    def message = s"FATAL: duplicate association code $code"
+  }
+  case class InvalidSequence(code: Int, seq: Int) extends CatalogError {
+    def message = s"FATAL: association $code has invalid execution sequence $seq (must be 1..11)"
+  }
+
+  case class Validated(ok: Seq[RuleBinding], errors: Seq[CatalogError])
+
+  /** @param schema        subject entity schema
+    * @param refSchemas    schemas of available reference tables by name
+    */
+  def validate(bindings: Seq[RuleBinding], schema: StructType,
+               refSchemas: Map[String, StructType] = Map.empty): Validated = {
+    val cols = schema.fieldNames.map(_.toLowerCase).toSet
+    def has(c: String): Boolean = cols(c.toLowerCase)
+
+    val dupCodes = bindings.groupBy(_.code).collect { case (c, bs) if bs.size > 1 => c }
+    val dupErrs = dupCodes.map(DuplicateAssociationCode).toSeq
+
+    val errs = bindings.filter(_.active).flatMap { b =>
+      val evalErr: Option[CatalogError] = b.evaluationColumn match {
+        case RuleBinding.IgnoreColumn | RuleBinding.AllColumns => None
+        case c if !has(c) => Some(MissingEvaluationColumn(b.code, c))
+        case _ => None
+      }
+      val seqErr: Option[CatalogError] =
+        if (b.sequence < 1 || b.sequence > 11) Some(InvalidSequence(b.code, b.sequence)) else None
+      val specErr: Option[CatalogError] = b.spec match {
+        case RuleSpec.ValueCorrect(_, _, pairs) if pairs.isEmpty =>
+          Some(EmptyRule(b.code, "value-correction rule has no pairs"))
+        case RuleSpec.Predicate(_, _, e, _, _) if e.trim.isEmpty =>
+          Some(EmptyRule(b.code, "expression rule has empty predicate"))
+        case RuleSpec.Reference(_, _, RefMode.ListReference(vs), _) if vs.isEmpty =>
+          Some(EmptyRule(b.code, "list reference has empty list"))
+        case _ => None
+      }
+      val refErr: Option[CatalogError] = b.spec match {
+        case RuleSpec.Reference(_, _, RefMode.TableReference(t, c), _) =>
+          refSchemas.get(t) match {
+            case Some(rs) if !rs.fieldNames.map(_.toLowerCase).contains(c.toLowerCase) =>
+              Some(MissingReferenceColumn(b.code, t, c))
+            case None => Some(MissingReferenceColumn(b.code, t, c))
+            case _ => None
+          }
+        case RuleSpec.Reference(_, _, RefMode.AttributeComparison(t, _, _), _) if !refSchemas.contains(t) =>
+          Some(MissingReferenceColumn(b.code, t, "*"))
+        case RuleSpec.Reference(_, _, RefMode.ReferentialIntegrity(t, _, k), _) =>
+          refSchemas.get(t) match {
+            case Some(rs) if !rs.fieldNames.map(_.toLowerCase).contains(k.toLowerCase) =>
+              Some(MissingReferenceColumn(b.code, t, k))
+            case None => Some(MissingReferenceColumn(b.code, t, k))
+            case _ => None
+          }
+        case _ => None
+      }
+      evalErr.toSeq ++ seqErr.toSeq ++ specErr.toSeq ++ refErr.toSeq
+    }
+
+    val badCodes = (errs.collect {
+      case e: MissingEvaluationColumn => e.code
+      case e: MissingReferenceColumn => e.code
+      case e: EmptyRule => e.code
+      case e: InvalidSequence => e.code
+    } ++ dupCodes).toSet
+    // Deterministic rule order: ORDER BY CAST(Code AS INT)
+    // ($P/DQ.sGetEntityDQTasks.sql:73)
+    val ok = bindings.filter(b => b.active && !badCodes(b.code)).sortBy(_.code)
+    Validated(ok, dupErrs ++ errs)
+  }
+}

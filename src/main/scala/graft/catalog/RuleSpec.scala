@@ -1,0 +1,183 @@
+package graft.catalog
+
+/** Typed rule catalog — the Spark-native reimagination of the reference's
+  * stringly-typed MDS catalog tables (see SURVEY.md §1.1a, §7.2).
+  *
+  * The reference keeps every rule parameter as `nvarchar` and re-casts at use
+  * sites ($T/MDS.DQRuleEntityAssociation.sql:9-68). Here the catalog is an ADT
+  * validated eagerly at load; a `Seq[RuleBinding]` is tiny and lives on the
+  * driver, where the compiler turns it into Catalyst `Column` expressions that
+  * are broadcast to executors inside the serialized plan.
+  */
+
+sealed abstract class Severity(val name: String, val code: Int)
+object Severity {
+  case object Fatal extends Severity("Fatal", 1)
+  case object Issue extends Severity("Issue", 2)
+  case object Info  extends Severity("Info", 3)
+  val all: Seq[Severity] = Seq(Fatal, Issue, Info)
+  def byName(n: String): Severity =
+    all.find(_.name.equalsIgnoreCase(n)).getOrElse(Info)
+}
+
+/** Action of an Expression rule — MDS.DQAppActionType seeded values
+  * (IndicatorFlag / Delete / Default; $MDS DataQuality.pkg). */
+sealed trait RuleAction
+object RuleAction {
+  /** Count + log only ($P/DQ.sApplyDQRuleExpression.sql:383-464). */
+  case object Log extends RuleAction
+  /** Set status column = 1 where predicate holds (:466-558). */
+  case object Flag extends RuleAction
+  /** Drop matching rows — the keep/drop operator (:561-587). */
+  case object Drop extends RuleAction
+}
+
+/** Harmonization operator — the 9 types of
+  * $P/DQ.sApplyDQRuleHarmonization.sql:423-826 (SURVEY.md §2.5). */
+sealed trait HarmonizeOp
+object HarmonizeOp {
+  case object ToUpper extends HarmonizeOp
+  case object ToLower extends HarmonizeOp
+  case object RemoveSpaces extends HarmonizeOp
+  case class RemoveSpecifiedCharacter(ch: String) extends HarmonizeOp
+  /** Pluggable scalar op by name — reference `BespokeFunction` dispatch
+    * (:557-586); resolved against [[graft.compile.ScalarOps]]. */
+  case class SpecialOperation(fnName: String) extends HarmonizeOp
+  /** If eval LIKE pattern, replace pattern-minus-'%' with replacement
+    * (:589-667); replacement may be `"..."`-quoted to keep leading spaces. */
+  case class ReplaceValue(pattern: String, replacement: String) extends HarmonizeOp
+  case object SetBlanksAsNull extends HarmonizeOp
+  case class SetNullAsDefault(default: String) extends HarmonizeOp
+  /** Validity flag 1/0 per DQ.fCheckDateFormat ($F/DQ.fCheckDateFormat.sql). */
+  case class CheckDateFormatOfString(format: String) extends HarmonizeOp
+
+  def typeName(op: HarmonizeOp): String = op match {
+    case ToUpper                      => "ToUpper"
+    case ToLower                      => "ToLower"
+    case RemoveSpaces                 => "RemoveSpaces"
+    case RemoveSpecifiedCharacter(_)  => "RemoveSpecifiedCharacter"
+    case SpecialOperation(_)          => "SpecialOperation"
+    case ReplaceValue(_, _)           => "ReplaceValue"
+    case SetBlanksAsNull              => "SetBlanksASNULL"
+    case SetNullAsDefault(_)          => "SetNullAsDefaultValue"
+    case CheckDateFormatOfString(_)   => "CheckDateFormatOfString"
+  }
+}
+
+/** Reference (external-consistency) check — 4 types of
+  * $P/DQ.sApplyDQRuleReferences.sql (SURVEY.md §2.6). */
+sealed trait RefMode
+object RefMode {
+  /** eval NOT IN (SELECT DISTINCT col FROM ref WHERE col IS NOT NULL). */
+  case class TableReference(refTable: String, refColumn: String) extends RefMode
+  /** membership against an in-catalog list, case-insensitive (CI collation). */
+  case class ListReference(values: Seq[String]) extends RefMode
+  /** A INNER JOIN ref ON <joinLogic> WHERE <comparison> — theta join. */
+  case class AttributeComparison(refTable: String, joinLogic: String,
+                                 comparison: String) extends RefMode
+  /** A LEFT OUTER JOIN ref ON <joinLogic> WHERE ref.<keyCol> IS NULL. */
+  case class ReferentialIntegrity(refTable: String, joinLogic: String,
+                                  refKeyColumn: String) extends RefMode
+}
+
+/** Profiling operator — 8 types of $P/DQ.sApplyDQRuleProfiling.sql
+  * (SURVEY.md §2.7). */
+sealed trait ProfileKind
+object ProfileKind {
+  /** castability via try_cast (TRY_CONVERT in reference, :398-505). */
+  case class DataTypeCheck(sparkType: String) extends ProfileKind
+  /** dup key-group count + rows-in-dup-groups (:507-663). */
+  case class DuplicatesCount(pkColumns: Seq[String]) extends ProfileKind
+  /** dup status col: 1 = member of dup group, 2 = non-first row (:667-752).
+    * Reference tie-break is nondeterministic (`ORDER BY (SELECT 0)`); we pin
+    * to orderColumn for replayability (SURVEY.md §7.6.5). */
+  case class DuplicatesFlag(pkColumns: Seq[String], orderColumn: String) extends ProfileKind
+  case object MinMaxValue extends ProfileKind
+  /** Reference single-column branch forgets LEN (bug, :955,993); we profile
+    * lengths, `compatValueNotLength=true` replicates the bug (§7.6.1). */
+  case class MinMaxLength(compatValueNotLength: Boolean = false) extends ProfileKind
+  case object RowCount extends ProfileKind
+  /** per-column total/populated/empty/duplicated/distinct-once (:1190-1429). */
+  case object TableValueDistribution extends ProfileKind
+  /** value histogram with pct; values below threshold → 'MiscMinorValues'
+    * bucket, NULL → 'NULL' (:1433-1481). */
+  case class ColumnValueDistribution(thresholdPct: Double) extends ProfileKind
+}
+
+/** Type conversion — 8 kinds of $P/DQ.sApplyDQRuleTransformation.sql:458-536
+  * (SURVEY.md §2.8). */
+sealed trait ConvertKind
+object ConvertKind {
+  case object VarcharToInt extends ConvertKind
+  case class IntToVarchar(length: Int = 255) extends ConvertKind
+  case class VarcharToVarchar(length: Int = 255) extends ConvertKind
+  case object VarcharUkToDateTime extends ConvertKind
+  case object VarcharUsToDateTime extends ConvertKind
+  case object VarcharUkToIntDate extends ConvertKind
+  case object VarcharUsToIntDate extends ConvertKind
+  /** Update path NYI in reference (§7.6.4) — implemented fully here. */
+  case class VarcharToNumeric(precision: Int, scale: Int) extends ConvertKind
+}
+
+/** One rule of exactly one category — mirrors the six MDS.DQRule* tables. */
+sealed trait RuleSpec { def ruleId: Int; def ruleName: String }
+object RuleSpec {
+  /** Ordered source→preferred pairs, first match wins; literal "NULL" source
+    * matches SQL NULL ($P/DQ.sApplyDQRuleValueCorrect.sql:389-463). */
+  case class ValueCorrect(ruleId: Int, ruleName: String,
+                          pairs: Seq[(String, String)]) extends RuleSpec
+  /** SQL predicate fragment; when the binding's evaluationColumn is "IGNORE"
+    * the fragment is a full predicate, else it is prefixed with the column
+    * ($P/DQ.sApplyDQRuleExpression.sql:387-398). Dialect boundary: fragments
+    * are Spark-SQL here, T-SQL in the reference (SURVEY.md §7.5). */
+  case class Predicate(ruleId: Int, ruleName: String, expression: String,
+                       action: RuleAction, severity: Severity) extends RuleSpec
+  case class Harmonize(ruleId: Int, ruleName: String, op: HarmonizeOp) extends RuleSpec
+  case class Reference(ruleId: Int, ruleName: String, mode: RefMode,
+                       severity: Severity) extends RuleSpec
+  case class Profile(ruleId: Int, ruleName: String, kind: ProfileKind,
+                     severity: Severity) extends RuleSpec
+  case class Convert(ruleId: Int, ruleName: String, kind: ConvertKind,
+                     severity: Severity) extends RuleSpec
+
+  def category(s: RuleSpec): String = s match {
+    case _: ValueCorrect => "RuleValueCorrection"
+    case _: Predicate    => "RuleExpression"
+    case _: Harmonize    => "RuleHarmonization"
+    case _: Reference    => "RuleReference"
+    case _: Profile      => "RuleProfiling"
+    case _: Convert      => "RuleTransformation"
+  }
+}
+
+/** Binds one rule to one entity with per-binding config — the Spark-native
+  * `MDS.DQRuleEntityAssociation` row ($T/MDS.DQRuleEntityAssociation.sql:9-68).
+  *
+  * @param code association code; rules execute in `ORDER BY CAST(Code AS INT)`
+  *             within a tranche ($P/DQ.sGetEntityDQTasks.sql:73)
+  * @param sequence execution tranche (1..11); tranches are ordered barriers
+  * @param evaluationColumn column under evaluation; "IGNORE" = whole-row
+  *                         expression; "ALL" = every column (profiling)
+  * @param outputColumn defaults to evaluationColumn (in-place) when None
+  * @param statusColumn defaults to s"StatusColRule_$code" when None
+  * @param optionalFilter pushdown predicate applied to this rule's scope
+  */
+case class RuleBinding(
+    code: Int,
+    entity: String,
+    sequence: Int,
+    evaluationColumn: String,
+    spec: RuleSpec,
+    outputColumn: Option[String] = None,
+    statusColumn: Option[String] = None,
+    optionalFilter: Option[String] = None,
+    active: Boolean = true) {
+  def resolvedOutput: String = outputColumn.getOrElse(evaluationColumn)
+  def resolvedStatus: String = statusColumn.getOrElse(s"StatusColRule_$code")
+}
+
+/** Whole-row sentinel ($P/DQ.sApplyDQRuleExpression.sql:233-234). */
+object RuleBinding {
+  val IgnoreColumn = "IGNORE"
+  val AllColumns = "ALL"
+}

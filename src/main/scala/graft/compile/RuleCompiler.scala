@@ -1,0 +1,636 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+import graft.catalog._
+import graft.audit.SummaryDraft
+import graft.functions.TextFunctions
+
+/** How a scalar audit metric materializes into a summary row. */
+sealed trait ScalarKind
+object ScalarKind {
+  /** metric value (long) becomes `rowsAffected`. */
+  case object CountAffected extends ScalarKind
+  /** metric value is rendered into the message at `{value}`. */
+  case object ValueIntoMessage extends ScalarKind
+}
+
+/** Metadata for one summary metric a rule emits. */
+case class SummaryMeta(
+    code: Int, ruleId: Int, ruleType: String, checkName: String,
+    severityName: String, columnName: String, messageTemplate: String,
+    /** reference downgrades severity to Info when violations = 0
+      * ($P/DQ.sApplyDQRuleReferences.sql:509-510). */
+    downgradeToInfoOnZero: Boolean = false,
+    /** percentageValue = 100*rowsAffected/totalRows, filled by the runner. */
+    pctOfTotal: Boolean = false)
+
+/** One scalar audit metric: an aggregate over the projected tranche frame.
+  * These ride the tranche's single `observe()` pass — zero extra scans. */
+case class ScalarSummary(meta: SummaryMeta, agg: Column, kind: ScalarKind)
+
+/** A grouped audit job (groupBy profiles) — runs as its own Spark job over
+  * the tranche checkpoint; only tiny summary rows are collected. */
+case class GroupedJob(run: DataFrame => Seq[SummaryDraft])
+
+/** Per-row hit recording for DQ.DataQualityRowHistory parity. */
+case class HitSpec(flagColumn: String, messageColumn: Option[String])
+
+/** The executable form of one rule binding. All `Column`s read the
+  * *pre-tranche image* (fusion-safe, SURVEY.md §4.3.1). */
+case class CompiledRule(
+    binding: RuleBinding,
+    /** join transforms applied before the tranche projection (reference
+      * joins add renamed `__ref<code>_*` marker columns). */
+    joins: Seq[DataFrame => DataFrame] = Nil,
+    /** user-visible new/overwritten columns (output + status). */
+    newColumns: Seq[(String, Column)] = Nil,
+    /** internal columns (`__hit_*`, `__msg_*`) dropped after audit. */
+    internalColumns: Seq[(String, Column)] = Nil,
+    /** columns (from joins) to drop after the projection. */
+    dropAfterProject: Seq[String] = Nil,
+    /** keep = rows surviving this rule (Drop action). */
+    keepPredicate: Option[Column] = None,
+    scalarSummaries: Seq[ScalarSummary] = Nil,
+    groupedJobs: Seq[GroupedJob] = Nil,
+    hit: Option[HitSpec] = None,
+    /** input columns this rule reads (fusion dependency analysis). */
+    reads: Set[String] = Set.empty,
+    /** columns this rule writes. */
+    writes: Set[String] = Set.empty,
+    lineage: String = "")
+
+/** Compiles a validated [[RuleBinding]] into Catalyst expressions — the
+  * Spark-native replacement for the reference's six dynamic-SQL "apply"
+  * stored procedures (SURVEY.md §2.3-2.8). One compiled rule never triggers
+  * its own table scan; the planner fuses all same-tranche rules into one
+  * projection (vs. the reference's one full-table UPDATE per rule,
+  * SURVEY.md §4.1 anti-patterns).
+  */
+object RuleCompiler {
+
+  /** Column references of a SQL fragment (for dependency analysis). Parsed
+    * with the Catalyst SQL parser (Spark 4's `Column` no longer exposes its
+    * expression publicly). */
+  private[graft] def refsOf(sql: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+      .collect { case a: UnresolvedAttribute => a.name }.toSet
+
+  private def filterCol(b: RuleBinding): Option[Column] =
+    b.optionalFilter.map(f => expr(f))
+
+  /** Scope a rewrite to the binding's OptionalFilterClause: outside the
+    * filter the output keeps the pre-image and the status stays NULL —
+    * exactly the untouched-rows semantics of the reference's
+    * `UPDATE ... WHERE <filter>` ($P/DQ.sApplyDQRuleValueCorrect.sql:133-142). */
+  private def scoped(b: RuleBinding, out: Column, preImage: Column): Column =
+    filterCol(b) match {
+      case Some(f) => when(f, out).otherwise(preImage)
+      case None    => out
+    }
+  private def scopedStatus(b: RuleBinding, st: Column): Column =
+    filterCol(b) match {
+      case Some(f) => when(f, st)
+      case None    => st
+    }
+  private def scopedPred(b: RuleBinding, p: Column): Column =
+    filterCol(b) match {
+      case Some(f) => f && p
+      case None    => p
+    }
+
+  def compile(b: RuleBinding, schema: StructType,
+              refTables: Map[String, DataFrame] = Map.empty): CompiledRule = {
+    val base = b.spec match {
+      case s: RuleSpec.ValueCorrect => compileValueCorrect(b, s)
+      case s: RuleSpec.Predicate    => compilePredicate(b, s)
+      case s: RuleSpec.Harmonize    => compileHarmonize(b, s)
+      case s: RuleSpec.Reference    => compileReference(b, s, schema, refTables)
+      case s: RuleSpec.Profile      => compileProfile(b, s, schema)
+      case s: RuleSpec.Convert      => compileConvert(b, s)
+    }
+    val filterReads = b.optionalFilter.map(refsOf).getOrElse(Set.empty)
+    base.copy(reads = base.reads ++ filterReads,
+      writes = base.writes ++ base.newColumns.map(_._1))
+  }
+
+  // ---------------------------------------------------------------- V1-V3
+  /** First-match-wins correction map ($P/DQ.sApplyDQRuleValueCorrect.sql:389-480).
+    * The reference's per-pair `UPDATE ... WHERE status IS NULL` loop becomes a
+    * single ordered `when` chain evaluated once per row. Pair order
+    * interleaves Corrected (eval = SourceValue) and Correct
+    * (eval = PreferredValue) exactly as the cursor does. */
+  private def compileValueCorrect(b: RuleBinding, s: RuleSpec.ValueCorrect): CompiledRule = {
+    val eval = col(b.evaluationColumn)
+    def matches(src: String): Column =
+      if (src == "NULL") eval.isNull else eval === lit(src) // 'NULL' sentinel (:408-411)
+
+    val outExpr = s.pairs.foldLeft(Option.empty[Column]) { case (acc, (src, pref)) =>
+      val w = acc match {
+        case None    => when(matches(src), lit(pref))
+        case Some(c) => c.when(matches(src), lit(pref))
+      }
+      Some(w)
+    }.get.otherwise(eval) // V2 fallback: output = eval
+
+    val statusExpr = s.pairs.foldLeft(Option.empty[Column]) { case (acc, (src, pref)) =>
+      val w1 = acc match {
+        case None    => when(matches(src), lit("Corrected"))
+        case Some(c) => c.when(matches(src), lit("Corrected"))
+      }
+      Some(w1.when(eval === lit(pref), lit("Correct")))
+    }.get.otherwise(lit("Warning: No Rule Applied"))
+
+    val correctedPred = s.pairs.foldLeft(Option.empty[Column]) { case (acc, (src, pref)) =>
+      val hitPair = matches(src) && !(eval <=> lit(pref))
+      Some(acc.map(_ || hitPair).getOrElse(hitPair))
+    }.get
+
+    val outCol = b.resolvedOutput
+    val stCol = b.resolvedStatus
+    val stScoped = scopedStatus(b, statusExpr)
+    val hitFlag = s"__hit_${b.code}"
+    val hitMsg = s"__msg_${b.code}"
+    val corrected = scopedPred(b, correctedPred)
+    def cnt(st: String): Column = sum(when(col(stCol) === st, 1L).otherwise(0L))
+    def meta(check: String, msg: String) = SummaryMeta(b.code, s.ruleId,
+      "RuleValueCorrection", check, Severity.Info.name, b.evaluationColumn, msg)
+
+    CompiledRule(
+      binding = b,
+      newColumns = Seq(outCol -> scoped(b, outExpr, eval), stCol -> stScoped),
+      internalColumns = Seq(
+        hitFlag -> corrected,
+        // per-row message 'CORRECTED: <old> TO <new>' (:556-576)
+        hitMsg -> when(corrected,
+          concat(lit("CORRECTED: "), coalesce(eval.cast("string"), lit("NULL")),
+                 lit(" TO "), coalesce(scoped(b, outExpr, eval).cast("string"), lit("NULL"))))),
+      scalarSummaries = Seq(
+        ScalarSummary(meta(s.ruleName + " [Correct]", "Rows already correct"),
+          cnt("Correct"), ScalarKind.CountAffected),
+        ScalarSummary(meta(s.ruleName + " [Corrected]", "Rows corrected"),
+          cnt("Corrected"), ScalarKind.CountAffected),
+        ScalarSummary(meta(s.ruleName + " [NoRule]", "Warning: No Rule Applied"),
+          cnt("Warning: No Rule Applied"), ScalarKind.CountAffected)),
+      hit = Some(HitSpec(hitFlag, Some(hitMsg))),
+      reads = Set(b.evaluationColumn),
+      lineage = s"$outCol := ${outExpr.toString}; $stCol := ${statusExpr.toString}")
+  }
+
+  // ---------------------------------------------------------------- E1-E3
+  /** Expression rules ($P/DQ.sApplyDQRuleExpression.sql). The predicate
+    * fragment is Spark SQL here (dialect boundary, SURVEY.md §7.5). */
+  private def compilePredicate(b: RuleBinding, s: RuleSpec.Predicate): CompiledRule = {
+    val fullSql =
+      if (b.evaluationColumn == RuleBinding.IgnoreColumn) s"(${s.expression})"
+      else s"(`${b.evaluationColumn}` ${s.expression})" // prefix form (:387-398)
+    val predRaw = expr(fullSql)
+    val pred = scopedPred(b, predRaw)
+    val reads = refsOf(fullSql) // fragment alone may not parse (e.g. "> 10")
+    val hitFlag = s"__hit_${b.code}"
+    val meta = SummaryMeta(b.code, s.ruleId, "RuleExpression", s.ruleName,
+      s.severity.name, b.evaluationColumn, s"Expression matched: $fullSql",
+      pctOfTotal = true)
+    val cntAgg = sum(when(col(hitFlag), 1L).otherwise(0L))
+
+    s.action match {
+      case RuleAction.Log => // E1: count + log only
+        CompiledRule(b,
+          internalColumns = Seq(hitFlag -> pred),
+          scalarSummaries = Seq(ScalarSummary(meta, cntAgg, ScalarKind.CountAffected)),
+          hit = Some(HitSpec(hitFlag, None)),
+          reads = reads, lineage = s"LOG WHERE ${predRaw.toString}")
+      case RuleAction.Flag => // E2: status column = '1' where pred
+        val stCol = b.outputColumn.orElse(b.statusColumn).getOrElse(b.resolvedStatus) // fallback chain (:470-527)
+        CompiledRule(b,
+          newColumns = Seq(stCol -> when(pred, lit("1"))),
+          internalColumns = Seq(hitFlag -> pred),
+          scalarSummaries = Seq(ScalarSummary(meta, cntAgg, ScalarKind.CountAffected)),
+          hit = Some(HitSpec(hitFlag, None)),
+          reads = reads, lineage = s"$stCol := 1 WHERE ${predRaw.toString}")
+      case RuleAction.Drop => // E3: the keep/drop operator (:561-587)
+        // SQL DELETE drops rows where pred IS TRUE; NULL predicate keeps.
+        // keep is expressed over the hit flag so the runner can filter the
+        // materialized segment (the flag holds the predicate evaluated
+        // against the correct pre-image).
+        CompiledRule(b,
+          internalColumns = Seq(hitFlag -> coalesce(pred, lit(false))),
+          keepPredicate = Some(!col(hitFlag)),
+          scalarSummaries = Seq(ScalarSummary(
+            meta.copy(messageTemplate = s"Rows deleted by: $fullSql"),
+            cntAgg, ScalarKind.CountAffected)),
+          hit = Some(HitSpec(hitFlag, None)),
+          reads = reads, lineage = s"DELETE WHERE ${predRaw.toString}")
+    }
+  }
+
+  // ---------------------------------------------------------------- H1-H10
+  /** Harmonization ($P/DQ.sApplyDQRuleHarmonization.sql:423-826). Status
+    * witness is computed on the pre-image (:494-496). */
+  private def compileHarmonize(b: RuleBinding, s: RuleSpec.Harmonize): CompiledRule = {
+    import HarmonizeOp._
+    val eval = col(b.evaluationColumn)
+    val t = HarmonizeOp.typeName(s.op)
+
+    // (output expression, 'Applied' condition on pre-image)
+    val (outExpr: Column, appliedPred: Column) = s.op match {
+      case ToUpper       => (upper(eval), eval =!= upper(eval))
+      case ToLower       => (lower(eval), eval =!= lower(eval))
+      case RemoveSpaces  => (translate(eval, " ", ""), eval.like("% %")) // (:486-519)
+      case RemoveSpecifiedCharacter(ch) =>
+        (regexp_replace(eval, java.util.regex.Pattern.quote(ch), ""), eval.contains(ch))
+      case SpecialOperation(fn) =>
+        val f = ScalarOps.resolve(fn)
+        (f(eval), !(f(eval) <=> eval))
+      case ReplaceValue(pattern, replacementRaw) =>
+        // '"..."'-wrapped replacement keeps leading spaces (:598-603)
+        val replacement =
+          if (replacementRaw.length >= 2 && replacementRaw.startsWith("\"") && replacementRaw.endsWith("\""))
+            replacementRaw.substring(1, replacementRaw.length - 1)
+          else replacementRaw
+        if (pattern.contains("%")) { // LIKE mode: replace pattern-minus-'%' in matching rows
+          val needle = pattern.replace("%", "")
+          (when(eval.like(pattern),
+             regexp_replace(eval, java.util.regex.Pattern.quote(needle), replacement))
+             .otherwise(eval),
+           eval.like(pattern))
+        } else { // exact mode
+          (when(eval === pattern, lit(replacement)).otherwise(eval), eval === pattern)
+        }
+      case SetBlanksAsNull =>
+        (when(eval === "", lit(null).cast(StringType)).otherwise(eval), eval === "")
+      case SetNullAsDefault(d) => (coalesce(eval, lit(d)), eval.isNull)
+      case CheckDateFormatOfString(fmt) =>
+        (TextFunctions.checkDateFormat(eval, fmt).cast(StringType), eval.isNotNull)
+    }
+
+    val statusExpr = s.op match {
+      case SetNullAsDefault(_) => // NULL input is exactly the applied case
+        when(eval.isNull, lit(s"$t: Applied")).otherwise(lit(s"$t: No Change"))
+      case _ =>
+        when(eval.isNull, lit(s"$t: NULL Source Value"))
+          .when(appliedPred, lit(s"$t: Applied"))
+          .otherwise(lit(s"$t: No Change"))
+    }
+
+    val outCol = b.resolvedOutput // defaults to eval column, in-place (:418-421)
+    val stCol = b.resolvedStatus
+    val hitFlag = s"__hit_${b.code}"
+    CompiledRule(b,
+      newColumns = Seq(outCol -> scoped(b, outExpr, eval), stCol -> scopedStatus(b, statusExpr)),
+      internalColumns = Seq(hitFlag -> scopedPred(b, coalesce(appliedPred, lit(false)))),
+      scalarSummaries = Seq(ScalarSummary(
+        SummaryMeta(b.code, s.ruleId, "RuleHarmonization", s"${s.ruleName} [$t]",
+          Severity.Info.name, b.evaluationColumn, s"$t: Applied", pctOfTotal = true),
+        sum(when(col(stCol) === s"$t: Applied", 1L).otherwise(0L)), // H10 (:842-865)
+        ScalarKind.CountAffected)),
+      hit = Some(HitSpec(hitFlag, None)),
+      reads = Set(b.evaluationColumn),
+      lineage = s"$outCol := ${outExpr.toString}")
+  }
+
+  // ---------------------------------------------------------------- R1-R4
+  /** Reference checks ($P/DQ.sApplyDQRuleReferences.sql; SURVEY.md §2.6).
+    * NOT IN + IS NOT NULL guard ≡ left join on a distinct, null-stripped key
+    * set — null-poisoning-safe by construction. The prepared reference side
+    * is deduplicated so the join can never multiply subject rows (except R3,
+    * where join multiplicity is the binding author's contract). Catalyst/AQE
+    * broadcasts the reference side when small. */
+  private def compileReference(b: RuleBinding, s: RuleSpec.Reference,
+                               schema: StructType,
+                               refTables: Map[String, DataFrame]): CompiledRule = {
+    import RefMode._
+    val eval = col(b.evaluationColumn)
+    val stCol = b.resolvedStatus
+    val hitFlag = s"__hit_${b.code}"
+
+    def violMeta(check: String, msg: String) = SummaryMeta(b.code, s.ruleId,
+      "RuleReference", check, s.severity.name, b.evaluationColumn, msg,
+      downgradeToInfoOnZero = true, pctOfTotal = true)
+
+    s.mode match {
+      case TableReference(refName, refCol) =>
+        val refDf = refTables.getOrElse(refName,
+          throw new IllegalArgumentException(s"Unknown reference table $refName"))
+        val marker = s"__ref${b.code}_v"
+        // type-coercion policy ≡ MDS.DQAppDataTypeConversion
+        // ($P/DQ.sApplyDQRuleReferences.sql:443-479): same type → as-is; both
+        // numeric → cast ref to eval's type; else compare as strings.
+        val evalType = schema.fields.find(_.name.equalsIgnoreCase(b.evaluationColumn)).map(_.dataType)
+        val refType = refDf.schema.fields.find(_.name.equalsIgnoreCase(refCol)).map(_.dataType)
+        def isNum(t: Option[DataType]) = t.exists(_.isInstanceOf[NumericType])
+        val (evalKey: Column, refKey: Column) = (evalType, refType) match {
+          case (Some(a), Some(r)) if a == r => (eval, col(refCol))
+          case (a, r) if isNum(a) && isNum(r) => (eval, col(refCol).cast(evalType.get))
+          case _ => (eval.cast(StringType), col(refCol).cast(StringType))
+        }
+        val prepped = refDf.select(refKey.as(marker)).where(col(marker).isNotNull).distinct()
+        val joinFn: DataFrame => DataFrame =
+          d => d.join(prepped, d(b.evaluationColumn).cast(prepped.schema.head.dataType) === prepped(marker), "left_outer")
+        val statusExpr =
+          when(eval.isNull, lit("Null Evaluation Value"))          // (:555-609)
+            .when(col(marker).isNotNull, lit("Reference Found"))
+            .otherwise(lit("Missing Reference Value"))
+        val missing = scopedPred(b, eval.isNotNull && col(marker).isNull)
+        CompiledRule(b,
+          joins = Seq(joinFn),
+          newColumns = Seq(stCol -> scopedStatus(b, statusExpr)),
+          internalColumns = Seq(hitFlag -> missing),
+          dropAfterProject = Seq(marker),
+          scalarSummaries = Seq(ScalarSummary(
+            violMeta(s.ruleName, s"Missing reference values in $refName.$refCol"),
+            sum(when(col(hitFlag), 1L).otherwise(0L)), ScalarKind.CountAffected)),
+          hit = Some(HitSpec(hitFlag, None)),
+          reads = Set(b.evaluationColumn),
+          lineage = s"$stCol := anti-membership of `${b.evaluationColumn}` in $refName.$refCol")
+
+      case ListReference(values) =>
+        // case-insensitive ≡ COLLATE Latin1_General_CI_AS (:628)
+        val lowered = values.map(_.toLowerCase)
+        val found = lower(eval).isin(lowered: _*)
+        val statusExpr =
+          when(eval.isNull, lit("Null Evaluation Value"))
+            .when(found, lit("Reference Found"))
+            .otherwise(lit("Missing Reference Value"))
+        val missing = scopedPred(b, eval.isNotNull && !found)
+        CompiledRule(b,
+          newColumns = Seq(stCol -> scopedStatus(b, statusExpr)),
+          internalColumns = Seq(hitFlag -> missing),
+          scalarSummaries = Seq(ScalarSummary(
+            violMeta(s.ruleName, s"Values outside reference list"),
+            sum(when(col(hitFlag), 1L).otherwise(0L)), ScalarKind.CountAffected)),
+          hit = Some(HitSpec(hitFlag, None)),
+          reads = Set(b.evaluationColumn),
+          lineage = s"$stCol := membership of lower(`${b.evaluationColumn}`) in [${lowered.mkString(",")}]")
+
+      case AttributeComparison(refName, joinLogic, comparison) =>
+        val refDf = refTables.getOrElse(refName,
+          throw new IllegalArgumentException(s"Unknown reference table $refName"))
+        val pfx = s"__ref${b.code}_"
+        val m = pfx + "__m"
+        val prepped = refDf.distinct()
+          .select(refDf.columns.map(c => col(c).as(pfx + c)) :+ lit(1).as(m): _*)
+        // dialect: entity columns bare or 'dq.'-prefixed; ref columns 'ref.'-prefixed
+        def rw(sql: String): String = sql.replace("ref.", pfx).replace("dq.", "")
+        val cond = expr(rw(joinLogic))
+        val cmp = expr(rw(comparison))
+        val joinFn: DataFrame => DataFrame = d => d.join(prepped, cond, "left_outer")
+        val statusExpr =
+          when(col(m).isNull, lit("No Join Possible"))             // (:899-915)
+            .when(cmp, lit("FAILURE: Join established but attribute comparison failed"))
+            .otherwise(lit("SUCCESS: Join established and attribute matched")) // <> flipped (:876)
+        val fail = scopedPred(b, col(m).isNotNull && coalesce(cmp, lit(false)))
+        CompiledRule(b,
+          joins = Seq(joinFn),
+          newColumns = Seq(stCol -> scopedStatus(b, statusExpr)),
+          internalColumns = Seq(hitFlag -> fail),
+          dropAfterProject = prepped.columns.toSeq,
+          scalarSummaries = Seq(ScalarSummary(
+            violMeta(s.ruleName, s"Attribute comparison failures vs $refName"),
+            sum(when(col(hitFlag), 1L).otherwise(0L)), ScalarKind.CountAffected)),
+          hit = Some(HitSpec(hitFlag, None)),
+          reads = refsOf(rw(joinLogic)).filterNot(_.startsWith(pfx)) ++
+                  refsOf(rw(comparison)).filterNot(_.startsWith(pfx)),
+          lineage = s"$stCol := theta-join $refName ON ${rw(joinLogic)} CMP ${rw(comparison)}")
+
+      case ReferentialIntegrity(refName, joinLogic, refKeyCol) =>
+        val refDf = refTables.getOrElse(refName,
+          throw new IllegalArgumentException(s"Unknown reference table $refName"))
+        val pfx = s"__ref${b.code}_"
+        def rw(sql: String): String = sql.replace("ref.", pfx).replace("dq.", "")
+        val joinRefCols = (refsOf(rw(joinLogic)).filter(_.startsWith(pfx)).map(_.stripPrefix(pfx)) + refKeyCol).toSeq
+        val prepped = refDf.select(joinRefCols.distinct.map(c => col(c).as(pfx + c)): _*).distinct()
+        val cond = expr(rw(joinLogic))
+        val joinFn: DataFrame => DataFrame = d => d.join(prepped, cond, "left_outer")
+        val refKey = col(pfx + refKeyCol)
+        val statusExpr =
+          when(refKey.isNull, lit("FAILURE: No referential integrity"))
+            .otherwise(lit("SUCCESS: Referential integrity established"))
+        val fail = scopedPred(b, refKey.isNull)
+        CompiledRule(b,
+          joins = Seq(joinFn),
+          newColumns = Seq(stCol -> scopedStatus(b, statusExpr)),
+          internalColumns = Seq(hitFlag -> fail),
+          dropAfterProject = prepped.columns.toSeq,
+          scalarSummaries = Seq(ScalarSummary(
+            violMeta(s.ruleName, s"Rows with no referential integrity vs $refName"),
+            sum(when(col(hitFlag), 1L).otherwise(0L)), ScalarKind.CountAffected)),
+          hit = Some(HitSpec(hitFlag, None)),
+          reads = refsOf(rw(joinLogic)).filterNot(_.startsWith(pfx)),
+          lineage = s"$stCol := FK check vs $refName.$refKeyCol ON ${rw(joinLogic)}")
+    }
+  }
+
+  // ---------------------------------------------------------------- P1-P8
+  private def compileProfile(b: RuleBinding, s: RuleSpec.Profile,
+                             schema: StructType): CompiledRule = {
+    import ProfileKind._
+    val sev = s.severity.name
+    def meta(check: String, colName: String, msg: String,
+             downgrade: Boolean = false, pct: Boolean = false) =
+      SummaryMeta(b.code, s.ruleId, "RuleProfiling", check, sev, colName, msg,
+        downgradeToInfoOnZero = downgrade, pctOfTotal = pct)
+    val allCols: Seq[String] =
+      if (b.evaluationColumn == RuleBinding.AllColumns)
+        schema.fieldNames.toSeq
+      else Seq(b.evaluationColumn)
+
+    s.kind match {
+      case DataTypeCheck(tpe) => // P1 (:398-505)
+        val eval = s"`${b.evaluationColumn}`"
+        val bad = expr(s"try_cast($eval AS $tpe)").isNull // NULL input counts as failure, as in SUM(TRY_CONVERT IS NULL)
+        val badScoped = scopedPred(b, bad)
+        val stCol = b.resolvedStatus
+        val hitFlag = s"__hit_${b.code}"
+        CompiledRule(b,
+          newColumns = Seq(stCol -> scopedStatus(b, when(bad, lit("1")).otherwise(lit("0")))),
+          internalColumns = Seq(hitFlag -> badScoped),
+          scalarSummaries = Seq(ScalarSummary(
+            meta(s.ruleName, b.evaluationColumn, s"Values not castable to $tpe", pct = true),
+            sum(when(col(hitFlag), 1L).otherwise(0L)), ScalarKind.CountAffected)),
+          hit = Some(HitSpec(hitFlag, None)),
+          reads = Set(b.evaluationColumn),
+          lineage = s"$stCol := try_cast($eval as $tpe) is null")
+
+      case DuplicatesCount(pk) => // P2 (:507-663)
+        val job = GroupedJob { df =>
+          val scopedDf = b.optionalFilter.map(f => df.filter(expr(f))).getOrElse(df)
+          val grouped = scopedDf.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
+          val row = grouped.agg(
+            sum(when(col("__n") > 1, 1L).otherwise(0L)).as("groups"),
+            sum(when(col("__n") > 1, col("__n")).otherwise(0L)).as("rows")).head()
+          val colName = pk.mkString(";")
+          Seq(
+            SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [DuplicateKeys]",
+              sev, colName, "Number of duplicated key groups",
+              Option(row.getAs[Any]("groups")).map(_.toString.toLong).getOrElse(0L), None),
+            SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [DuplicateRows]",
+              sev, colName, "Number of rows in duplicated key groups",
+              Option(row.getAs[Any]("rows")).map(_.toString.toLong).getOrElse(0L), None))
+        }
+        CompiledRule(b, groupedJobs = Seq(job), reads = pk.toSet,
+          lineage = s"groupBy(${pk.mkString(",")}).count having > 1")
+
+      case DuplicatesFlag(pk, orderCol) => // P3 (:667-752); deterministic tie-break (§7.6.5)
+        val w = Window.partitionBy(pk.map(col): _*)
+        val wOrd = w.orderBy(col(orderCol))
+        val grpN = count(lit(1)).over(w)
+        val rn = row_number().over(wOrd)
+        val stCol = b.resolvedStatus
+        // '1' = member of a duplicated key group (keep candidate), '2' = non-first row
+        val statusExpr = when(grpN > 1, when(rn > 1, lit("2")).otherwise(lit("1")))
+        val hitFlag = s"__hit_${b.code}"
+        CompiledRule(b,
+          newColumns = Seq(stCol -> scopedStatus(b, statusExpr)),
+          internalColumns = Seq(hitFlag -> scopedPred(b, grpN > 1)),
+          scalarSummaries = Seq(
+            ScalarSummary(meta(s"${s.ruleName} [DuplicateKeys]", pk.mkString(";"),
+              "Number of duplicated key groups"),
+              sum(when(col(stCol) === "1", 1L).otherwise(0L)), ScalarKind.CountAffected),
+            ScalarSummary(meta(s"${s.ruleName} [DuplicateRows]", pk.mkString(";"),
+              "Number of rows in duplicated key groups", pct = true),
+              sum(when(col(stCol).isNotNull, 1L).otherwise(0L)), ScalarKind.CountAffected)),
+          hit = Some(HitSpec(hitFlag, None)),
+          reads = pk.toSet + orderCol,
+          lineage = s"$stCol := dup-flag over (${pk.mkString(",")}) order by $orderCol")
+
+      case MinMaxValue => // P4 (:757-947); ALL → one wide agg, not per-column queries
+        val sums = allCols.flatMap { c =>
+          Seq(
+            ScalarSummary(meta(s"${s.ruleName} [Min]", c, "Minimum Value = {value}"),
+              min(col(c)).cast(StringType), ScalarKind.ValueIntoMessage),
+            ScalarSummary(meta(s"${s.ruleName} [Max]", c, "Maximum Value = {value}"),
+              max(col(c)).cast(StringType), ScalarKind.ValueIntoMessage))
+        }
+        CompiledRule(b, scalarSummaries = sums, reads = allCols.toSet,
+          lineage = s"min/max over ${allCols.mkString(",")}")
+
+      case MinMaxLength(compat) => // P5 (:950-1139); compat replicates the no-LEN bug
+        val sums = allCols.flatMap { c =>
+          val (mn, mx) =
+            if (compat && b.evaluationColumn != RuleBinding.AllColumns)
+              (min(col(c)).cast(StringType), max(col(c)).cast(StringType)) // reference bug (:955,993)
+            else
+              (min(length(col(c).cast(StringType))).cast(StringType),
+               max(length(col(c).cast(StringType))).cast(StringType))
+          Seq(
+            ScalarSummary(meta(s"${s.ruleName} [MinLen]", c, "Minimum Length = {value}"),
+              mn, ScalarKind.ValueIntoMessage),
+            ScalarSummary(meta(s"${s.ruleName} [MaxLen]", c, "Maximum Length = {value}"),
+              mx, ScalarKind.ValueIntoMessage))
+        }
+        CompiledRule(b, scalarSummaries = sums, reads = allCols.toSet,
+          lineage = s"min/max length over ${allCols.mkString(",")}")
+
+      case RowCount => // P6 (:1142-1185)
+        val one = b.optionalFilter.map(f => when(expr(f), 1L).otherwise(0L)).getOrElse(lit(1L))
+        CompiledRule(b,
+          scalarSummaries = Seq(ScalarSummary(
+            meta(s.ruleName, "*", "Table Row Count"), sum(one), ScalarKind.CountAffected)),
+          reads = b.optionalFilter.map(refsOf).getOrElse(Set.empty),
+          lineage = "count(*)")
+
+      case TableValueDistribution => // P7 (:1190-1429): 5 metrics per column
+        val scalar = allCols.flatMap { c =>
+          val cs = col(c).cast(StringType)
+          val isEmpty = col(c).isNull || length(cs) === 0 // (:1295-1297)
+          Seq(
+            ScalarSummary(meta(s"${s.ruleName} [Total]", c, "Total rows"),
+              count(lit(1)), ScalarKind.CountAffected),
+            ScalarSummary(meta(s"${s.ruleName} [Populated]", c, "Populated values", pct = true),
+              sum(when(!isEmpty, 1L).otherwise(0L)), ScalarKind.CountAffected),
+            ScalarSummary(meta(s"${s.ruleName} [Empty]", c, "Empty values", pct = true),
+              sum(when(isEmpty, 1L).otherwise(0L)), ScalarKind.CountAffected))
+        }
+        val grouped = allCols.map { c =>
+          GroupedJob { df =>
+            val scopedDf = b.optionalFilter.map(f => df.filter(expr(f))).getOrElse(df)
+            val g = scopedDf.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+            val row = g.agg(
+              sum(when(col("__n") > 1, 1L).otherwise(0L)).as("dup"),   // HAVING COUNT(*)>1 (:1336-1343)
+              sum(when(col("__n") === 1, 1L).otherwise(0L)).as("once") // HAVING COUNT(*)=1 (:1381-1388)
+            ).head()
+            Seq(
+              SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [DuplicatedValues]",
+                sev, c, "Values occurring more than once",
+                Option(row.getAs[Any]("dup")).map(_.toString.toLong).getOrElse(0L), None),
+              SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [DistinctOnce]",
+                sev, c, "Values occurring exactly once",
+                Option(row.getAs[Any]("once")).map(_.toString.toLong).getOrElse(0L), None))
+          }
+        }
+        CompiledRule(b, scalarSummaries = scalar, groupedJobs = grouped,
+          reads = allCols.toSet, lineage = s"value distribution over ${allCols.mkString(",")}")
+
+      case ColumnValueDistribution(threshold) => // P8 (:1433-1481)
+        val c = b.evaluationColumn
+        val job = GroupedJob { df =>
+          val scopedDf = b.optionalFilter.map(f => df.filter(expr(f))).getOrElse(df)
+          val hist = scopedDf
+            .groupBy(coalesce(col(c).cast(StringType), lit("NULL")).as("__v"))
+            .agg(count(lit(1)).as("__n"))
+            .withColumn("__pct", col("__n") * 100.0 / sum(col("__n")).over(Window.partitionBy()))
+            // below-threshold values collapse into 'MiscMinorValues' (:1448-1463)
+            .withColumn("__bucket", when(col("__pct") < threshold, lit("MiscMinorValues")).otherwise(col("__v")))
+            .groupBy(col("__bucket")).agg(sum(col("__n")).as("__n"), sum(col("__pct")).as("__pct"))
+            .orderBy(col("__bucket"))
+            .collect()
+          hist.toSeq.map { r =>
+            SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [Histogram]",
+              sev, c, s"Value = ${r.getAs[String]("__bucket")}",
+              r.getAs[Long]("__n"),
+              Some(math.round(r.getAs[Double]("__pct") * 10000.0) / 10000.0))
+          }
+        }
+        CompiledRule(b, groupedJobs = Seq(job), reads = Set(c),
+          lineage = s"histogram($c) threshold=$threshold%")
+    }
+  }
+
+  // ---------------------------------------------------------------- T1-T8
+  /** Type conversion ($P/DQ.sApplyDQRuleTransformation.sql:416-550). All
+    * conversions use try_* semantics: an unparseable value yields NULL
+    * instead of failing the job (SURVEY.md §7.6.4 — including the
+    * Varchar-To-Numeric path the reference never finished). */
+  private def compileConvert(b: RuleBinding, s: RuleSpec.Convert): CompiledRule = {
+    import ConvertKind._
+    val eval = col(b.evaluationColumn)
+    def tryCastTo(t: String): Column = expr(s"try_cast(`${b.evaluationColumn}` AS $t)")
+
+    val outExpr: Column = s.kind match {
+      case VarcharToInt          => tryCastTo("int")
+      case IntToVarchar(n)       => substring(eval.cast(StringType), 1, n)
+      case VarcharToVarchar(n)   => substring(eval.cast(StringType), 1, n)
+      case VarcharUkToDateTime   => try_to_timestamp(eval, lit("d/M/yyyy[ H:mm[:ss]]"))
+      case VarcharUsToDateTime   => try_to_timestamp(eval, lit("M/d/yyyy[ H:mm[:ss]]"))
+      case VarcharUkToIntDate    => // CONVERT(...,112) → yyyyMMdd int (:487-489)
+        date_format(try_to_timestamp(eval, lit("d/M/yyyy[ H:mm[:ss]]")), "yyyyMMdd").cast(IntegerType)
+      case VarcharUsToIntDate    =>
+        date_format(try_to_timestamp(eval, lit("M/d/yyyy[ H:mm[:ss]]")), "yyyyMMdd").cast(IntegerType)
+      case VarcharToNumeric(p, sc) => tryCastTo(s"decimal($p,$sc)")
+    }
+
+    val outCol = b.resolvedOutput
+    val stCol = b.resolvedStatus
+    val statusExpr = when(outExpr.isNotNull, lit("Cleansed"))
+    val hitFlag = s"__hit_${b.code}"
+    // scoping: outside the filter the typed output column is NULL (cannot keep
+    // a string pre-image in a typed column)
+    val outScoped = scopedStatus(b, outExpr) // when(filter, out) else null
+    CompiledRule(b,
+      newColumns = Seq(outCol -> outScoped, stCol -> scopedStatus(b, statusExpr)),
+      internalColumns = Seq(hitFlag -> scopedPred(b, outExpr.isNotNull)),
+      scalarSummaries = Seq(ScalarSummary(
+        SummaryMeta(b.code, s.ruleId, "RuleTransformation", s.ruleName,
+          s.severity.name, b.evaluationColumn,
+          "Rows cleansed (converted non-null)", pctOfTotal = true),
+        sum(when(col(hitFlag), 1L).otherwise(0L)), ScalarKind.CountAffected)),
+      hit = Some(HitSpec(hitFlag, None)),
+      reads = Set(b.evaluationColumn),
+      lineage = s"$outCol := ${outExpr.toString}")
+  }
+}

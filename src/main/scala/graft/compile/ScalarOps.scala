@@ -1,0 +1,33 @@
+package graft.compile
+
+import org.apache.spark.sql.Column
+import graft.functions.TextFunctions
+
+/** Named scalar-op registry — the Spark-native preservation of the reference's
+  * `BespokeFunction` extension point (Harmonization `SpecialOperation`,
+  * $P/DQ.sApplyDQRuleHarmonization.sql:557-586; SURVEY.md §2.9, §7.4).
+  *
+  * The reference dispatches to a T-SQL scalar UDF by name at SQL-generation
+  * time; here an op is a `Column => Column` combinator, so whatever is
+  * registered stays inside Catalyst and whole-stage codegen. Registration is
+  * driver-side only (the map is consulted while compiling the plan, never on
+  * executors).
+  */
+object ScalarOps {
+  @volatile private var registry: Map[String, Column => Column] = Map[String, Column => Column](
+    // The three shipped bespoke functions ($MDS DataQuality.pkg seeds):
+    "DQ.fnRemoveSpecialCharacters" -> (TextFunctions.removeSpecialCharacters(_)),
+    "DQ.fnRemoveMCharacters"       -> (TextFunctions.removeMCharacters(_)),
+    "DQ.fnReturnNumericAlphaMask"  -> (TextFunctions.numericAlphaMask(_)),
+  ).map { case (k, v) => k.toLowerCase -> v }
+
+  def register(name: String, op: Column => Column): Unit = synchronized {
+    registry = registry + (name.toLowerCase -> op)
+  }
+
+  def resolve(name: String): Column => Column =
+    registry.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"Unknown bespoke scalar op: $name"))
+
+  def known: Set[String] = registry.keySet
+}

@@ -1,0 +1,296 @@
+package graft.exec
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.catalog._
+import graft.compile._
+import graft.plan.{Segment, SequencePlanner, Stage}
+import graft.audit._
+
+/** Engine run configuration.
+  *
+  * @param keyColumns natural row key — replaces the reference's synthetic
+  *                   `DQRowId IDENTITY` ($P/DQ.sLoadCleanseEntity.sql:236-251)
+  *                   with a deterministic, replay-stable key (SURVEY.md §1.3)
+  * @param workDir    checkpoint + manifest + audit root for this run
+  * @param resume     replay only segments not marked DONE in the manifest
+  *                   (≡ snapshot-id based resume of the north rule; the
+  *                   parquet-dir-per-segment manifest is the sandbox stand-in
+  *                   for Iceberg snapshot ids, SURVEY.md §7.4)
+  * @param repartitionOn range-partition the input on these columns before the
+  *                   first segment (explicit partitioning per north rule:
+  *                   `(repo, path)` for the code corpus)
+  * @param saltColumn optional high-cardinality salt added to the range key to
+  *                   break mega-repo skew
+  * @param partitionLineage record per-file row counts per segment into the
+  *                   manifest (per-partition lineage)
+  */
+case class EngineConfig(
+    entityName: String,
+    keyColumns: Seq[String],
+    workDir: String,
+    runId: String = "run",
+    resume: Boolean = false,
+    repartitionOn: Seq[String] = Nil,
+    numPartitions: Option[Int] = None,
+    saltColumn: Option[String] = None,
+    partitionLineage: Boolean = false)
+
+case class RunResult(
+    output: DataFrame,
+    summaries: Seq[RuleSummary],
+    catalogErrors: Seq[CatalogValidator.CatalogError],
+    loadTree: Seq[LoadNode],
+    lineage: Seq[RuleLineage],
+    planDescription: String)
+
+/** Executes a planned rule pipeline — the Spark-native equivalent of
+  * `ISPAC:DataQualityEngine.dtsx`'s tranche/entity/rule loops (SURVEY.md §3).
+  *
+  * Per segment (SequencePlanner docs): join steps → fused layered projection
+  * (one scan) → parquet checkpoint write carrying `observe()` metric nodes
+  * (scalar audit counts ride the write — zero extra passes) → row-history
+  * and grouped profile jobs over the *checkpoint* (column-pruned re-reads) →
+  * keep-filter for the next segment.
+  */
+class PipelineRunner(spark: SparkSession, config: EngineConfig) {
+  import spark.implicits._
+
+  private def segDir(id: Int) = s"${config.workDir}/seg$id"
+  private val manifestPath = Paths.get(s"${config.workDir}/manifest.txt")
+  private val auditDir = s"${config.workDir}/audit"
+
+  def run(input: DataFrame, bindings: Seq[RuleBinding],
+          refTables: Map[String, DataFrame] = Map.empty): RunResult = {
+    val t0 = new Timestamp(System.currentTimeMillis())
+    Files.createDirectories(Paths.get(config.workDir))
+
+    // 1. validate (≡ the fatal pre-checks of every apply proc, SURVEY.md §2.2)
+    val validated = CatalogValidator.validate(bindings, input.schema,
+      refTables.map { case (k, v) => k -> v.schema })
+
+    // 2. compile + plan
+    val compiled = validated.ok.map(b => RuleCompiler.compile(b, input.schema, refTables))
+    val segments = SequencePlanner.plan(compiled)
+    val planDesc = SequencePlanner.describe(segments)
+
+    val lineage = compiled.map { r =>
+      RuleLineage(0L, r.binding.code, RuleSpec.category(r.binding.spec),
+        s"entity=${config.entityName} seq=${r.binding.sequence}", r.lineage)
+    }
+
+    // 3. manifest / resume (plan-hash guarded)
+    val planHash = (bindings.map(_.toString) ++ config.keyColumns).mkString("|").hashCode.toString
+    val doneSegments: Set[Int] =
+      if (config.resume && Files.exists(manifestPath)) {
+        val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(manifestPath)).asScala.toSeq
+        if (lines.headOption.contains(s"plan $planHash"))
+          lines.collect { case l if l.startsWith("segment ") && l.endsWith(" DONE") =>
+            l.split(" ")(1).toInt }.toSet
+        else Set.empty
+      } else Set.empty
+    val manifestLines = mutable.ArrayBuffer[String](s"plan $planHash")
+
+    // 4. explicit partitioning before the first materialization
+    val partitioned =
+      if (config.repartitionOn.nonEmpty) {
+        val keys = config.repartitionOn.map(col) ++ config.saltColumn.map(col)
+        config.numPartitions match {
+          case Some(n) => input.repartitionByRange(n, keys: _*)
+          case None    => input.repartitionByRange(keys: _*)
+        }
+      } else input
+
+    // 5. execute segments
+    val drafts = mutable.ArrayBuffer[SummaryDraft]()
+    val loadNodes = mutable.ArrayBuffer[LoadNode]()
+    val rootLoadId = math.abs(config.runId.hashCode.toLong)
+    var current = partitioned
+
+    validated.errors.foreach { e =>
+      drafts += SummaryDraft(e.code, -1, "CatalogValidation", "PreCheck",
+        Severity.Fatal.name, "", e.message, 0L, None)
+    }
+
+    for (seg <- segments) {
+      val segLoadId = rootLoadId * 1000 + seg.id
+      val st = new Timestamp(System.currentTimeMillis())
+      if (doneSegments.contains(seg.id)) {
+        // resume: replay nothing; reload checkpoint + persisted drafts
+        val ckpt = spark.read.parquet(s"${segDir(seg.id)}/data")
+        drafts ++= spark.read.parquet(s"${segDir(seg.id)}/drafts").as[SummaryDraft].collect()
+        current = nextInput(ckpt, seg)
+        loadNodes += LoadNode(segLoadId, Some(rootLoadId),
+          s"segment ${seg.id} (tranche ${seg.sequence}) [resumed]",
+          LoadStatus.Success, st, Some(st), Some(0.0))
+        manifestLines += s"segment ${seg.id} DONE"
+      } else {
+        val segDrafts = runSegment(current, seg, segLoadId)
+        drafts ++= segDrafts
+        // persist drafts for resume
+        segDrafts.toDS().write.mode("overwrite").parquet(s"${segDir(seg.id)}/drafts")
+        val ckpt = spark.read.parquet(s"${segDir(seg.id)}/data")
+        if (config.partitionLineage) {
+          val perFile = ckpt.groupBy(input_file_name().as("file")).count().collect()
+          perFile.foreach(r => manifestLines +=
+            s"lineage ${seg.id} ${r.getString(0)} ${r.getLong(1)}")
+        }
+        current = nextInput(ckpt, seg)
+        val et = new Timestamp(System.currentTimeMillis())
+        loadNodes += LoadNode(segLoadId, Some(rootLoadId),
+          s"segment ${seg.id} (tranche ${seg.sequence})", LoadStatus.Success,
+          st, Some(et), Some((et.getTime - st.getTime) / 1000.0))
+        manifestLines += s"segment ${seg.id} DONE"
+        writeManifest(manifestLines.toSeq)
+      }
+    }
+
+    // 6. finalize audit
+    val tEnd = new Timestamp(System.currentTimeMillis())
+    loadNodes.prepend(LoadNode(rootLoadId, None,
+      s"DataQualityEngine run ${config.runId} entity=${config.entityName}",
+      LoadStatus.Success, t0, Some(tEnd),
+      Some((tEnd.getTime - t0.getTime) / 1000.0)))
+
+    val codeToSeq = bindings.map(b => b.code -> b.sequence).toMap
+    val summaries = drafts.toSeq.map { d =>
+      RuleSummary(rootLoadId, config.entityName, d.severityName, d.columnName,
+        d.ruleType, d.checkName, d.dqMessage, d.ruleId, d.code, d.rowsAffected,
+        d.percentageValue, codeToSeq.getOrElse(d.code, 0), tEnd)
+    }
+    summaries.toDS().write.mode("append").parquet(s"$auditDir/summaries")
+    lineage.map(_.copy(loadId = rootLoadId)).toDS()
+      .write.mode("append").parquet(s"$auditDir/lineage")
+    loadNodes.toSeq.toDS().write.mode("append").parquet(s"$auditDir/load_tree")
+    writeManifest(manifestLines.toSeq)
+
+    RunResult(current, summaries, validated.errors, loadNodes.toSeq,
+      lineage.map(_.copy(loadId = rootLoadId)), planDesc)
+  }
+
+  /** checkpoint → input of the next segment: apply keep-filters, drop
+    * audit-internal columns. */
+  private def nextInput(ckpt: DataFrame, seg: Segment): DataFrame = {
+    val filtered = seg.keepFilters.foldLeft(ckpt)((d, r) => d.filter(r.keepPredicate.get))
+    val internal = seg.rules.flatMap(_.internalColumns.map(_._1))
+    filtered.drop(internal: _*)
+  }
+
+  /** Runs one segment: fused projections + observe metrics + checkpoint
+    * write + row-history extraction + grouped profile jobs. */
+  private def runSegment(input: DataFrame, seg: Segment, loadId: Long): Seq[SummaryDraft] = {
+    // build the layered plan, attaching one observe() per stage
+    var df = input
+    val observations = mutable.ArrayBuffer[(Stage, Observation, Seq[(String, ScalarSummary)])]()
+    for ((stage, i) <- seg.stages.zipWithIndex) {
+      df = applyStage(df, stage)
+      val metrics = stage.rules.flatMap(_.scalarSummaries).zipWithIndex
+        .map { case (ss, k) => (s"m${ss.meta.code}_$k", ss) }
+      if (metrics.nonEmpty || stage.rules.exists(_.scalarSummaries.nonEmpty)) {
+        val obs = Observation(s"seg${seg.id}_st$i")
+        val aggCols = metrics.map { case (n, ss) => ss.agg.as(n) } :+
+          count(lit(1)).as("__total")
+        df = df.observe(obs, aggCols.head, aggCols.tail: _*)
+        observations += ((stage, obs, metrics))
+      }
+    }
+    // materialize: single write action evaluates every stage + observe node
+    df.write.mode("overwrite").parquet(s"${segDir(seg.id)}/data")
+
+    val scalarDrafts = observations.flatMap { case (_, obs, metrics) =>
+      val vals = obs.get
+      val total = vals.get("__total").map(_.toString.toLong).getOrElse(0L)
+      metrics.map { case (name, ss) =>
+        val raw = vals.get(name).orNull
+        resolveDraft(ss, raw, total)
+      }
+    }
+
+    val ckpt = spark.read.parquet(s"${segDir(seg.id)}/data")
+    writeRowHits(ckpt, seg, loadId)
+    val groupedDrafts = seg.rules.flatMap(_.groupedJobs).flatMap(_.run(ckpt))
+    scalarDrafts.toSeq ++ groupedDrafts
+  }
+
+  private def resolveDraft(ss: ScalarSummary, raw: Any, total: Long): SummaryDraft = {
+    val m = ss.meta
+    ss.kind match {
+      case ScalarKind.CountAffected =>
+        val n = Option(raw).map(_.toString.toLong).getOrElse(0L)
+        val sev = if (m.downgradeToInfoOnZero && n == 0L) Severity.Info.name else m.severityName
+        val pct = if (m.pctOfTotal && total > 0)
+          Some(math.round(n * 100.0 / total * 10000.0) / 10000.0) else None
+        SummaryDraft(m.code, m.ruleId, m.ruleType, m.checkName, sev, m.columnName,
+          m.messageTemplate, n, pct)
+      case ScalarKind.ValueIntoMessage =>
+        val v = Option(raw).map(_.toString).getOrElse("NULL")
+        SummaryDraft(m.code, m.ruleId, m.ruleType, m.checkName, m.severityName,
+          m.columnName, m.messageTemplate.replace("{value}", v), total, None)
+    }
+  }
+
+  /** Fused projection for one stage: every existing column is preserved
+    * (in-place rewrites overwrite), new output/status/internal columns are
+    * appended, reference-join scratch columns are dropped. Catalyst's
+    * CollapseProject folds consecutive stage projections into one physical
+    * projection, so a multi-stage segment still scans once. */
+  private def applyStage(df: DataFrame, stage: Stage): DataFrame = {
+    val joined = stage.rules.flatMap(_.joins).foldLeft(df)((d, f) => f(d))
+    val newCols = stage.rules.flatMap(r => r.newColumns ++ r.internalColumns)
+    val byName = newCols.toMap
+    require(byName.size == newCols.size,
+      s"planner invariant violated: duplicate column writers in one stage: " +
+        newCols.map(_._1).diff(byName.keys.toSeq).distinct.mkString(","))
+    val existing = joined.columns.toSeq
+    val kept = existing.map { c => byName.get(c).map(_.as(c)).getOrElse(col(c)) }
+    val appended = newCols.filterNot { case (n, _) => existing.contains(n) }
+      .map { case (n, c) => c.as(n) }
+    val projected = joined.select(kept ++ appended: _*)
+    val toDrop = stage.rules.flatMap(_.dropAfterProject)
+    if (toDrop.nonEmpty) projected.drop(toDrop: _*) else projected
+  }
+
+  /** ≡ DQ.DataQualityRowHistory + DQ.DataQualityPrimaryKeyValues sinks
+    * (S6/S7): per-row rule hits, derived from flags computed in the same
+    * projection as the rule (no predicate re-evaluation, unlike the
+    * reference which re-runs each predicate 2-3×, SURVEY.md §4.1). */
+  private def writeRowHits(ckpt: DataFrame, seg: Segment, loadId: Long): Unit = {
+    val hitRules = seg.rules.flatMap(r => r.hit.map(h => (r, h)))
+    if (hitRules.isEmpty) return
+    val structs = hitRules.map { case (r, h) =>
+      val b = r.binding
+      val sev = r.scalarSummaries.headOption.map(_.meta.severityName)
+        .getOrElse(Severity.Info.name)
+      val check = r.scalarSummaries.headOption.map(_.meta.checkName)
+        .getOrElse(RuleSpec.category(b.spec))
+      when(coalesce(col(h.flagColumn).cast("boolean"), lit(false)), struct(
+        lit(b.code).as("ruleAssocCode"),
+        lit(RuleSpec.category(b.spec)).as("ruleType"),
+        lit(check).as("checkName"),
+        lit(sev).as("severityName"),
+        lit(b.evaluationColumn).as("columnName"),
+        h.messageColumn.map(col).getOrElse(lit(null).cast(StringType)).as("message")))
+    }
+    val keyCols = config.keyColumns.map(col)
+    val hits = ckpt
+      .select(keyCols :+ filter(array(structs: _*), x => x.isNotNull).as("__hits"): _*)
+      .where(size(col("__hits")) > 0)
+      .select(keyCols :+ explode(col("__hits")).as("__hit"): _*)
+      .select(keyCols ++ Seq(col("__hit.*"), lit(loadId).as("loadId")): _*)
+    hits.write.mode("append").parquet(s"$auditDir/row_hits")
+  }
+
+  private def writeManifest(lines: Seq[String]): Unit = {
+    val tmp = Paths.get(s"${config.workDir}/manifest.txt.tmp")
+    Files.writeString(tmp, lines.mkString("\n") + "\n")
+    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}

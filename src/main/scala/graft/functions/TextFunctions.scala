@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure-`Column` reimplementations of the reference's scalar T-SQL UDFs
+  * (SURVEY.md §2.9). Everything here stays inside whole-stage codegen —
+  * no Scala UDFs, no serialization of closures per row.
+  */
+object TextFunctions {
+
+  /** ≡ DQ.fnIsLeapYear ($F/DQ.fnIsLeapYear.sql:13-19), arithmetic form. */
+  def isLeapYear(year: Column): Column =
+    (year % 4 === 0 && year % 100 =!= 0) || (year % 400 === 0)
+
+  /** Days in month with leap-February — the month-length table of
+    * $F/DQ.fCheckDateFormat.sql:245-309. */
+  private def daysInMonth(month: Column, year: Column): Column =
+    when(month.isin(1, 3, 5, 7, 8, 10, 12), 31)
+      .when(month.isin(4, 6, 9, 11), 30)
+      .when(month === 2, when(isLeapYear(year), 29).otherwise(28))
+      .otherwise(0)
+
+  private val digits = "^[0-9]+$"
+
+  /** ≡ DQ.fCheckDateFormat(str, pattern) → 1 valid / 0 invalid
+    * ($F/DQ.fCheckDateFormat.sql:22-312).
+    *
+    * Faithful behaviors: separators `- . \ , space` normalized to `/`
+    * (:75-79); patterns DD/MM/YYYY, DD/MM/YY, MM/DD/YYYY, MM/DD/YY, YYYYMMDD
+    * (:82-236); numeric-part validation, month-length table and leap-year
+    * February (:245-309). Single-digit day/month accepted, as in the
+    * reference. Deviations per SURVEY.md §7.6: the `3` return for malformed
+    * DD/MM/YY (:121) is normalized to 0; the dead year-range check (:238) is
+    * dropped. Two-digit years are pivoted to 2000+YY for leap purposes.
+    */
+  def checkDateFormat(s: Column, pattern: String): Column = {
+    val norm = regexp_replace(s, "[-\\.\\\\, ]", "/")
+    val parts = split(norm, "/")
+    val nParts = size(parts)
+
+    def numeric(c: Column): Column = c.rlike(digits)
+
+    def validDmy(d: Column, m: Column, y: Column, yearLen: Int): Column = {
+      val ok = numeric(d) && numeric(m) && numeric(y) &&
+        length(y) === yearLen && length(d).between(1, 2) && length(m).between(1, 2)
+      val yi = if (yearLen == 2) y.cast("int") + 2000 else y.cast("int")
+      val mi = m.cast("int")
+      val di = d.cast("int")
+      ok && mi.between(1, 12) && di.between(1, daysInMonth(mi, yi))
+    }
+
+    val res = pattern.toUpperCase match {
+      case "DD/MM/YYYY" | "DD-MM-YYYY" =>
+        nParts === 3 && validDmy(parts(0), parts(1), parts(2), 4)
+      case "DD/MM/YY" =>
+        nParts === 3 && validDmy(parts(0), parts(1), parts(2), 2)
+      case "MM/DD/YYYY" =>
+        nParts === 3 && validDmy(parts(1), parts(0), parts(2), 4)
+      case "MM/DD/YY" =>
+        nParts === 3 && validDmy(parts(1), parts(0), parts(2), 2)
+      case "YYYYMMDD" =>
+        // no separators expected; 8 digits
+        norm.rlike("^[0-9]{8}$") && {
+          val yi = substring(norm, 1, 4).cast("int")
+          val mi = substring(norm, 5, 2).cast("int")
+          val di = substring(norm, 7, 2).cast("int")
+          mi.between(1, 12) && di.between(1, daysInMonth(mi, yi))
+        }
+      case other =>
+        throw new IllegalArgumentException(s"Unknown date format: $other")
+    }
+    when(s.isNull, lit(0)).otherwise(when(res, 1).otherwise(0))
+  }
+
+  /** ≡ DQ.fnRemoveSpecialCharacters — keep letters only
+    * ($F/DQ.fnRemoveSpecialCharacters.sql:13-27). The reference loops
+    * char-by-char with an accent-insensitive collation; one codegen'd
+    * regexp pass replaces the O(n) scalar-function calls per row. */
+  def removeSpecialCharacters(c: Column): Column =
+    regexp_replace(c, "[^A-Za-z]", "")
+
+  /** ≡ DQ.fnRemoveMCharacters ($F/DQ.fnRemoveMCharacters.sql:13-17). */
+  def removeMCharacters(c: Column): Column = regexp_replace(c, "M", "")
+
+  /** ≡ DQ.fnReturnNumericAlphaMask — letter→'A', digit→'N', rest passthrough;
+    * NULL→'NULL', ''→'Blank' ($F/DQ.fnReturnNumericAlphaMask.sql:13-83). */
+  def numericAlphaMask(c: Column): Column =
+    when(c.isNull, lit("NULL"))
+      .when(c === "", lit("Blank"))
+      .otherwise(regexp_replace(regexp_replace(c, "[A-Za-z]", "A"), "[0-9]", "N"))
+}

@@ -1,0 +1,93 @@
+package graft.plan
+
+import graft.catalog.RuleBinding
+import graft.compile.CompiledRule
+
+/** One fusable set of rules: all expressions read the same pre-stage image,
+  * so they evaluate in a single projection over one scan. */
+case class Stage(rules: Seq[CompiledRule]) {
+  def writes: Set[String] = rules.flatMap(_.writes).toSet
+  def hasDrop: Boolean = rules.exists(_.keepPredicate.nonEmpty)
+}
+
+/** Materialization unit: a run of stages with all keep/drop filters at the
+  * end. Segment boundaries = tranche boundaries plus every Drop rule (a
+  * delete must be visible to the next rule, as in the reference's
+  * sequential `DELETE` execution). */
+case class Segment(id: Int, sequence: Int, stages: Seq[Stage]) {
+  def rules: Seq[CompiledRule] = stages.flatMap(_.rules)
+  def keepFilters: Seq[CompiledRule] = rules.filter(_.keepPredicate.nonEmpty)
+}
+
+/** Plans validated, compiled rules into tranches → stages → segments
+  * (SURVEY.md §4.3.1).
+  *
+  * The reference executes one full-table `UPDATE` per rule, sequentially by
+  * `CAST(Code AS INT)` within each ExecutionSequence tranche (SSIS FECL
+  * loops, SURVEY.md §3). Semantically each statement reads the post-image of
+  * all earlier statements. Fusion preserves that while scanning once:
+  *
+  *  - rules that only read *input* columns of the stage fuse into one
+  *    projection (all read the same pre-stage image — equivalent to
+  *    sequential execution because none reads a sibling's write);
+  *  - a rule that reads a column an earlier same-stage rule writes, or
+  *    rewrites a column an earlier same-stage rule wrote, starts a new
+  *    stage (layered projection — still collapsed by Catalyst's
+  *    CollapseProject into minimal physical projections, no extra scan);
+  *  - a Drop rule ends the *segment*: deleted rows must be invisible to
+  *    later rules, and the engine materializes at segment boundaries so
+  *    dropped rows are still present in the segment checkpoint for
+  *    row-history audit (≡ reference logging deletes to
+  *    DQ.DataQualityRowHistory before `DELETE`).
+  */
+object SequencePlanner {
+
+  def plan(rules: Seq[CompiledRule]): Seq[Segment] = {
+    val bySeq = rules.groupBy(_.binding.sequence).toSeq.sortBy(_._1)
+    var segId = 0
+    val segments = Seq.newBuilder[Segment]
+
+    for ((seq, tranche) <- bySeq) {
+      val ordered = tranche.sortBy(_.binding.code) // ORDER BY CAST(Code AS INT)
+      var stages = Vector.empty[Vector[CompiledRule]]
+      var current = Vector.empty[CompiledRule]
+      var currentWrites = Set.empty[String]
+
+      def closeStage(): Unit = {
+        if (current.nonEmpty) { stages = stages :+ current }
+        current = Vector.empty; currentWrites = Set.empty
+      }
+      def closeSegment(): Unit = {
+        closeStage()
+        if (stages.nonEmpty) {
+          segments += Segment(segId, seq, stages.map(Stage(_)))
+          segId += 1
+        }
+        stages = Vector.empty
+      }
+
+      for (r <- ordered) {
+        val conflict =
+          (r.reads intersect currentWrites).nonEmpty ||
+          (r.writes intersect currentWrites).nonEmpty
+        if (conflict) closeStage()
+        current = current :+ r
+        currentWrites ++= r.writes
+        if (r.keepPredicate.nonEmpty) closeSegment() // deletes end the segment
+      }
+      closeSegment() // tranche boundary is always a materialization barrier
+    }
+    segments.result()
+  }
+
+  /** Human-readable plan description for the lineage audit (≡ the reference
+    * logging every generated statement to DQ.RuleExecutionHistory, S8). */
+  def describe(segments: Seq[Segment]): String =
+    segments.map { seg =>
+      val st = seg.stages.zipWithIndex.map { case (s, i) =>
+        s"    stage $i: " + s.rules.map(r =>
+          s"[${r.binding.code}:${graft.catalog.RuleSpec.category(r.binding.spec)}]").mkString(" ")
+      }.mkString("\n")
+      s"  segment ${seg.id} (tranche ${seg.sequence}):\n$st"
+    }.mkString("\n")
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog._
+import graft.compile.RuleCompiler
+import graft.plan.SequencePlanner
+import graft.exec.{EngineConfig, PipelineRunner}
+
+/** End-to-end spine test: catalog → compile → plan → execute → audit
+  * (SURVEY.md §7.3 M1). Fixture mirrors FIXTURES.md §2 `product` shape. */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def productDf = Seq(
+    // (ProductId, Name, Color, Size)
+    (1, "Widget", "Red", "M"),
+    (2, "Gadget", "Blue", null),
+    (3, "Gizmo", "  Green ", "XL"),
+    (3, "Gizmo", "Green", "XL"), // duplicate key
+    (4, "Sprocket", "", "S"),
+    (5, "Doohickey", "Mauve", "M"),
+    (6, "Thing", "Red", "L")
+  ).toDF("ProductId", "Name", "Color", "Size")
+
+  private val bindings = Seq(
+    // tranche 1: value-correct Size (NULL→0, M→10) — $MDS RuleValueCorrection 85-87 shape
+    RuleBinding(code = 10, entity = "product", sequence = 1, evaluationColumn = "Size",
+      spec = RuleSpec.ValueCorrect(1, "SizeCorrect", Seq("NULL" -> "0", "M" -> "10")),
+      outputColumn = Some("SizeOut"), statusColumn = Some("SizeStatus")),
+    // tranche 1: harmonize Color remove spaces (in a new column)
+    RuleBinding(code = 11, entity = "product", sequence = 1, evaluationColumn = "Color",
+      spec = RuleSpec.Harmonize(2, "ColorTrim", HarmonizeOp.RemoveSpaces),
+      outputColumn = Some("ColorOut")),
+    // tranche 1: flag rows with ProductId > 4
+    RuleBinding(code = 12, entity = "product", sequence = 1, evaluationColumn = "ProductId",
+      spec = RuleSpec.Predicate(3, "BigId", "> 4", RuleAction.Flag, Severity.Issue),
+      statusColumn = Some("BigIdFlag")),
+    // tranche 2: drop rows whose corrected size is '0'
+    RuleBinding(code = 20, entity = "product", sequence = 2,
+      evaluationColumn = RuleBinding.IgnoreColumn,
+      spec = RuleSpec.Predicate(4, "DropZero", "SizeOut = '0'", RuleAction.Drop, Severity.Fatal)),
+    // tranche 2: duplicates flag on ProductId
+    RuleBinding(code = 21, entity = "product", sequence = 2, evaluationColumn = "ProductId",
+      spec = RuleSpec.Profile(5, "DupFlag",
+        ProfileKind.DuplicatesFlag(Seq("ProductId"), "Name"), Severity.Issue),
+      statusColumn = Some("DupStatus"))
+  )
+
+  lazy val cfg = EngineConfig("product", Seq("ProductId", "Name"), tmpDir("engine-spec"),
+    runId = "t1")
+  lazy val result = new PipelineRunner(spark, cfg).run(productDf, bindings)
+
+  test("value correction: first-match-wins + NULL sentinel + Correct/Corrected status") {
+    val out = result.output.select("ProductId", "Name", "SizeOut", "SizeStatus")
+      .collect().map(r => (r.getInt(0), r.getString(2), r.getString(3))).toSet
+    // row 2 (Size=null) was corrected to "0" then dropped in tranche 2
+    assert(!out.exists(_._1 == 2))
+    assert(out.contains((1, "10", "Corrected")))   // M → 10
+    assert(out.contains((5, "10", "Corrected")))
+    assert(out.contains((3, "XL", "Warning: No Rule Applied")))
+  }
+
+  test("harmonization RemoveSpaces writes output + Applied status on pre-image") {
+    val rows = result.output.select("ProductId", "Name", "ColorOut", "StatusColRule_11")
+      .where($"ProductId" === 3).collect()
+    assert(rows.forall(_.getString(2) == "Green"))
+    val statuses = rows.map(_.getString(3)).toSet
+    assert(statuses == Set("RemoveSpaces: Applied", "RemoveSpaces: No Change"))
+  }
+
+  test("expression Flag sets '1' string where predicate holds") {
+    val flags = result.output.select("ProductId", "BigIdFlag").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(flags(5) == "1" && flags(6) == "1")
+    assert(flags(1) == null && flags(3) == null)
+  }
+
+  test("drop removes matching rows; audit records the delete count") {
+    assert(result.output.where($"ProductId" === 2).count() == 0)
+    val del = result.summaries.find(_.ruleAssocCode == 20).get
+    assert(del.rowsAffected == 1)
+    assert(del.severityName == "Fatal")
+  }
+
+  test("duplicates flag: one '1' per dup group, '2' for subsequent rows") {
+    val dup = result.output.select("ProductId", "DupStatus").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val threes = dup.filter(_._1 == 3).map(_._2).sorted
+    assert(threes.toSeq == Seq("1", "2"))
+    assert(dup.filter(_._1 != 3).forall(_._2 == null))
+  }
+
+  test("summaries: value-correct outcome counts (V3)") {
+    val vc = result.summaries.filter(_.ruleAssocCode == 10)
+      .map(s => s.checkName -> s.rowsAffected).toMap
+    assert(vc("SizeCorrect [Corrected]") == 3) // null→0, M→10 ×2
+    assert(vc("SizeCorrect [NoRule]") == 4)    // XL, XL, S, L
+    assert(vc("SizeCorrect [Correct]") == 0)
+  }
+
+  test("plan fuses independent same-tranche rules into one stage") {
+    val compiled = bindings.map(b => RuleCompiler.compile(b, productDf.schema))
+    val segs = SequencePlanner.plan(compiled)
+    // tranche 1: all three rules independent → 1 segment, 1 stage
+    val t1 = segs.filter(_.sequence == 1)
+    assert(t1.size == 1 && t1.head.stages.size == 1 && t1.head.stages.head.rules.size == 3)
+    // tranche 2: drop ends its segment; dup-flag lands in the next segment
+    val t2 = segs.filter(_.sequence == 2)
+    assert(t2.size == 2)
+  }
+
+  test("row hits are recorded for corrected + dropped rows, with messages") {
+    result.summaries // force run
+    val hits = spark.read.parquet(s"${cfg.workDir}/audit/row_hits")
+    val byRule = hits.groupBy("ruleAssocCode").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byRule(10) == 3) // 3 corrected rows
+    assert(byRule(20) == 1) // 1 dropped row (still audited from the checkpoint)
+    val msg = hits.where($"ruleAssocCode" === 10 && $"ProductId" === 1)
+      .select("message").head().getString(0)
+    assert(msg == "CORRECTED: M TO 10")
+  }
+
+  test("load tree has root + one node per segment, all SUCCESS") {
+    val root = result.loadTree.find(_.parentLoadId.isEmpty).get
+    assert(root.status == "SUCCESS")
+    assert(result.loadTree.count(_.parentLoadId.contains(root.loadId)) == 3) // 3 segments
+  }
+
+  test("catalog validation rejects missing column / empty rule / dup codes") {
+    val bad = Seq(
+      RuleBinding(30, "product", 1, "NoSuchCol",
+        RuleSpec.Harmonize(9, "x", HarmonizeOp.ToUpper)),
+      RuleBinding(31, "product", 1, "Size",
+        RuleSpec.ValueCorrect(9, "empty", Nil)),
+      RuleBinding(32, "product", 99, "Size",
+        RuleSpec.Harmonize(9, "x", HarmonizeOp.ToUpper)),
+      RuleBinding(33, "product", 1, "Size",
+        RuleSpec.Harmonize(9, "x", HarmonizeOp.ToLower)),
+      RuleBinding(33, "product", 1, "Size",
+        RuleSpec.Harmonize(9, "y", HarmonizeOp.ToUpper))
+    )
+    val v = CatalogValidator.validate(bad, productDf.schema)
+    assert(v.errors.size >= 4)
+    assert(v.ok.isEmpty || v.ok.forall(b => b.code != 30 && b.code != 31 && b.code != 32 && b.code != 33))
+  }
+}
