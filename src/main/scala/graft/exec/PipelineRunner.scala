@@ -236,26 +236,8 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     }
   }
 
-  /** Fused projection for one stage: every existing column is preserved
-    * (in-place rewrites overwrite), new output/status/internal columns are
-    * appended, reference-join scratch columns are dropped. Catalyst's
-    * CollapseProject folds consecutive stage projections into one physical
-    * projection, so a multi-stage segment still scans once. */
-  private def applyStage(df: DataFrame, stage: Stage): DataFrame = {
-    val joined = stage.rules.flatMap(_.joins).foldLeft(df)((d, f) => f(d))
-    val newCols = stage.rules.flatMap(r => r.newColumns ++ r.internalColumns)
-    val byName = newCols.toMap
-    require(byName.size == newCols.size,
-      s"planner invariant violated: duplicate column writers in one stage: " +
-        newCols.map(_._1).diff(byName.keys.toSeq).distinct.mkString(","))
-    val existing = joined.columns.toSeq
-    val kept = existing.map { c => byName.get(c).map(_.as(c)).getOrElse(col(c)) }
-    val appended = newCols.filterNot { case (n, _) => existing.contains(n) }
-      .map { case (n, c) => c.as(n) }
-    val projected = joined.select(kept ++ appended: _*)
-    val toDrop = stage.rules.flatMap(_.dropAfterProject)
-    if (toDrop.nonEmpty) projected.drop(toDrop: _*) else projected
-  }
+  private def applyStage(df: DataFrame, stage: Stage): DataFrame =
+    StageExec.applyStage(df, stage)
 
   /** ≡ DQ.DataQualityRowHistory + DQ.DataQualityPrimaryKeyValues sinks
     * (S6/S7): per-row rule hits, derived from flags computed in the same

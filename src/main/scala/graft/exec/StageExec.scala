@@ -1,0 +1,58 @@
+package graft.exec
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{CatalogValidator, RuleBinding}
+import graft.compile.RuleCompiler
+import graft.plan.{SequencePlanner, Stage}
+
+/** Stage application shared by the materializing runner and the lazy
+  * (pure-DataFrame) pipeline form. */
+object StageExec {
+
+  /** Fused projection for one stage: every existing column is preserved
+    * (in-place rewrites overwrite), new output/status/internal columns are
+    * appended, reference-join scratch columns are dropped. Catalyst's
+    * CollapseProject folds consecutive stage projections into one physical
+    * projection, so a multi-stage segment still scans once. */
+  def applyStage(df: DataFrame, stage: Stage): DataFrame = {
+    val joined = stage.rules.flatMap(_.joins).foldLeft(df)((d, f) => f(d))
+    val newCols = stage.rules.flatMap(r => r.newColumns ++ r.internalColumns)
+    val byName = newCols.toMap
+    require(byName.size == newCols.size,
+      "planner invariant violated: duplicate column writers in one stage")
+    val existing = joined.columns.toSeq
+    val kept = existing.map { c => byName.get(c).map(_.as(c)).getOrElse(col(c)) }
+    val appended = newCols.filterNot { case (n, _) => existing.contains(n) }
+      .map { case (n, c) => c.as(n) }
+    val projected = joined.select(kept ++ appended: _*)
+    val toDrop = stage.rules.flatMap(_.dropAfterProject)
+    if (toDrop.nonEmpty) projected.drop(toDrop: _*) else projected
+  }
+
+  /** Applies a whole catalog lazily — validate → compile → plan → layered
+    * projections + keep filters — with no materialization and no audit
+    * writes. The result is one declarative Catalyst plan: filters push down,
+    * columns prune, AQE picks join strategies. Used by the query surface
+    * (SparkEntry) and anywhere the audit trail is not needed.
+    *
+    * Fails fast on catalog errors (the materializing runner logs them to the
+    * audit trail instead).
+    */
+  def lazyApply(df: DataFrame, bindings: Seq[RuleBinding],
+                refTables: Map[String, DataFrame] = Map.empty,
+                keepInternal: Boolean = false): DataFrame = {
+    val v = CatalogValidator.validate(bindings, df.schema,
+      refTables.map { case (k, t) => k -> t.schema })
+    require(v.errors.isEmpty, s"catalog errors: ${v.errors.map(_.message).mkString("; ")}")
+    val compiled = v.ok.map(b => RuleCompiler.compile(b, df.schema, refTables))
+    val segments = SequencePlanner.plan(compiled)
+    segments.foldLeft(df) { (acc, seg) =>
+      val projected = seg.stages.foldLeft(acc)(applyStage)
+      val filtered = seg.keepFilters.foldLeft(projected)((d, r) => d.filter(r.keepPredicate.get))
+      if (keepInternal) filtered
+      else filtered.drop(seg.rules.flatMap(_.internalColumns.map(_._1)): _*)
+    }
+  }
+}

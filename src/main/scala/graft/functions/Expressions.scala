@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot per-row text kernels
+  * (SURVEY.md §4.3.4, §7.4: "escalate to ONE custom Expression with
+  * doGenCode if hot" — these are those kernels).
+  *
+  * Rationale at 100 TB: the `Column`-combinator forms of these metrics
+  * (split + transform + array_max + several regexp_replace passes) allocate
+  * arrays and re-scan the content string once per metric. Each expression
+  * here is a single pass over the bytes with no allocation, participates in
+  * whole-stage codegen (`doGenCode` emits a tight Java loop), and computes
+  * every metric at once.
+  */
+
+/** Single-pass text statistics:
+  * struct(n_chars, n_lines, max_line_len, n_alnum, n_ws).
+  */
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextStatsExpr.schema
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var nChars = 0; var nLines = 1; var maxLine = 0; var curLine = 0
+    var nAlnum = 0; var nWs = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      nChars += 1
+      if (c == '\n') { nLines += 1; if (curLine > maxLine) maxLine = curLine; curLine = 0 }
+      else curLine += 1
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')) nAlnum += 1
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') nWs += 1
+      i += 1
+    }
+    if (curLine > maxLine) maxLine = curLine
+    new GenericInternalRow(Array[Any](nChars, nLines, maxLine, nAlnum, nWs))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val ch = ctx.freshName("ch")
+      val nChars = ctx.freshName("nChars"); val nLines = ctx.freshName("nLines")
+      val maxLine = ctx.freshName("maxLine"); val curLine = ctx.freshName("curLine")
+      val nAlnum = ctx.freshName("nAlnum"); val nWs = ctx.freshName("nWs")
+      s"""
+        java.lang.String $s = $c.toString();
+        int $nChars = 0; int $nLines = 1; int $maxLine = 0; int $curLine = 0;
+        int $nAlnum = 0; int $nWs = 0;
+        for (int $i = 0; $i < $s.length(); $i++) {
+          char $ch = $s.charAt($i);
+          $nChars++;
+          if ($ch == '\\n') { $nLines++; if ($curLine > $maxLine) $maxLine = $curLine; $curLine = 0; }
+          else $curLine++;
+          if (($ch >= 'a' && $ch <= 'z') || ($ch >= 'A' && $ch <= 'Z') || ($ch >= '0' && $ch <= '9')) $nAlnum++;
+          if ($ch == ' ' || $ch == '\\t' || $ch == '\\n' || $ch == '\\r') $nWs++;
+        }
+        if ($curLine > $maxLine) $maxLine = $curLine;
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[]{$nChars, $nLines, $maxLine, $nAlnum, $nWs});
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
+    copy(child = newChild)
+}
+
+object TextStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("max_line_len", IntegerType, nullable = false),
+    StructField("n_alnum", IntegerType, nullable = false),
+    StructField("n_ws", IntegerType, nullable = false)))
+}
+
+/** Mean character-bigram surprisal (negative log-probability) under the
+  * compiled-in [[LangModel]] — the perplexity-scoring kernel. Empty or
+  * single-char input scores 0.0. */
+case class BigramSurprisalExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < 2) 0.0
+    else {
+      val lp = LangModel.logProb
+      var acc = 0.0
+      var prev = LangModel.sym(s.charAt(0))
+      var i = 1
+      while (i < s.length) {
+        val cur = LangModel.sym(s.charAt(i))
+        acc += lp(prev * LangModel.NumSymbols + cur)
+        prev = cur
+        i += 1
+      }
+      -acc / (s.length - 1)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val model = ctx.addReferenceObj("bigramModel", LangModel.logProb, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val prev = ctx.freshName("prev")
+      val cur = ctx.freshName("cur"); val ch = ctx.freshName("ch")
+      val symFn = ctx.freshName("sym")
+      // inline symbol classing identical to LangModel.sym
+      def symCode(in: String, out: String): String =
+        s"""
+          char $ch = $in;
+          if ($ch >= 'A' && $ch <= 'Z') $ch = (char)($ch + 32);
+          int $out;
+          if ($ch >= 'a' && $ch <= 'z') $out = $ch - 'a';
+          else if ($ch >= '0' && $ch <= '9') $out = 26 + ($ch - '0');
+          else if ($ch == ' ' || $ch == '\\t' || $ch == '\\n' || $ch == '\\r') $out = 36;
+          else $out = 37;
+        """
+      s"""
+        java.lang.String $s = $c.toString();
+        if ($s.length() < 2) { ${ev.value} = 0.0; } else {
+          double $acc = 0.0;
+          int $prev;
+          { ${symCode(s"$s.charAt(0)", symFn)} $prev = $symFn; }
+          for (int $i = 1; $i < $s.length(); $i++) {
+            int $cur;
+            { ${symCode(s"$s.charAt($i)", symFn + "2")} $cur = ${symFn}2; }
+            $acc += $model[$prev * ${LangModel.NumSymbols} + $cur];
+            $prev = $cur;
+          }
+          ${ev.value} = -$acc / ($s.length() - 1);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramSurprisalExpr =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the custom kernels. */
+object NgramScore {
+  def textStats(c: Column): Column =
+    ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(c)))
+  def bigramLogPerplexity(c: Column): Column =
+    ColumnBridge.column(BigramSurprisalExpr(ColumnBridge.expression(c)))
+}

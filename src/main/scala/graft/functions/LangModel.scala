@@ -1,0 +1,86 @@
+package graft.functions
+
+/** Compiled-in character-bigram language model used by the surprisal kernel
+  * (north-star "Kneser-Ney-style n-gram perplexity scoring").
+  *
+  * The model is built deterministically at class-load from an embedded seed
+  * corpus with absolute-discount (Kneser-Ney-flavoured) smoothing: no
+  * external data, identical on driver and executors, and small enough
+  * (38×38 doubles) to embed in the serialized expression — the Spark-native
+  * analogue of the reference broadcasting rule parameters to use sites.
+  *
+  * Alphabet: 'a'..'z' → 0..25, '0'..'9' → 26..35, whitespace → 36,
+  * everything else → 37 (uppercase folded to lowercase).
+  */
+object LangModel {
+  final val NumSymbols = 38
+  final val WhitespaceSym = 36
+  final val OtherSym = 37
+
+  @inline def sym(ch: Char): Int = {
+    val c = if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch
+    if (c >= 'a' && c <= 'z') c - 'a'
+    else if (c >= '0' && c <= '9') 26 + (c - '0')
+    else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') WhitespaceSym
+    else OtherSym
+  }
+
+  /** Deterministic seed corpus: common English words + code-flavoured
+    * tokens. Surprisal separates natural text / code from binary-ish or
+    * alphabet-soup blobs. */
+  private val seedCorpus: String =
+    ("the quick brown fox jumps over the lazy dog and then it was the best of times " +
+     "it was the worst of times a table a row a value the data in the stream is " +
+     "sorted and grouped by key then joined with the small table and written out " +
+     "def main class object import return public static void string int for while " +
+     "if else match case val var new null true false this that with from select " +
+     "where group by order limit join left right inner outer count sum min max avg " +
+     "0123456789 127 255 1024 2048 4096 x y z i j k n m foo bar baz qux ") * 2
+
+  /** log P(c2 | c1) with absolute discounting (d = 0.75) and a uniform
+    * backoff distribution — the standard interpolated KN shape at bigram
+    * order with a closed (small) alphabet. */
+  val logProb: Array[Double] = {
+    val counts = Array.ofDim[Int](NumSymbols, NumSymbols)
+    val ctx = Array.ofDim[Int](NumSymbols)
+    var i = 0
+    while (i < seedCorpus.length - 1) {
+      val a = sym(seedCorpus.charAt(i)); val b = sym(seedCorpus.charAt(i + 1))
+      counts(a)(b) += 1; ctx(a) += 1
+      i += 1
+    }
+    // continuation counts for the lower-order (unigram) KN distribution
+    val contCount = Array.ofDim[Int](NumSymbols)
+    var totalCont = 0
+    var a = 0
+    while (a < NumSymbols) {
+      var b = 0
+      while (b < NumSymbols) {
+        if (counts(a)(b) > 0) { contCount(b) += 1; totalCont += 1 }
+        b += 1
+      }
+      a += 1
+    }
+    val d = 0.75
+    val out = new Array[Double](NumSymbols * NumSymbols)
+    a = 0
+    while (a < NumSymbols) {
+      val n1plus = counts(a).count(_ > 0)
+      var b = 0
+      while (b < NumSymbols) {
+        val pCont = (contCount(b) + 0.5) / (totalCont + 0.5 * NumSymbols) // smoothed continuation
+        val p =
+          if (ctx(a) == 0) pCont
+          else {
+            val disc = math.max(counts(a)(b) - d, 0.0) / ctx(a)
+            val lambda = d * n1plus / ctx(a)
+            disc + lambda * pCont
+          }
+        out(a * NumSymbols + b) = math.log(p)
+        b += 1
+      }
+      a += 1
+    }
+    out
+  }
+}

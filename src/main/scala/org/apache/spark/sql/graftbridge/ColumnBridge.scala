@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `Column(expr)` / `Column.expr` bridge; the
+  * supported conversion lives in `private[sql]` ExpressionUtils
+  * (spark/sql/core/src/main/scala/org/apache/spark/sql/classic/
+  * columnNodeSupport.scala). This shim re-exports just the two conversions
+  * needed to register custom Catalyst expressions as Columns.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
