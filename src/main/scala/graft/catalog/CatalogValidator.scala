@@ -39,13 +39,28 @@ object CatalogValidator {
     */
   def validate(bindings: Seq[RuleBinding], schema: StructType,
                refSchemas: Map[String, StructType] = Map.empty): Validated = {
-    val cols = schema.fieldNames.map(_.toLowerCase).toSet
-    def has(c: String): Boolean = cols(c.toLowerCase)
+    val inputCols = schema.fieldNames.map(_.toLowerCase).toSet
 
     val dupCodes = bindings.groupBy(_.code).collect { case (c, bs) if bs.size > 1 => c }
     val dupErrs = dupCodes.map(DuplicateAssociationCode).toSeq
 
+    // A rule may evaluate a column produced by an EARLIER rule (reference:
+    // output columns are ALTER TABLE ADDed as rules execute, so later rules
+    // see them — the documented cross-tranche chaining, SURVEY.md §4.3.1).
+    // Walk in execution order (sequence, then code) accumulating outputs.
+    val ordered = bindings.filter(_.active).sortBy(b => (b.sequence, b.code))
+    val availableAt: Map[Int, Set[String]] = {
+      var avail = inputCols
+      ordered.map { b =>
+        val at = b.code -> avail
+        avail = avail + b.resolvedOutput.toLowerCase + b.resolvedStatus.toLowerCase
+        at
+      }.toMap
+    }
+
     val errs = bindings.filter(_.active).flatMap { b =>
+      def has(c: String): Boolean =
+        availableAt.getOrElse(b.code, inputCols)(c.toLowerCase)
       val evalErr: Option[CatalogError] = b.evaluationColumn match {
         case RuleBinding.IgnoreColumn | RuleBinding.AllColumns => None
         case c if !has(c) => Some(MissingEvaluationColumn(b.code, c))

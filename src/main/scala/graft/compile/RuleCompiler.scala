@@ -245,7 +245,8 @@ object RuleCompiler {
         (regexp_replace(eval, java.util.regex.Pattern.quote(ch), ""), eval.contains(ch))
       case SpecialOperation(fn) =>
         val f = ScalarOps.resolve(fn)
-        (f(eval), !(f(eval) <=> eval))
+        // compare as strings: a bespoke op may change the column type
+        (f(eval), !(f(eval).cast(StringType) <=> eval.cast(StringType)))
       case ReplaceValue(pattern, replacementRaw) =>
         // '"..."'-wrapped replacement keeps leading spaces (:598-603)
         val replacement =

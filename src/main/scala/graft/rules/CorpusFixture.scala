@@ -1,0 +1,85 @@
+package graft.rules
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One source file of the north-star input shape (BASELINE.json input_hint):
+  * `(repo, path, commit, lang, content)`. */
+case class FileRow(repo: String, path: String, commit: String, lang: String,
+                   content: String)
+
+/** Deterministic, distributed synthetic corpus generator (FIXTURES.md §1).
+  *
+  * Every row is a pure function of (seed, id): generation is a typed
+  * `Dataset` map over `spark.range`, so a 10^7-row bench corpus generates
+  * in parallel with no driver materialization and identical bytes at any
+  * partitioning. Defects are injected at fixed rates with known ids, making
+  * keep/drop and scrub decisions exactly checkable row-by-row.
+  *
+  * Repo names are quadratically skewed (mega-repo skew on purpose —
+  * exercises the salting path, SURVEY.md §7.5).
+  */
+object CorpusFixture {
+  val langs = Seq("scala", "python", "java", "c", "go", "markdown", "json", "text")
+
+  private val vocab: Array[String] =
+    ("the data table row value key stream batch sort merge join filter group " +
+     "select where order limit count spark query plan scan index shuffle " +
+     "partition broadcast hash range skew salt executor driver stage task").split(" ")
+
+  private def rng(seed: Long, id: Long): java.util.Random =
+    new java.util.Random(seed * 0x9E3779B97F4A7C15L + id * 0xC2B2AE3D27D4EB4FL)
+
+  def numRepos(n: Long): Int = math.max(10L, n / 50).toInt
+
+  /** Pure generation of row `id` (also used by the oracle test to re-derive
+    * expectations without Spark). */
+  def gen(id: Long, seed: Long, n: Long): FileRow = {
+    val r = rng(seed, id)
+    val repoIdx = (math.pow(r.nextDouble(), 2.0) * numRepos(n)).toInt // Zipf-ish skew
+    val repo = s"org/repo$repoIdx"
+    val lang = langs(r.nextInt(langs.length))
+    val ext = lang match {
+      case "scala" => "scala"; case "python" => "py"; case "java" => "java"
+      case "c" => "c"; case "go" => "go"; case "markdown" => "md"
+      case "json" => "json"; case _ => "txt"
+    }
+    val depth = 1 + r.nextInt(4)
+    val path = (1 to depth).map(d => s"d${r.nextInt(8)}").mkString("/") + s"/f$id.$ext"
+    val commit = (1 to 5).map(_ => f"${r.nextInt(1 << 30)}%08x").mkString.take(40)
+
+    val base = {
+      val nWords = 20 + r.nextInt(120)
+      val sb = new StringBuilder
+      var col = 0
+      var i = 0
+      while (i < nWords) {
+        val w = vocab(r.nextInt(vocab.length))
+        sb.append(w)
+        col += w.length + 1
+        if (col > 60) { sb.append('\n'); col = 0 } else sb.append(' ')
+        i += 1
+      }
+      sb.toString
+    }
+
+    // defect injection — rates per FIXTURES.md §1; each branch exclusive
+    val roll = r.nextInt(100)
+    val content =
+      if (roll < 2) "" // empty
+      else if (roll < 4) "   \n  \t " // blank
+      else if (roll < 7) base + "\n" + ("x" * 1500) // overlong line
+      else if (roll < 10) "%$#@!^&*()_+ \n" * 30 // low alphanumeric blob
+      else if (roll < 14) "// DO NOT EDIT - generated\n" + base // autogen marker
+      else if (roll < 19) base + s"\ncontact: user$id@example.com\n" // email
+      else if (roll < 21) base + s"\nkey=AKIA" + f"${r.nextInt(1 << 30)}%08X" + "ABCDEFGH\n" // aws key
+      else if (roll < 24) base + "\ntoken " + (1 to 4).map(_ => f"${r.nextInt(1 << 30)}%08x").mkString + "\n" // hex
+      else if (roll < 27) "qxzj wvkq jzxq plmw qqzz xjvk zzqx wjqk " * 20 // high surprisal soup
+      else base
+    FileRow(repo, path, commit, lang, content)
+  }
+
+  def generate(spark: SparkSession, n: Long, seed: Long = 42): Dataset[FileRow] = {
+    import spark.implicits._
+    spark.range(n).map(id => gen(id, seed, n))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import graft.rules.{CodeQualityCatalog, CorpusFixture}
+import graft.exec.{EngineConfig, PipelineRunner, StageExec}
+
+/** Differential-oracle test of the north-star pipeline (BASELINE.md):
+  * keep/drop F1 vs the naive row-at-a-time oracle, and per-row sha256
+  * equality of content on pass-through rows / oracle-equal text on
+  * scrubbed rows. */
+class CodeQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  val N = 4000L
+  lazy val corpus = CorpusFixture.generate(spark, N).toDF
+  lazy val piped = StageExec.lazyApply(corpus, CodeQualityCatalog.bindings)
+
+  private def sha(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("keep/drop matches the naive oracle exactly (F1 = 1.0)") {
+    val keptKeys = piped.select("repo", "path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    var tp = 0; var fp = 0; var fn = 0
+    (0L until N).foreach { id =>
+      val row = CorpusFixture.gen(id, 42, N)
+      val expectKeep = CodeQualityCatalog.Naive.keep(row.content)
+      val gotKeep = keptKeys.contains((row.repo, row.path))
+      if (expectKeep && gotKeep) tp += 1
+      else if (!expectKeep && gotKeep) fp += 1
+      else if (expectKeep && !gotKeep) fn += 1
+    }
+    val f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+    assert(fp == 0 && fn == 0, s"F1=$f1 tp=$tp fp=$fp fn=$fn")
+    assert(tp > 0 && tp < N) // sanity: both classes present
+  }
+
+  test("content sha256 equality: pass-through rows unchanged, scrubbed rows equal oracle scrub") {
+    val got = piped.select($"repo", $"path", $"content", $"scrub_status").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getString(3))).toMap
+    var scrubbed = 0; var passthrough = 0
+    (0L until N).foreach { id =>
+      val row = CorpusFixture.gen(id, 42, N)
+      got.get((row.repo, row.path)).foreach { case (content, status) =>
+        val expect = CodeQualityCatalog.Naive.scrub(row.content)
+        assert(sha(content) == sha(expect), s"content mismatch for ${row.path}")
+        if (expect == row.content) {
+          passthrough += 1
+          assert(status == "SpecialOperation: No Change")
+        } else {
+          scrubbed += 1
+          assert(status == "SpecialOperation: Applied")
+        }
+      }
+    }
+    assert(scrubbed > 0 && passthrough > 0)
+  }
+
+  test("derived metric columns exist with expected types") {
+    val s = piped.schema
+    assert(s("lang_pred").dataType.typeName == "string")
+    assert(s("surprisal").dataType.typeName == "double")
+    assert(s("max_line_len").dataType.typeName == "integer")
+    assert(s("alnum_ratio").dataType.typeName == "double")
+  }
+
+  test("materializing runner produces same kept set as lazy pipeline + audit counts") {
+    val cfg = EngineConfig("files", Seq("repo", "path"), tmpDir("cq-run"),
+      runId = "cq1", repartitionOn = Seq("repo", "path"), numPartitions = Some(4))
+    val res = new PipelineRunner(spark, cfg).run(corpus, CodeQualityCatalog.bindings)
+    assert(res.catalogErrors.isEmpty)
+    val lazyCount = piped.count()
+    assert(res.output.count() == lazyCount)
+    val dropCounts = res.summaries.filter(s => s.ruleAssocCode >= 110 && s.ruleAssocCode <= 115)
+      .map(s => s.checkName -> s.rowsAffected).toMap
+    assert(dropCounts.values.sum == corpus.count() - lazyCount)
+    // profiling tranche: kept-count equals pipeline output
+    val kept = res.summaries.find(_.ruleAssocCode == 130).get
+    assert(kept.rowsAffected == lazyCount)
+  }
+
+  test("resume replays only unfinished segments and yields identical output") {
+    val dir = tmpDir("cq-resume")
+    val cfg = EngineConfig("files", Seq("repo", "path"), dir, runId = "cq2")
+    val r1 = new PipelineRunner(spark, cfg).run(corpus, CodeQualityCatalog.bindings)
+    val out1 = r1.output.orderBy("repo", "path").select("repo", "path").collect().toSeq
+    // resume over a completed run: all segments skipped, same output
+    val r2 = new PipelineRunner(spark, cfg.copy(resume = true))
+      .run(corpus, CodeQualityCatalog.bindings)
+    val out2 = r2.output.orderBy("repo", "path").select("repo", "path").collect().toSeq
+    assert(out1 == out2)
+    assert(r2.loadTree.count(_.process.contains("[resumed]")) ==
+      r1.loadTree.count(_.parentLoadId.nonEmpty))
+  }
+}
