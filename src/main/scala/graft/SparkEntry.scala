@@ -1,13 +1,35 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The query inventory itself lives in [[QueryCatalog]] (one entry per
+  * operator, with its DuckDB oracle). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the full north-star code-quality pipeline (langid →
+    * surprisal/line-stats → keep/drop → PII scrub → profiling) applied to
+    * the documents table mapped into the (repo, path, commit, lang, content)
+    * input shape. Driver smoke-checks rows > 0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val input = docs.select(
+      col("source").as("repo"),
+      concat(lit("doc/"), col("doc_id")).as("path"),
+      md5(col("text")).as("commit"),
+      col("lang"),
+      col("text").as("content"))
+    exec.StageExec.lazyApply(input, rules.CodeQualityCatalog.bindings)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryCatalog.all.map(q => q.name -> q.run).toMap
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops (MinHash/LSH
+    * and friends) → driver records a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    QueryCatalog.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row signature kernels for fuzzy deduplication — single-pass custom
+  * Catalyst expressions (SURVEY.md §7.4 escalation rule). At corpus scale a
+  * signature is computed once per document in the scan projection; the
+  * expensive candidate generation then happens on the (tiny) signatures,
+  * never on the text again.
+  */
+object HashKernels {
+  /** FNV-1a 64-bit over a char range of a string. */
+  @inline def fnv1a(s: String, from: Int, len: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  /** Deterministic odd multipliers/offsets for the k min-hash permutations
+    * (split-mix style, seeded). */
+  def abParams(numHashes: Int): (Array[Long], Array[Long]) = {
+    val r = new java.util.SplittableRandom(42L)
+    val a = Array.fill(numHashes)(r.nextLong() | 1L)
+    val b = Array.fill(numHashes)(r.nextLong())
+    (a, b)
+  }
+}
+
+/** MinHash signature over character shingles: `array<bigint>` of length
+  * `numHashes`. A text shorter than the shingle size contributes its whole
+  * text as one shingle; NULL text → NULL signature. */
+case class MinHashExpr(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val (aParams, bParams) = HashKernels.abParams(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = if (s.length <= shingleSize) 1 else s.length - shingleSize + 1
+    val sl = math.min(shingleSize, s.length)
+    var i = 0
+    while (i < n) {
+      val h = HashKernels.fnv1a(s, i, sl)
+      var j = 0
+      while (j < numHashes) {
+        val hj = aParams(j) * h + bParams(j)
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", aParams, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bParams, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s"); val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n"); val sl = ctx.freshName("sl")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val hj = ctx.freshName("hj")
+      val p = ctx.freshName("p")
+      s"""
+        java.lang.String $s = $c.toString();
+        long[] $sig = new long[$numHashes];
+        java.util.Arrays.fill($sig, Long.MAX_VALUE);
+        int $n = ($s.length() <= $shingleSize) ? 1 : $s.length() - $shingleSize + 1;
+        int $sl = java.lang.Math.min($shingleSize, $s.length());
+        for (int $i = 0; $i < $n; $i++) {
+          long $h = 0xCBF29CE484222325L;
+          for (int $p = $i; $p < $i + $sl; $p++) {
+            $h ^= (long) $s.charAt($p);
+            $h *= 0x100000001B3L;
+          }
+          for (int $j = 0; $j < $numHashes; $j++) {
+            long $hj = $aRef[$j] * $h + $bRef[$j];
+            if ($hj < $sig[$j]) $sig[$j] = $hj;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over whitespace tokens (token hash FNV-1a, unit weights).
+  * NULL text → NULL; empty text → 0L. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val v = new Array[Int](64)
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < s.length && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = HashKernels.fnv1a(s, start, i - start)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (v(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s"); val v = ctx.freshName("v")
+      val i = ctx.freshName("i"); val start = ctx.freshName("start")
+      val h = ctx.freshName("h"); val b = ctx.freshName("b")
+      val p = ctx.freshName("p"); val out = ctx.freshName("out")
+      s"""
+        java.lang.String $s = $c.toString();
+        int[] $v = new int[64];
+        int $i = 0;
+        while ($i < $s.length()) {
+          while ($i < $s.length() && java.lang.Character.isWhitespace($s.charAt($i))) $i++;
+          int $start = $i;
+          while ($i < $s.length() && !java.lang.Character.isWhitespace($s.charAt($i))) $i++;
+          if ($i > $start) {
+            long $h = 0xCBF29CE484222325L;
+            for (int $p = $start; $p < $i; $p++) {
+              $h ^= (long) $s.charAt($p);
+              $h *= 0x100000001B3L;
+            }
+            for (int $b = 0; $b < 64; $b++) {
+              if ((($h >>> $b) & 1L) == 1L) $v[$b]++; else $v[$b]--;
+            }
+          }
+        }
+        long $out = 0L;
+        for (int $b = 0; $b < 64; $b++) { if ($v[$b] > 0) $out |= (1L << $b); }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+object HashSignatures {
+  def minHash(c: Column, numHashes: Int, shingleSize: Int): Column =
+    ColumnBridge.column(MinHashExpr(ColumnBridge.expression(c), numHashes, shingleSize))
+  def simHash(c: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashSignatures
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — all built from
+  * signature kernels computed once per row in the scan projection, with
+  * candidate generation on the (small) signature relation.
+  *
+  * Scale design: the only shuffles are (a) groupBy on band buckets /
+  * signature blocks — tiny keys, combiner-friendly — and (b) the candidate
+  * self-join, whose input is |buckets with >1 member| rows, not the corpus.
+  * Text never crosses the wire for candidate generation.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical text. Grouping is on a
+    * 64-bit fingerprint of the text (xxhash64), not the text itself, so the
+    * shuffle carries 8-byte keys; full-text equality is then verified within
+    * groups via first-value semantics on (hash, text). */
+  def exactDedup(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.groupBy(xxhash64(textCol), textCol)
+      .agg(min(idCol).as("__keep_id"))
+      .select(col("__keep_id").as("doc_id"))
+
+  /** MinHash signature + banded LSH near-dup removal.
+    *
+    * shingle→minhash→band→bucket-join: rows sharing any band bucket become
+    * candidate pairs; a pair is a near-dup when the estimated Jaccard (the
+    * fraction of equal minhashes) reaches `jaccardThreshold`. The larger id
+    * of each confirmed pair is dropped (min-id survivor per cluster edge).
+    *
+    * @return surviving rows of `df` (original columns).
+    */
+  def minHashDedup(df: DataFrame, textCol: Column, idCol: Column,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleSize: Int = 5, jaccardThreshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(idCol.as("__id"),
+      HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig"))
+
+    // band key = hash of the band's slice of the signature
+    val banded = sigs.select(col("__id"), col("__sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
+        .as(Seq("__band", "__bucket")))
+
+    val a = banded.select(col("__band"), col("__bucket"),
+      col("__id").as("__id_a"), col("__sig").as("__sig_a"))
+    val b = banded.select(col("__band"), col("__bucket"),
+      col("__id").as("__id_b"), col("__sig").as("__sig_b"))
+    val candidates = a.join(b, Seq("__band", "__bucket"))
+      .where(col("__id_a") < col("__id_b"))
+      .select("__id_a", "__id_b", "__sig_a", "__sig_b")
+      .dropDuplicates("__id_a", "__id_b")
+
+    val est = candidates.withColumn("__jacc",
+      expr("size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), v -> v))")
+        .cast("double") / lit(numHashes))
+    val drops = est.where(col("__jacc") >= jaccardThreshold)
+      .select(col("__id_b").as("__drop_id")).distinct()
+
+    df.join(drops, idCol === col("__drop_id"), "left_anti")
+  }
+
+  /** SimHash near-dup removal: 64-bit signatures, candidates via the
+    * 4×16-bit block pigeonhole (hamming ≤ 3 ⇒ at least one equal block),
+    * verified with an exact popcount of the XOR. */
+  def simHashDedup(df: DataFrame, textCol: Column, idCol: Column,
+                   hammingThreshold: Int = 3): DataFrame = {
+    val sigs = df.select(idCol.as("__id"), HashSignatures.simHash(textCol).as("__sim"))
+    val blocks = sigs.select(col("__id"), col("__sim"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> cast(shiftright(__sim, b * 16) & 65535 as int))"))
+        .as(Seq("__blk", "__blkval")))
+    val a = blocks.select(col("__blk"), col("__blkval"),
+      col("__id").as("__id_a"), col("__sim").as("__sim_a"))
+    val b = blocks.select(col("__blk"), col("__blkval"),
+      col("__id").as("__id_b"), col("__sim").as("__sim_b"))
+    val drops = a.join(b, Seq("__blk", "__blkval"))
+      .where(col("__id_a") < col("__id_b"))
+      .dropDuplicates("__id_a", "__id_b")
+      .where(expr(s"bit_count(__sim_a ^ __sim_b) <= $hammingThreshold"))
+      .select(col("__id_b").as("__drop_id")).distinct()
+    df.join(drops, idCol === col("__drop_id"), "left_anti")
+  }
+
+  /** Exact n-gram (character shingle) Jaccard similar pairs, LSH-prefiltered:
+    * MinHash banding proposes candidates, exact Jaccard on distinct shingle
+    * sets confirms. Returns (doc_id_a, doc_id_b, jaccard ≥ threshold). */
+  def ngramJaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
+                        shingleSize: Int = 5, threshold: Double = 0.8,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val prepped = df.select(idCol.as("__id"), textCol.as("__text"),
+      HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig"))
+      .withColumn("__shingles", expr(
+        s"array_distinct(transform(sequence(0, greatest(length(__text) - $shingleSize, 0)), i -> substring(__text, i + 1, $shingleSize)))"))
+
+    val banded = prepped.select(col("__id"), col("__shingles"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
+        .as(Seq("__band", "__bucket")))
+    val a = banded.select(col("__band"), col("__bucket"),
+      col("__id").as("doc_id_a"), col("__shingles").as("__sh_a"))
+    val b = banded.select(col("__band"), col("__bucket"),
+      col("__id").as("doc_id_b"), col("__shingles").as("__sh_b"))
+    a.join(b, Seq("__band", "__bucket"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
+          / size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** Embedding near-dup pairs by cosine ≥ threshold. Exact all-pairs form
+    * (self-join on id inequality) — at corpus scale prefer
+    * [[Similarity.lshTopK]]-style bucketing first; this exact form is the
+    * verification/oracle path. */
+  def embeddingNearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val withD = df.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("__e"))
+    val a = withD.select(col("vec_id").as("vec_id_a"), col("__e").as("__ea"))
+    val b = withD.select(col("vec_id").as("vec_id_b"), col("__e").as("__eb"))
+    a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__ea"), col("__eb")))
+      .where(col("cosine") >= threshold)
+      .select("vec_id_a", "vec_id_b", "cosine")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths (SURVEY-prompt contract):
+  *  - [[bruteForceTopK]] — exact cosine top-k; the correctness baseline.
+  *    O(|Q|·|C|) compare, but |Q| is usually small and the corpus side
+  *    streams: the cross join broadcasts the query side, so the big side is
+  *    scanned once with no shuffle.
+  *  - [[lshTopK]] — random-hyperplane LSH: corpus is bucketed by signature,
+  *    queries probe only their own bucket(s). The candidate set (and hence
+  *    compare count) shrinks by ~2^planes; recall is approximate.
+  */
+object Similarity {
+
+  /** Cosine similarity of two `array<double>` columns — computed with
+    * higher-order functions (zip_with + aggregate), fully inside codegen;
+    * sums run in element order, so results are bit-deterministic. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("__e"))
+
+  /** Exact top-k: for each query vector, the k corpus vectors with highest
+    * cosine (ties broken by corpus id — deterministic replay). Output:
+    * (q_id, n_id, rank). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = asDouble(queries).select(col("vec_id").as("q_id"), col("__e").as("__eq"))
+    val c = asDouble(corpus).select(col("vec_id").as("n_id"), col("__e").as("__ec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cos").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .withColumn("__cos", cosine(col("__eq"), col("__ec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes (seeded), as a literal array of
+    * arrays — broadcast inside the plan. */
+  private def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val r = new java.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Signature = bitmask of sign(v · plane_i). */
+  private def signature(e: Column, ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      val planeLit = typedLit(p.toSeq)
+      when(aggregate(zip_with(e, planeLit, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed top-k: candidates share the query's full signature
+    * bucket; rank within candidates. Approximate — queries whose bucket has
+    * < k members return fewer rows. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val q = asDouble(queries).select(col("vec_id").as("q_id"), col("__e").as("__eq"),
+      signature(col("__e"), ps).as("__bucket"))
+    val c = asDouble(corpus).select(col("vec_id").as("n_id"), col("__e").as("__ec"),
+      signature(col("__e"), ps).as("__bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cos").desc, col("n_id"))
+    q.join(c, Seq("__bucket"))
+      .withColumn("__cos", cosine(col("__eq"), col("__ec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables and compare against the Verify dump
+(columns sorted by name, rows sorted, values hashed with float tolerance)."""
+import json, math, os, sys
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF_DIR}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+with open(f"{OUT_DIR}/oracle_sql.json") as f:
+    oracles = json.load(f)
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    cols = list(df.columns)
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            elif isinstance(v, float):
+                row.append(round(v, 6))
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+fails = []
+for name, sql in sorted(oracles.items()):
+    spark_path = f"{OUT_DIR}/{name}"
+    if not os.path.isdir(spark_path):
+        fails.append((name, "no spark output"))
+        continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").fetchdf()
+        want = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append((name, f"exec error: {e}"))
+        continue
+    gc, gr = canon(got)
+    wc, wr = canon(want)
+    if [c.lower() for c in gc] != [c.lower() for c in wc]:
+        fails.append((name, f"schema mismatch: spark={gc} oracle={wc}"))
+        continue
+    if len(gr) != len(wr):
+        fails.append((name, f"row count: spark={len(gr)} oracle={len(wr)}"))
+        continue
+    bad = [(a, b) for a, b in zip(gr, wr) if a != b][:3]
+    if bad:
+        fails.append((name, f"value mismatch, first diffs: {bad}"))
+        continue
+    print(f"OK   {name} ({len(gr)} rows)")
+
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+print(f"\n{len(oracles) - len(fails)}/{len(oracles)} oracle queries match")
+sys.exit(1 if fails else 0)
