@@ -32,7 +32,7 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     var nChars = 0; var nLines = 1; var maxLine = 0; var curLine = 0
-    var nAlnum = 0; var nWs = 0
+    var nAlnum = 0; var nWs = 0; var nTokens = 0; var inTok = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -40,11 +40,13 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
       if (c == '\n') { nLines += 1; if (curLine > maxLine) maxLine = curLine; curLine = 0 }
       else curLine += 1
       if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')) nAlnum += 1
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') nWs += 1
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      if (ws) nWs += 1
+      if (!ws && !inTok) { nTokens += 1; inTok = true } else if (ws) inTok = false
       i += 1
     }
     if (curLine > maxLine) maxLine = curLine
-    new GenericInternalRow(Array[Any](nChars, nLines, maxLine, nAlnum, nWs))
+    new GenericInternalRow(Array[Any](nChars, nLines, maxLine, nAlnum, nWs, nTokens))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,21 +57,25 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
       val nChars = ctx.freshName("nChars"); val nLines = ctx.freshName("nLines")
       val maxLine = ctx.freshName("maxLine"); val curLine = ctx.freshName("curLine")
       val nAlnum = ctx.freshName("nAlnum"); val nWs = ctx.freshName("nWs")
+      val nTokens = ctx.freshName("nTokens"); val inTok = ctx.freshName("inTok")
+      val ws = ctx.freshName("ws")
       s"""
         java.lang.String $s = $c.toString();
         int $nChars = 0; int $nLines = 1; int $maxLine = 0; int $curLine = 0;
-        int $nAlnum = 0; int $nWs = 0;
+        int $nAlnum = 0; int $nWs = 0; int $nTokens = 0; boolean $inTok = false;
         for (int $i = 0; $i < $s.length(); $i++) {
           char $ch = $s.charAt($i);
           $nChars++;
           if ($ch == '\\n') { $nLines++; if ($curLine > $maxLine) $maxLine = $curLine; $curLine = 0; }
           else $curLine++;
           if (($ch >= 'a' && $ch <= 'z') || ($ch >= 'A' && $ch <= 'Z') || ($ch >= '0' && $ch <= '9')) $nAlnum++;
-          if ($ch == ' ' || $ch == '\\t' || $ch == '\\n' || $ch == '\\r') $nWs++;
+          boolean $ws = $ch == ' ' || $ch == '\\t' || $ch == '\\n' || $ch == '\\r';
+          if ($ws) $nWs++;
+          if (!$ws && !$inTok) { $nTokens++; $inTok = true; } else if ($ws) { $inTok = false; }
         }
         if ($curLine > $maxLine) $maxLine = $curLine;
         ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          new Object[]{$nChars, $nLines, $maxLine, $nAlnum, $nWs});
+          new Object[]{$nChars, $nLines, $maxLine, $nAlnum, $nWs, $nTokens});
       """
     })
 
@@ -83,7 +89,8 @@ object TextStatsExpr {
     StructField("n_lines", IntegerType, nullable = false),
     StructField("max_line_len", IntegerType, nullable = false),
     StructField("n_alnum", IntegerType, nullable = false),
-    StructField("n_ws", IntegerType, nullable = false)))
+    StructField("n_ws", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false)))
 }
 
 /** Mean character-bigram surprisal (negative log-probability) under the
@@ -157,4 +164,104 @@ object NgramScore {
     ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(c)))
   def bigramLogPerplexity(c: Column): Column =
     ColumnBridge.column(BigramSurprisalExpr(ColumnBridge.expression(c)))
+  def langId(c: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(c), langs, markers))
+}
+
+/** Single-pass language-ID kernel: counts per-language marker occurrences
+  * (non-overlapping, left-to-right, over " "+lower(content)+" ") and
+  * returns the argmax label — semantics identical to the
+  * `Column`-combinator [[graft.rules.CodeQuality.langId]] (equivalence
+  * tested), but one string allocation + k indexOf scans instead of
+  * 3·k regexp passes. */
+case class LangIdExpr(child: Expression, langs: Seq[String],
+                      markers: Seq[Seq[String]]) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val markerArr: Array[Array[String]] =
+    markers.map(_.toArray).toArray
+  @transient private lazy val langArr: Array[String] = langs.toArray
+
+  private def pad(s: String): String = {
+    val arr = new Array[Char](s.length + 2)
+    arr(0) = ' '; arr(arr.length - 1) = ' '
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      arr(i + 1) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    new String(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val p = pad(input.asInstanceOf[UTF8String].toString)
+    var bestScore = 0
+    var bestLang: String = null
+    var l = 0
+    while (l < markerArr.length) {
+      var score = 0
+      var m = 0
+      while (m < markerArr(l).length) {
+        val needle = markerArr(l)(m)
+        var from = 0
+        var idx = p.indexOf(needle, from)
+        while (idx >= 0) {
+          score += 1
+          from = idx + needle.length
+          idx = p.indexOf(needle, from)
+        }
+        m += 1
+      }
+      if (score > bestScore) { bestScore = score; bestLang = langArr(l) }
+      l += 1
+    }
+    UTF8String.fromString(if (bestScore > 0) bestLang else "unknown")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mk = ctx.addReferenceObj("langMarkers", markerArr, "java.lang.String[][]")
+    val lg = ctx.addReferenceObj("langLabels", langArr, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s"); val arr = ctx.freshName("arr")
+      val i = ctx.freshName("i"); val ch = ctx.freshName("ch")
+      val p = ctx.freshName("p"); val best = ctx.freshName("best")
+      val bestLang = ctx.freshName("bestLang"); val l = ctx.freshName("l")
+      val score = ctx.freshName("score"); val m = ctx.freshName("m")
+      val needle = ctx.freshName("needle"); val from = ctx.freshName("from")
+      val idx = ctx.freshName("idx")
+      s"""
+        java.lang.String $s = $c.toString();
+        char[] $arr = new char[$s.length() + 2];
+        $arr[0] = ' '; $arr[$arr.length - 1] = ' ';
+        for (int $i = 0; $i < $s.length(); $i++) {
+          char $ch = $s.charAt($i);
+          $arr[$i + 1] = ($ch >= 'A' && $ch <= 'Z') ? (char)($ch + 32) : $ch;
+        }
+        java.lang.String $p = new java.lang.String($arr);
+        int $best = 0;
+        java.lang.String $bestLang = null;
+        for (int $l = 0; $l < $mk.length; $l++) {
+          int $score = 0;
+          for (int $m = 0; $m < $mk[$l].length; $m++) {
+            java.lang.String $needle = $mk[$l][$m];
+            int $from = 0;
+            int $idx = $p.indexOf($needle, $from);
+            while ($idx >= 0) {
+              $score++;
+              $from = $idx + $needle.length();
+              $idx = $p.indexOf($needle, $from);
+            }
+          }
+          if ($score > $best) { $best = $score; $bestLang = $lg[$l]; }
+        }
+        ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+          $best > 0 ? $bestLang : "unknown");
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
 }

@@ -25,14 +25,30 @@ class ExpressionsSpec extends SparkSpec {
     val got = df.select(
       NgramScore.textStats($"content").as("ts"),
       length($"content").as("len"),
-      CodeQuality.numLines($"content").as("nl"),
-      CodeQuality.maxLineLength($"content").as("ml")
-    ).select($"ts.*", $"len", $"nl", $"ml").collect()
+      CodeQuality.numLinesColumns($"content").as("nl"),
+      CodeQuality.maxLineLengthColumns($"content").as("ml"),
+      CodeQuality.tokenCountColumns($"content").as("nt")
+    ).select($"ts.*", $"len", $"nl", $"ml", $"nt").collect()
     got.foreach { r =>
-      assert(r.getInt(0) == r.getInt(5), "n_chars == length")
-      assert(r.getInt(1) == r.getInt(6), "n_lines matches")
-      assert(r.getInt(2) == r.getInt(7), s"max_line_len matches: $r")
+      assert(r.getInt(0) == r.getInt(6), "n_chars == length")
+      assert(r.getInt(1) == r.getInt(7), "n_lines matches")
+      assert(r.getInt(2) == r.getInt(8), s"max_line_len matches: $r")
+      assert(r.getInt(5) == r.getInt(9), s"n_tokens matches split count: $r")
     }
+  }
+
+  test("LangIdExpr kernel equals the regexp Column form on varied inputs") {
+    val inputs = samples ++ Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze und der vogel",
+      "le chat et les chiens et le loup",
+      "el perro y los gatos y el lobo",
+      "THE LOUD AND THE QUIET OF THE DAY", // case folding
+      "the der le el y et und and of los les die") // tie-ish mix
+    val r = inputs.toDF("c").select(
+      CodeQuality.langId($"c").as("kernel"),
+      CodeQuality.langIdColumns($"c").as("columns")).collect()
+    r.foreach(row => assert(row.getString(0) == row.getString(1), row.toString))
   }
 
   test("TextStatsExpr interpreted (codegen off) equals codegen result") {
