@@ -1,0 +1,170 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque `binary` columns
+  * with typed metadata structs, plus batch decode / feature-extract /
+  * resize / frame-sample plumbing.
+  *
+  * The decode kernels themselves are STUBBED (this container has no codec
+  * libraries): [[StubCodec]] derives deterministic fake pixels/samples from
+  * the bytes, and is clearly marked as the plug-point. Everything around
+  * them — schema, batch shape, partition-locality, feature geometry — is
+  * real and tested. In production the stub body is replaced by a JNI codec
+  * (Scala) or `mapInPandas` + PIL/torchaudio (PySpark); the operator
+  * signatures do not change.
+  *
+  * Scale notes: all ops are `mapPartitions` over batched iterators — one
+  * decoder instance per partition (not per row), no shuffle, binary bytes
+  * never leave their input partition. Feature vectors are the only output
+  * columns wider than metadata.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque payload. */
+  case class MediaMeta(kind: String, // image | audio | video
+                       width: Int, height: Int,
+                       sampleRate: Int, durationMs: Int, codec: String)
+
+  case class MediaRow(media_id: Long, meta: MediaMeta, data: Array[Byte])
+
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           features: Array[Float])
+  case class AudioWindows(media_id: Long, windowIdx: Int, rms: Double)
+  case class VideoFrame(media_id: Long, frameIdx: Int, tsMs: Int,
+                        thumb: Array[Byte])
+
+  /** ========== STUB: the codec boundary. ==========
+    * Deterministic fake decode — replace with a real codec in production.
+    * Kept pure (bytes → values) so tests are exact. */
+  object StubCodec {
+    /** ??? in spirit: a real impl would decode pixels; the fake derives a
+      * deterministic byte stream from the payload so downstream geometry
+      * (w×h, channel math) is exercised honestly. */
+    def decodeImage(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h)
+      var acc = 0x9E3779B9
+      var i = 0
+      while (i < out.length) {
+        acc = acc * 31 + (if (data.length > 0) data(i % data.length) else 0)
+        out(i) = (acc >>> 24).toByte
+        i += 1
+      }
+      out
+    }
+    def decodeAudio(data: Array[Byte], samples: Int): Array[Short] = {
+      val out = new Array[Short](samples)
+      var acc = 0x85EBCA6B
+      var i = 0
+      while (i < samples) {
+        acc = acc * 131 + (if (data.length > 0) data(i % data.length) else 0)
+        out(i) = (acc >>> 16).toShort
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Image → fixed-size feature vector (8×8 mean-pool grid of the decoded
+    * plane). Batched per partition; one "decoder" per partition. */
+  def imageFeatures(media: Dataset[MediaRow], grid: Int = 8): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.kind == "image").mapPartitions { it =>
+      // per-partition decoder init would go here (model/codec handle)
+      it.grouped(64).flatMap { batch => // batch shape ≡ mapInPandas batches
+        batch.iterator.map { r =>
+          val w = r.meta.width; val h = r.meta.height
+          val px = StubCodec.decodeImage(r.data, w, h)
+          val feats = new Array[Float](grid * grid)
+          val cw = math.max(w / grid, 1); val ch = math.max(h / grid, 1)
+          var gy = 0
+          while (gy < grid) {
+            var gx = 0
+            while (gx < grid) {
+              var sum = 0L; var n = 0
+              var y = gy * ch
+              while (y < math.min((gy + 1) * ch, h)) {
+                var x = gx * cw
+                while (x < math.min((gx + 1) * cw, w)) {
+                  sum += px(y * w + x) & 0xFF; n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              feats(gy * grid + gx) = if (n == 0) 0f else sum.toFloat / n
+              gx += 1
+            }
+            gy += 1
+          }
+          ImageFeatures(r.media_id, w, h, feats)
+        }
+      }
+    }
+  }
+
+  /** Image resize (stub decode → nearest-neighbor resample → re-encoded
+    * opaque bytes). Geometry math is real. */
+  def resizeImages(media: Dataset[MediaRow], newW: Int, newH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.kind == "image").map { r =>
+      val src = StubCodec.decodeImage(r.data, r.meta.width, r.meta.height)
+      val dst = new Array[Byte](newW * newH)
+      var y = 0
+      while (y < newH) {
+        val sy = y * r.meta.height / newH
+        var x = 0
+        while (x < newW) {
+          dst(y * newW + x) = src(sy * r.meta.width + x * r.meta.width / newW)
+          x += 1
+        }
+        y += 1
+      }
+      (r.media_id, newW, newH, dst)
+    }.toDF("media_id", "width", "height", "data")
+  }
+
+  /** Audio → fixed windows with RMS energy (stub decode; window math real). */
+  def audioWindows(media: Dataset[MediaRow], windowSamples: Int = 1024): Dataset[AudioWindows] = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.kind == "audio").flatMap { r =>
+      val nSamples = math.max(r.meta.sampleRate * r.meta.durationMs / 1000, windowSamples)
+      val pcm = StubCodec.decodeAudio(r.data, nSamples)
+      pcm.grouped(windowSamples).zipWithIndex.map { case (w, i) =>
+        val rms = math.sqrt(w.map(s => s.toDouble * s).sum / w.length)
+        AudioWindows(r.media_id, i, rms)
+      }
+    }
+  }
+
+  /** Video → every k-th frame sampled as a thumbnail payload (stub decode;
+    * frame timing math real). */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 1000): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.kind == "video").flatMap { r =>
+      val n = math.max(r.meta.durationMs / everyMs, 1)
+      (0 until n).map { i =>
+        val ts = i * everyMs
+        VideoFrame(r.media_id, i, ts,
+          StubCodec.decodeImage(r.data, 16, 16)) // thumb = tiny stub decode at ts
+      }
+    }
+  }
+
+  /** Deterministic synthetic media corpus (no external data). */
+  def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val r = new java.util.Random(seed * 7919 + id)
+      val kind = Seq("image", "audio", "video")(r.nextInt(3))
+      val data = new Array[Byte](64 + r.nextInt(192))
+      r.nextBytes(data)
+      val meta = kind match {
+        case "image" => MediaMeta(kind, 32 + r.nextInt(96), 32 + r.nextInt(96), 0, 0, "stub-img")
+        case "audio" => MediaMeta(kind, 0, 0, 16000, 500 + r.nextInt(2000), "stub-pcm")
+        case _       => MediaMeta(kind, 64, 64, 0, 2000 + r.nextInt(5000), "stub-vid")
+      }
+      MediaRow(id, meta, data)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.catalog.RuleBinding
+import graft.exec.StageExec
+
+/** Structured-Streaming form of the rule engine.
+  *
+  * The reference is batch-only (SQL Agent + SSIS; SURVEY.md §1.3 declares
+  * streaming out of scope for parity), but the engine's lazy pipeline form
+  * is already a pure Catalyst transform, so it attaches to a streaming
+  * DataFrame unchanged: per-file rules (langid/quality/scrub/keep-drop)
+  * work on streams as-is; reference joins become stream-static joins;
+  * profiling aggregations become watermarked windowed aggregations.
+  */
+object StreamingRules {
+
+  /** Apply a rule catalog to a streaming frame. Only stateless rule
+    * families attach (Profile windowing is done via [[windowedRuleMetrics]];
+    * DuplicatesFlag needs [[dedupByKey]] instead of a window function). */
+  def attach(stream: DataFrame, bindings: Seq[RuleBinding],
+             refTables: Map[String, DataFrame] = Map.empty): DataFrame =
+    StageExec.lazyApply(stream, bindings, refTables)
+
+  /** Per-window rule-hit metrics: the streaming analogue of the audit
+    * summary table — count + drop/flag tallies per event-time window with a
+    * watermark bounding state. */
+  def windowedRuleMetrics(stream: DataFrame, bindings: Seq[RuleBinding],
+                          tsCol: String, windowDur: String, watermark: String,
+                          hitCols: Seq[(String, Column)]): DataFrame = {
+    val applied = StageExec.lazyApply(
+      stream.withWatermark(tsCol, watermark), bindings, keepInternal = true)
+    val aggs = hitCols.map { case (name, c) =>
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    } :+ count(lit(1)).as("rows")
+    applied.groupBy(window(col(tsCol), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Streaming exact dedup on a key column with watermark-bounded state —
+    * the streaming twin of [[graft.operators.Dedup.exactDedup]]. */
+  def dedupByKey(stream: DataFrame, tsCol: String, watermark: String,
+                 keyCols: String*): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Custom stateful op: running per-key quality counters via
+    * flatMapGroupsWithState (the engine's escape hatch for state that
+    * windowed aggs can't express — e.g. "emit when a repo's drop-rate
+    * exceeds a threshold"). Emits (key, seen, dropped) on every update. */
+  case class KeyCounts(key: String, seen: Long, dropped: Long)
+  def runningDropCounts(stream: DataFrame, keyCol: String, droppedCol: String): DataFrame = {
+    import stream.sparkSession.implicits._
+    stream.select(col(keyCol).cast("string").as("k"),
+      col(droppedCol).cast("boolean").as("d"))
+      .as[(String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KeyCounts, KeyCounts](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Boolean)], state: GroupState[KeyCounts]) =>
+          val prev = state.getOption.getOrElse(KeyCounts(key, 0L, 0L))
+          var seen = prev.seen; var dropped = prev.dropped
+          rows.foreach { case (_, d) => seen += 1; if (d) dropped += 1 }
+          val next = KeyCounts(key, seen, dropped)
+          state.update(next)
+          Iterator(next)
+      }.toDF()
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.multimodal.Multimodal
+import graft.rules.{CodeQualityCatalog, CorpusFixture}
+import graft.streaming.StreamingRules
+
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Multimodal.syntheticMedia(spark, 120)
+
+  test("image features: fixed 8x8 geometry, deterministic across runs") {
+    val f1 = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.nonEmpty)
+    f1.foreach(r => assert(r.features.length == 64))
+    f1.zip(f2).foreach { case (a, b) => assert(a.features.sameElements(b.features)) }
+  }
+
+  test("image resize produces exact target geometry") {
+    val r = Multimodal.resizeImages(media, 16, 12).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Int]("width") == 16 && row.getAs[Int]("height") == 12)
+      assert(row.getAs[Array[Byte]]("data").length == 16 * 12)
+    }
+  }
+
+  test("audio windows cover the whole decoded stream") {
+    val w = Multimodal.audioWindows(media, windowSamples = 1024).collect()
+    assert(w.nonEmpty)
+    assert(w.forall(_.rms >= 0))
+    val byId = w.groupBy(_.media_id)
+    byId.values.foreach { ws =>
+      assert(ws.map(_.windowIdx).sorted.toSeq == (0 until ws.length))
+    }
+  }
+
+  test("frame sampling emits one frame per interval") {
+    val f = Multimodal.sampleFrames(media, everyMs = 1000).collect()
+    assert(f.nonEmpty)
+    f.groupBy(_.media_id).values.foreach { fs =>
+      assert(fs.map(_.tsMs).sorted.toSeq == fs.map(_.frameIdx * 1000).sorted.toSeq)
+    }
+  }
+
+  test("streaming: rule pipeline over MemoryStream equals the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 300L).map(id => CorpusFixture.gen(id, 42, 300))
+    val stream = MemoryStream[graft.rules.FileRow]
+    val out = StreamingRules.attach(stream.toDF(), CodeQualityCatalog.bindings)
+    val q = out.writeStream.format("memory").queryName("cq_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(150))
+      q.processAllAvailable()
+      stream.addData(rows.drop(150))
+      q.processAllAvailable()
+      val streamed = spark.table("cq_stream")
+        .select("repo", "path").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val batch = graft.exec.StageExec.lazyApply(rows.toDF(), CodeQualityCatalog.bindings)
+        .select("repo", "path").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming: watermarked windowed rule metrics aggregate hits") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val df = stream.toDF().toDF("ts", "content")
+    val metrics = StreamingRules.windowedRuleMetrics(
+      df, bindings = Seq.empty, tsCol = "ts", windowDur = "1 minute",
+      watermark = "2 minutes",
+      hitCols = Seq("empties" -> (length(trim(col("content"))) === 0)))
+    val q = metrics.writeStream.format("memory").queryName("win_metrics")
+      .outputMode("update").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:45")
+      stream.addData(Seq((t0, "hello"), (t1, "  "), (t1, "world")))
+      q.processAllAvailable()
+      val rows = spark.table("win_metrics").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("rows") == 3 && rows.head.getAs[Long]("empties") == 1)
+    } finally q.stop()
+  }
+
+  test("streaming: stateful running drop counts via flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Boolean)]
+    val counts = StreamingRules.runningDropCounts(
+      stream.toDF().toDF("repo", "dropped"), "repo", "dropped")
+    val q = counts.writeStream.format("memory").queryName("drop_counts")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(("r1", true), ("r1", false), ("r2", false)))
+      q.processAllAvailable()
+      stream.addData(Seq(("r1", true)))
+      q.processAllAvailable()
+      val last = spark.table("drop_counts")
+        .groupBy("key").agg(max("seen").as("seen"), max("dropped").as("dropped"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(last("r1") == (3L, 2L))
+      assert(last("r2") == (1L, 0L))
+    } finally q.stop()
+  }
+}

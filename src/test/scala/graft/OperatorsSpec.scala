@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity operators over constructed corpora with known
+  * near-duplicate structure. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 base docs; ids 100+k are near-copies of doc k (one word changed);
+  // ids 200+k are exact copies of doc k
+  private lazy val docs = {
+    val base = (0 until 20).map { i =>
+      // truly distinct per-doc vocabulary (seeded random letters) so
+      // unrelated docs share almost no character shingles
+      val r = new scala.util.Random(i * 7919)
+      val words = (0 until 60).map(_ =>
+        (1 to 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString)
+      (i.toLong, words.mkString(" "))
+    }
+    val near = (0 until 5).map { k =>
+      val (id, text) = base(k)
+      (100L + k, text.replaceFirst("^\\S+ ", "CHANGED "))
+    }
+    val exact = (0 until 5).map(k => (200L + k, base(k)._2))
+    (base ++ near ++ exact).toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps one min-id survivor per identical text") {
+    val kept = Dedup.exactDedup(docs, $"text", $"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == 25) // 20 base + 5 near (distinct); exact copies collapse
+    (0 until 5).foreach(k => assert(!kept.contains(200L + k)))
+    (0 until 5).foreach(k => assert(kept.contains(100L + k)))
+  }
+
+  test("minHashDedup drops exact and near duplicates, keeps min id") {
+    val kept = Dedup.minHashDedup(docs, $"text", $"doc_id",
+      numHashes = 64, bands = 16, shingleSize = 5, jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (0 until 5).foreach { k =>
+      assert(!kept.contains(200L + k), s"exact copy 20$k should drop")
+      assert(kept.contains(k.toLong), s"original $k should survive")
+    }
+    // near-dups (one word changed in 60) should be caught at τ=0.7
+    val nearCaught = (0 until 5).count(k => !kept.contains(100L + k))
+    assert(nearCaught >= 4, s"expected >=4/5 near-dups dropped, got $nearCaught")
+    // unrelated docs survive
+    (5 until 20).foreach(k => assert(kept.contains(k.toLong)))
+  }
+
+  test("simHashDedup catches exact copies and respects hamming threshold") {
+    val kept = Dedup.simHashDedup(docs, $"text", $"doc_id", hammingThreshold = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (0 until 5).foreach(k => assert(!kept.contains(200L + k)))
+    (5 until 20).foreach(k => assert(kept.contains(k.toLong)))
+  }
+
+  test("ngramJaccardPairs returns symmetric-free pairs above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, $"text", $"doc_id",
+      shingleSize = 5, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(k => assert(pairs.contains((k.toLong, 200L + k))))
+    pairs.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("bruteForceTopK: rank 1 of a vector's own duplicate is itself") {
+    val vecs = (0 until 30).map { i =>
+      val v = (0 until 16).map(j => math.sin(i * 16 + j).toFloat)
+      (i.toLong, v)
+    }
+    // corpus contains an exact copy of each query vector at id+1000
+    val queries = vecs.take(5).toDF("vec_id", "embedding")
+    val corpus = (vecs.drop(5) ++ vecs.take(5).map { case (id, v) => (id + 1000, v) })
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .where($"rank" === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach(i => assert(top(i.toLong) == i + 1000L,
+      s"nearest neighbor of $i should be its copy"))
+  }
+
+  test("lshTopK finds the exact duplicate (same bucket by construction)") {
+    val vecs = (0 until 64).map { i =>
+      val v = (0 until 64).map(j => math.cos(i * 64 + j).toFloat)
+      (i.toLong, v)
+    }
+    val queries = vecs.take(4).toDF("vec_id", "embedding")
+    val corpus = (vecs.drop(4) ++ vecs.take(4).map { case (id, v) => (id + 1000, v) })
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity.lshTopK(queries, corpus, k = 1, numPlanes = 8, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 4).foreach(i => assert(top1.get(i.toLong).contains(i + 1000L)))
+  }
+}
