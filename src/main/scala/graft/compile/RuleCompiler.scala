@@ -214,12 +214,14 @@ object RuleCompiler {
           reads = reads, lineage = s"$stCol := 1 WHERE ${predRaw.toString}")
       case RuleAction.Drop => // E3: the keep/drop operator (:561-587)
         // SQL DELETE drops rows where pred IS TRUE; NULL predicate keeps.
-        // keep is expressed over the hit flag so the runner can filter the
-        // materialized segment (the flag holds the predicate evaluated
-        // against the correct pre-image).
+        // keep = NOT pred OR pred IS NULL — written without coalesce so the
+        // parquet source can push it down (coalesce blocks translation to
+        // PushedFilters). Reading the raw predicate post-projection is safe:
+        // the planner ends the segment at every Drop and the conflict check
+        // guarantees no same-stage rule wrote a column the predicate reads.
         CompiledRule(b,
           internalColumns = Seq(hitFlag -> coalesce(pred, lit(false))),
-          keepPredicate = Some(!col(hitFlag)),
+          keepPredicate = Some(!pred || pred.isNull),
           scalarSummaries = Seq(ScalarSummary(
             meta.copy(messageTemplate = s"Rows deleted by: $fullSql"),
             cntAgg, ScalarKind.CountAffected)),

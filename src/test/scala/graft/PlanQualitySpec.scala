@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan regression tests — the ".explain and iterate" contract:
+  * pushdown reaches the parquet scan, projections prune, small reference
+  * sides broadcast, and the fused pipeline stays a single-scan,
+  * shuffle-free, whole-stage-codegen plan. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    QueryCatalog.byName(name).run(spark, dir)
+      .queryExecution.explainString(SimpleMode)
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  test("Drop-rule keep filter pushes down to the parquet scan") {
+    val p = plan("expr_delete")
+    assert(p.contains("PushedFilters: [Or(GreaterThanOrEqual(n_chars,100),IsNull(n_chars))]"), p)
+  }
+
+  test("projection prunes the parquet read schema to referenced columns") {
+    val p = plan("text_tokens")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("reference membership joins broadcast the deduplicated small side") {
+    val p = plan("ref_table")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey)]"), p) // null-strip pushed
+  }
+
+  test("fused code-quality pipeline: one scan, no shuffle, one codegen span") {
+    val corpus = rules.CorpusFixture.generate(spark, 10).toDF
+    val p = planOf(exec.StageExec.lazyApply(corpus, rules.CodeQualityCatalog.bindings))
+    // all 13 rules fuse into a single Project + Filter — scanned once
+    assert(!p.contains("Exchange"), s"pipeline must not shuffle:\n$p")
+    val codegenSpans = "\\*\\(\\d+\\)".r.findAllIn(p).map(_.toString).toSet
+    assert(codegenSpans == Set("*(1)"), s"expected one codegen span, got $codegenSpans")
+    assert("(?i)scan".r.findAllIn(p).size <= 2, s"expected a single scan:\n$p")
+    // Catalyst pushed the content-only keep predicates BELOW the metric
+    // projection: dropped files never pay for metric computation
+    val filterIdx = p.indexOf("Filter")
+    val projectIdx = p.indexOf("Project")
+    assert(projectIdx >= 0 && filterIdx > projectIdx,
+      "keep filter should sit under the projection (evaluated first)")
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the single shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p) // map-side combine
+    // AdaptiveSparkPlan prints the plan twice (initial + current): one
+    // Exchange per print = exactly one shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(p.indexOf("partial_sum") > p.indexOf("Exchange"),
+      "partial aggregate must sit below the exchange")
+  }
+
+  test("minhash dedup: candidate join operates on signatures, not text") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, "def")).toDF("doc_id", "text")
+    val p = planOf(operators.Dedup.minHashDedup(docs, $"text", $"doc_id"))
+    // the self-join side projects only id + signature: text is pruned away
+    val joinSection = p.substring(p.indexOf("Join"))
+    assert(!joinSection.contains("text#") ||
+      p.indexOf("LeftAnti") > 0, s"text must not flow through the LSH join:\n$p")
+  }
+}
