@@ -1,0 +1,62 @@
+package graft.audit
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Audit-table maintenance operators (SURVEY.md §2.1 S9/S10).
+  */
+object AuditMaintenance {
+
+  /** S9 — history retention: keep the most recent `retain` loads per rule
+    * association, expire the rest (≡ DQ.sClearHistoricalRecords's
+    * `RANK() OVER (ORDER BY LoadId DESC)` → DELETE,
+    * $P/DQ.sClearHistoricalRecords.sql:87-133). `clearAll = true` mirrors
+    * the `@ClearAllHistory = 1` branch (:128-230).
+    *
+    * Returns the retained frame; in production the result overwrites the
+    * audit table snapshot (append-only store + periodic compaction). */
+  def retainHistoricalLoads(audit: DataFrame, retain: Int,
+                            clearAll: Boolean = false): DataFrame = {
+    if (clearAll) return audit.limit(0)
+    val w = Window.partitionBy(col("ruleAssocCode")).orderBy(col("loadId").desc)
+    audit.withColumn("__rank", dense_rank().over(w))
+      .where(col("__rank") <= retain)
+      .drop("__rank")
+  }
+
+  /** S10 — audit flatten: resolve every load to its root ("master") load id
+    * with depth and path, ≡ the recursive CTE view
+    * `Audit.RoutineLoadHistory_10` ($V/Audit.RoutineLoadHistory_10.sql:35-133)
+    * loaded by DQ.sLoadAuditRoutineLoadHistory.
+    *
+    * Spark has no recursive CTE; this is the standard iterative self-join
+    * fixpoint, bounded at `maxDepth` (the reference view is also bounded —
+    * its name suffix `_10` is the depth limit). Run manifests are tiny, so
+    * the loop converges in a couple of iterations. */
+  def flattenLoadTree(tree: Dataset[LoadNode], maxDepth: Int = 10): DataFrame = {
+    val nodes = tree.toDF().select(
+      col("loadId"), col("parentLoadId"), col("process"), col("status"))
+    var flat = nodes.select(
+      col("loadId"),
+      coalesce(col("parentLoadId"), col("loadId")).as("masterLoadId"),
+      when(col("parentLoadId").isNull, 0).otherwise(1).as("depth"),
+      col("process"), col("status"))
+    var depth = 1
+    var converged = false
+    while (depth < maxDepth && !converged) {
+      val parents = nodes.select(
+        col("loadId").as("p_id"), col("parentLoadId").as("p_parent"))
+      val next = flat.join(parents, flat("masterLoadId") === parents("p_id"), "left")
+        .select(
+          col("loadId"),
+          coalesce(col("p_parent"), col("masterLoadId")).as("masterLoadId"),
+          when(col("p_parent").isNotNull, col("depth") + 1).otherwise(col("depth")).as("depth"),
+          col("process"), col("status"))
+      converged = next.where(col("depth") > depth).isEmpty
+      flat = next
+      depth += 1
+    }
+    flat
+  }
+}

@@ -1,0 +1,204 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Catalog persistence: the rule catalog as a loadable/storable TABLE — the
+  * Spark-native analogue of the MDS subscription-view import (S1,
+  * `ISPAC:ImportMDS.Controller.dtsx`): rules live in storage, the engine
+  * reads them at run start, validates eagerly and compiles.
+  *
+  * [[CatalogRow]] deliberately mirrors the wide nullable shape of
+  * `MDS.DQRuleEntityAssociation` + the six category tables folded in
+  * ($T/MDS.DQRuleEntityAssociation.sql:9-68): one row per binding, exactly
+  * one category's field-group populated. Unlike the reference (stringly
+  * typed nvarchar everywhere), fields are typed and the decode validates.
+  */
+case class CatalogRow(
+    code: Int, entity: String, sequence: Int,
+    evaluationColumn: String,
+    outputColumn: Option[String], statusColumn: Option[String],
+    optionalFilter: Option[String], active: Boolean,
+    category: String, ruleId: Int, ruleName: String,
+    // ValueCorrection
+    sourceValues: Option[Seq[String]], preferredValues: Option[Seq[String]],
+    // Expression
+    expression: Option[String], actionType: Option[String], severity: Option[String],
+    // Harmonization
+    harmonizeType: Option[String], specifiedCharacter: Option[String],
+    replacingValue: Option[String], dateFormat: Option[String],
+    bespokeFunction: Option[String],
+    // Reference
+    refMode: Option[String], refTable: Option[String], refColumn: Option[String],
+    refList: Option[Seq[String]], joinLogic: Option[String],
+    comparison: Option[String], refKeyColumn: Option[String],
+    // Profiling
+    profileKind: Option[String], dataType: Option[String],
+    pkColumns: Option[Seq[String]], orderColumn: Option[String],
+    threshold: Option[Double], compatFlag: Option[Boolean],
+    // Transformation
+    convertKind: Option[String], length: Option[Int],
+    precision: Option[Int], scale: Option[Int])
+
+object CatalogIO {
+  import HarmonizeOp._
+  import RefMode._
+  import ProfileKind._
+  import ConvertKind._
+
+  private val empty = CatalogRow(0, "", 1, "", None, None, None, true,
+    "", 0, "", None, None, None, None, None, None, None, None, None, None,
+    None, None, None, None, None, None, None, None, None, None, None, None,
+    None, None, None, None, None)
+
+  def toRow(b: RuleBinding): CatalogRow = {
+    val base = empty.copy(code = b.code, entity = b.entity, sequence = b.sequence,
+      evaluationColumn = b.evaluationColumn, outputColumn = b.outputColumn,
+      statusColumn = b.statusColumn, optionalFilter = b.optionalFilter,
+      active = b.active, category = RuleSpec.category(b.spec),
+      ruleId = b.spec.ruleId, ruleName = b.spec.ruleName)
+    b.spec match {
+      case RuleSpec.ValueCorrect(_, _, pairs) =>
+        base.copy(sourceValues = Some(pairs.map(_._1)),
+          preferredValues = Some(pairs.map(_._2)))
+      case RuleSpec.Predicate(_, _, e, a, s) =>
+        val an = a match {
+          case RuleAction.Log => "Default"; case RuleAction.Flag => "IndicatorFlag"
+          case RuleAction.Drop => "Delete" // MDS.DQAppActionType vocabulary
+        }
+        base.copy(expression = Some(e), actionType = Some(an), severity = Some(s.name))
+      case RuleSpec.Harmonize(_, _, op) =>
+        val b2 = base.copy(harmonizeType = Some(HarmonizeOp.typeName(op)))
+        op match {
+          case RemoveSpecifiedCharacter(ch) => b2.copy(specifiedCharacter = Some(ch))
+          case SpecialOperation(fn) => b2.copy(bespokeFunction = Some(fn))
+          case ReplaceValue(p, r) => b2.copy(specifiedCharacter = Some(p), replacingValue = Some(r))
+          case SetNullAsDefault(d) => b2.copy(replacingValue = Some(d))
+          case CheckDateFormatOfString(f) => b2.copy(dateFormat = Some(f))
+          case _ => b2
+        }
+      case RuleSpec.Reference(_, _, mode, s) =>
+        val b2 = base.copy(severity = Some(s.name))
+        mode match {
+          case TableReference(t, c) =>
+            b2.copy(refMode = Some("TableReference"), refTable = Some(t), refColumn = Some(c))
+          case ListReference(vs) =>
+            b2.copy(refMode = Some("ListReference"), refList = Some(vs))
+          case AttributeComparison(t, j, c) =>
+            b2.copy(refMode = Some("AttributeComparisons"), refTable = Some(t),
+              joinLogic = Some(j), comparison = Some(c))
+          case ReferentialIntegrity(t, j, k) =>
+            b2.copy(refMode = Some("ReferentialIntegrity"), refTable = Some(t),
+              joinLogic = Some(j), refKeyColumn = Some(k))
+        }
+      case RuleSpec.Profile(_, _, kind, s) =>
+        val b2 = base.copy(severity = Some(s.name))
+        kind match {
+          case DataTypeCheck(t) => b2.copy(profileKind = Some("DataTypeCheck"), dataType = Some(t))
+          case DuplicatesCount(pk) => b2.copy(profileKind = Some("DuplicatesCount"), pkColumns = Some(pk))
+          case DuplicatesFlag(pk, o) =>
+            b2.copy(profileKind = Some("DuplicatesFlag"), pkColumns = Some(pk), orderColumn = Some(o))
+          case MinMaxValue => b2.copy(profileKind = Some("MinAndMaxValueProfile"))
+          case MinMaxLength(c) =>
+            b2.copy(profileKind = Some("MinAndMaxLengthProfile"), compatFlag = Some(c))
+          case RowCount => b2.copy(profileKind = Some("TableRowCount"))
+          case TableValueDistribution => b2.copy(profileKind = Some("TableValueDistributionProfile"))
+          case ColumnValueDistribution(t) =>
+            b2.copy(profileKind = Some("ColumnValueDistributionProfile"), threshold = Some(t))
+        }
+      case RuleSpec.Convert(_, _, kind, s) =>
+        val b2 = base.copy(severity = Some(s.name))
+        kind match {
+          case VarcharToInt => b2.copy(convertKind = Some("Varchar-To-Int"))
+          case IntToVarchar(l) => b2.copy(convertKind = Some("Int-To-Varchar"), length = Some(l))
+          case VarcharToVarchar(l) => b2.copy(convertKind = Some("Varchar-To-Varchar"), length = Some(l))
+          case VarcharUkToDateTime => b2.copy(convertKind = Some("Varchar(UK)-To-DateTime"))
+          case VarcharUsToDateTime => b2.copy(convertKind = Some("Varchar(US)-To-DateTime"))
+          case VarcharUkToIntDate => b2.copy(convertKind = Some("Varchar(UK)-To-IntDateTime"))
+          case VarcharUsToIntDate => b2.copy(convertKind = Some("Varchar(US)-To-IntDateTime"))
+          case VarcharToNumeric(p, sc) =>
+            b2.copy(convertKind = Some("Varchar-To-Numeric"), precision = Some(p), scale = Some(sc))
+        }
+    }
+  }
+
+  def fromRow(r: CatalogRow): RuleBinding = {
+    def sev = Severity.byName(r.severity.getOrElse("Info"))
+    val spec: RuleSpec = r.category match {
+      case "RuleValueCorrection" =>
+        RuleSpec.ValueCorrect(r.ruleId, r.ruleName,
+          r.sourceValues.getOrElse(Nil).zip(r.preferredValues.getOrElse(Nil)))
+      case "RuleExpression" =>
+        val action = r.actionType.getOrElse("Default") match {
+          case "IndicatorFlag" => RuleAction.Flag
+          case "Delete" => RuleAction.Drop
+          case _ => RuleAction.Log
+        }
+        RuleSpec.Predicate(r.ruleId, r.ruleName, r.expression.getOrElse(""), action, sev)
+      case "RuleHarmonization" =>
+        val op = r.harmonizeType.getOrElse("") match {
+          case "ToUpper" => ToUpper
+          case "ToLower" => ToLower
+          case "RemoveSpaces" => RemoveSpaces
+          case "RemoveSpecifiedCharacter" => RemoveSpecifiedCharacter(r.specifiedCharacter.getOrElse(""))
+          case "SpecialOperation" => SpecialOperation(r.bespokeFunction.getOrElse(""))
+          case "ReplaceValue" => ReplaceValue(r.specifiedCharacter.getOrElse(""), r.replacingValue.getOrElse(""))
+          case "SetBlanksASNULL" => SetBlanksAsNull
+          case "SetNullAsDefaultValue" => SetNullAsDefault(r.replacingValue.getOrElse(""))
+          case "CheckDateFormatOfString" => CheckDateFormatOfString(r.dateFormat.getOrElse("DD/MM/YYYY"))
+          case other => throw new IllegalArgumentException(s"Unknown harmonize type $other")
+        }
+        RuleSpec.Harmonize(r.ruleId, r.ruleName, op)
+      case "RuleReference" =>
+        val mode = r.refMode.getOrElse("") match {
+          case "TableReference" => TableReference(r.refTable.get, r.refColumn.get)
+          case "ListReference" => ListReference(r.refList.getOrElse(Nil))
+          case "AttributeComparisons" => AttributeComparison(r.refTable.get, r.joinLogic.get, r.comparison.get)
+          case "ReferentialIntegrity" => ReferentialIntegrity(r.refTable.get, r.joinLogic.get, r.refKeyColumn.get)
+          case other => throw new IllegalArgumentException(s"Unknown reference mode $other")
+        }
+        RuleSpec.Reference(r.ruleId, r.ruleName, mode, sev)
+      case "RuleProfiling" =>
+        val kind = r.profileKind.getOrElse("") match {
+          case "DataTypeCheck" => DataTypeCheck(r.dataType.getOrElse("string"))
+          case "DuplicatesCount" => DuplicatesCount(r.pkColumns.getOrElse(Nil))
+          case "DuplicatesFlag" => DuplicatesFlag(r.pkColumns.getOrElse(Nil), r.orderColumn.get)
+          case "MinAndMaxValueProfile" => MinMaxValue
+          case "MinAndMaxLengthProfile" => MinMaxLength(r.compatFlag.getOrElse(false))
+          case "TableRowCount" => RowCount
+          case "TableValueDistributionProfile" => TableValueDistribution
+          case "ColumnValueDistributionProfile" => ColumnValueDistribution(r.threshold.getOrElse(0.0))
+          case other => throw new IllegalArgumentException(s"Unknown profile kind $other")
+        }
+        RuleSpec.Profile(r.ruleId, r.ruleName, kind, sev)
+      case "RuleTransformation" =>
+        val kind = r.convertKind.getOrElse("") match {
+          case "Varchar-To-Int" => VarcharToInt
+          case "Int-To-Varchar" => IntToVarchar(r.length.getOrElse(255))
+          case "Varchar-To-Varchar" => VarcharToVarchar(r.length.getOrElse(255))
+          case "Varchar(UK)-To-DateTime" => VarcharUkToDateTime
+          case "Varchar(US)-To-DateTime" => VarcharUsToDateTime
+          case "Varchar(UK)-To-IntDateTime" => VarcharUkToIntDate
+          case "Varchar(US)-To-IntDateTime" => VarcharUsToIntDate
+          case "Varchar-To-Numeric" => VarcharToNumeric(r.precision.getOrElse(38), r.scale.getOrElse(4))
+          case other => throw new IllegalArgumentException(s"Unknown convert kind $other")
+        }
+        RuleSpec.Convert(r.ruleId, r.ruleName, kind, sev)
+      case other => throw new IllegalArgumentException(s"Unknown category $other")
+    }
+    RuleBinding(r.code, r.entity, r.sequence, r.evaluationColumn, spec,
+      r.outputColumn, r.statusColumn, r.optionalFilter, r.active)
+  }
+
+  /** Persist the catalog as a parquet table. */
+  def write(spark: SparkSession, bindings: Seq[RuleBinding], path: String): Unit = {
+    import spark.implicits._
+    bindings.map(toRow).toDS().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a catalog table (the S1 import). Validation happens downstream in
+    * [[CatalogValidator]] once the entity schema is known. */
+  def read(spark: SparkSession, path: String): Seq[RuleBinding] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[CatalogRow].collect().toSeq.map(fromRow).sortBy(_.code)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.audit.{AuditMaintenance, LoadNode}
+import graft.catalog.CatalogIO
+import graft.rules.CodeQualityCatalog
+
+class AuditCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S9 retention keeps the newest N loads per rule association") {
+    val audit = (for {
+      rule <- Seq(10, 11)
+      load <- 1 to 5
+    } yield (rule, load.toLong, s"row-$rule-$load")).toDF("ruleAssocCode", "loadId", "payload")
+    val kept = AuditMaintenance.retainHistoricalLoads(audit, retain = 2)
+      .select("ruleAssocCode", "loadId").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(kept == Set((10, 5L), (10, 4L), (11, 5L), (11, 4L)))
+    assert(AuditMaintenance.retainHistoricalLoads(audit, 2, clearAll = true).count() == 0)
+  }
+
+  test("S10 flatten resolves every load to its root master load id") {
+    val t = new Timestamp(0)
+    val tree = Seq(
+      LoadNode(1, None, "root", "SUCCESS", t, None, None),
+      LoadNode(2, Some(1), "child", "SUCCESS", t, None, None),
+      LoadNode(3, Some(2), "grandchild", "SUCCESS", t, None, None),
+      LoadNode(4, Some(3), "greatgrandchild", "FAILURE", t, None, None),
+      LoadNode(9, None, "other-root", "SUCCESS", t, None, None)).toDS()
+    val flat = AuditMaintenance.flattenLoadTree(tree).collect()
+      .map(r => r.getAs[Long]("loadId") -> (r.getAs[Long]("masterLoadId"), r.getAs[Int]("depth"))).toMap
+    assert(flat(1L) == (1L, 0))
+    assert(flat(2L) == (1L, 1))
+    assert(flat(3L) == (1L, 2))
+    assert(flat(4L) == (1L, 3))
+    assert(flat(9L) == (9L, 0))
+  }
+
+  test("catalog round-trips through the parquet table form (S1)") {
+    val dir = tmpDir("catalog-io")
+    val bindings = CodeQualityCatalog.bindings ++ Seq(
+      graft.catalog.RuleBinding(900, "t", 1, "c",
+        graft.catalog.RuleSpec.Reference(90, "fk",
+          graft.catalog.RefMode.ReferentialIntegrity("ref", "dq.a = ref.b", "b"),
+          graft.catalog.Severity.Fatal)),
+      graft.catalog.RuleBinding(901, "t", 2, "c",
+        graft.catalog.RuleSpec.Convert(91, "cnv",
+          graft.catalog.ConvertKind.VarcharToNumeric(12, 3),
+          graft.catalog.Severity.Issue),
+        outputColumn = Some("o"), optionalFilter = Some("c IS NOT NULL")))
+    CatalogIO.write(spark, bindings, s"$dir/catalog")
+    val loaded = CatalogIO.read(spark, s"$dir/catalog")
+    assert(loaded.sortBy(_.code) == bindings.sortBy(_.code))
+  }
+
+  test("loaded catalog drives the pipeline identically to the in-memory one") {
+    val dir = tmpDir("catalog-io2")
+    CatalogIO.write(spark, CodeQualityCatalog.bindings, s"$dir/catalog")
+    val loaded = CatalogIO.read(spark, s"$dir/catalog")
+    val corpus = graft.rules.CorpusFixture.generate(spark, 500).toDF
+    val a = exec.StageExec.lazyApply(corpus, CodeQualityCatalog.bindings)
+      .select("repo", "path").collect().map(_.toString).sorted
+    val b = exec.StageExec.lazyApply(corpus, loaded)
+      .select("repo", "path").collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+}
