@@ -1,0 +1,107 @@
+package graft
+
+import graft.catalog._
+import graft.exec.{EngineConfig, PipelineRunner}
+
+/** Profiling + transformation rule families through the materializing
+  * runner: summary rows (incl. grouped jobs and observe metrics), the
+  * ALL-columns branch, and the reference's P5 compat quirk. */
+class ProfilingRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", "1", "25/12/2020", 10),
+    ("a", "2", "31/02/2021", 20), // invalid date
+    ("b", "3", "01/01/1999", 30),
+    ("b", "x", null, 40),         // non-numeric, null date
+    ("c", "", "15/06/2022", 50)
+  ).toDF("k", "numStr", "dateStr", "v")
+
+  private val bindings = Seq(
+    RuleBinding(1, "t", 1, "numStr",
+      RuleSpec.Profile(1, "TypeChk", ProfileKind.DataTypeCheck("int"), Severity.Issue)),
+    RuleBinding(2, "t", 1, "k",
+      RuleSpec.Profile(2, "Dups", ProfileKind.DuplicatesCount(Seq("k")), Severity.Issue)),
+    RuleBinding(3, "t", 1, RuleBinding.AllColumns,
+      RuleSpec.Profile(3, "MinMax", ProfileKind.MinMaxValue, Severity.Info)),
+    RuleBinding(4, "t", 1, "numStr",
+      RuleSpec.Profile(4, "Len", ProfileKind.MinMaxLength(), Severity.Info)),
+    RuleBinding(5, "t", 1, RuleBinding.IgnoreColumn,
+      RuleSpec.Profile(5, "Rows", ProfileKind.RowCount, Severity.Info)),
+    RuleBinding(6, "t", 1, RuleBinding.AllColumns,
+      RuleSpec.Profile(6, "Dist", ProfileKind.TableValueDistribution, Severity.Info)),
+    RuleBinding(7, "t", 1, "k",
+      RuleSpec.Profile(7, "Hist", ProfileKind.ColumnValueDistribution(25.0), Severity.Info)),
+    RuleBinding(8, "t", 1, "numStr",
+      RuleSpec.Convert(8, "ToInt", ConvertKind.VarcharToInt, Severity.Info),
+      outputColumn = Some("numInt")),
+    RuleBinding(9, "t", 1, "dateStr",
+      RuleSpec.Convert(9, "UkDate", ConvertKind.VarcharUkToIntDate, Severity.Info),
+      outputColumn = Some("dateInt")),
+    RuleBinding(10, "t", 1, "dateStr",
+      RuleSpec.Harmonize(10, "DateOk",
+        HarmonizeOp.CheckDateFormatOfString("DD/MM/YYYY")),
+      outputColumn = Some("dateValid"))
+  )
+
+  lazy val res = {
+    val cfg = EngineConfig("t", Seq("k", "numStr"), tmpDir("prof-run"), runId = "p1")
+    new PipelineRunner(spark, cfg).run(df, bindings)
+  }
+
+  private def sm(code: Int) = res.summaries.filter(_.ruleAssocCode == code)
+
+  test("P1 datatype check counts uncastables (nulls included, as reference)") {
+    assert(sm(1).head.rowsAffected == 2) // "x" and "" fail try_cast
+  }
+  test("P2 duplicates count via grouped job") {
+    val m = sm(2).map(s => s.checkName -> s.rowsAffected).toMap
+    assert(m("Dups [DuplicateKeys]") == 2)  // a, b
+    assert(m("Dups [DuplicateRows]") == 4)
+  }
+  test("P4 min/max over ALL columns in one wide agg") {
+    val msgs = sm(3).map(s => (s.columnName, s.checkName.contains("[Min]"), s.dqMessage)).toSet
+    assert(msgs.contains(("v", true, "Minimum Value = 10")))
+    assert(msgs.contains(("v", false, "Maximum Value = 50")))
+    assert(sm(3).size == 2 * df.columns.length)
+  }
+  test("P5 length profile measures lengths (bug fixed vs reference)") {
+    val m = sm(4).map(s => s.checkName -> s.dqMessage).toMap
+    assert(m("Len [MinLen]") == "Minimum Length = 0")
+    assert(m("Len [MaxLen]") == "Maximum Length = 1")
+  }
+  test("P6 row count") { assert(sm(5).head.rowsAffected == 5) }
+  test("P7 table value distribution: populated/empty per column") {
+    val numStr = sm(6).filter(_.columnName == "numStr")
+      .map(s => s.checkName -> s.rowsAffected).toMap
+    assert(numStr("Dist [Total]") == 5)
+    assert(numStr("Dist [Populated]") == 4) // "" counts as empty
+    assert(numStr("Dist [Empty]") == 1)
+    val dateStr = sm(6).filter(_.columnName == "dateStr")
+      .map(s => s.checkName -> s.rowsAffected).toMap
+    assert(dateStr("Dist [Empty]") == 1) // null
+  }
+  test("P8 histogram with MiscMinorValues threshold") {
+    val rows = sm(7).map(s => s.dqMessage -> (s.rowsAffected, s.percentageValue.get)).toMap
+    assert(rows("Value = a") == (2L, 40.0))
+    assert(rows("Value = b") == (2L, 40.0))
+    assert(rows("Value = MiscMinorValues") == (1L, 20.0)) // c at 20% < 25%
+  }
+  test("T1/T6 conversions with try semantics + Cleansed status counts") {
+    val out = res.output.orderBy("k", "numStr").collect()
+    val byKey = out.map(r => (r.getAs[String]("k"), r.getAs[String]("numStr")) ->
+      (Option(r.getAs[Integer]("numInt")), Option(r.getAs[Integer]("dateInt")))).toMap
+    assert(byKey(("a", "1"))._1.contains(1))
+    assert(byKey(("b", "x"))._1.isEmpty)           // try_cast null
+    assert(byKey(("a", "1"))._2.contains(20201225)) // yyyyMMdd int
+    assert(byKey(("a", "2"))._2.isEmpty)            // 31/02 invalid
+    assert(sm(8).head.rowsAffected == 3)            // cleansed count
+  }
+  test("F1 date-format check flags leap/month-length violations") {
+    val valid = res.output.collect()
+      .map(r => r.getAs[String]("dateStr") -> r.getAs[String]("dateValid")).toMap
+    assert(valid("25/12/2020") == "1")
+    assert(valid("31/02/2021") == "0")
+    assert(valid(null) == null || valid(null) == "0") // null-safe
+  }
+}
