@@ -634,13 +634,16 @@ object QueryCatalog {
       None), // LSH recall is approximate → rows-only check
 
     Q("dedup_embed_cosine",
+      // threshold 0.45 because the synthetic embeddings' max pairwise cosine
+      // is ~0.51 — a production near-dup threshold (0.95+) would make the
+      // check vacuous on this data
       (s, dir) => graft.operators.Dedup.embeddingNearDupPairs(
-        t(s, dir, "embeddings"), threshold = 0.95)
+        t(s, dir, "embeddings"), threshold = 0.45)
         .select("vec_id_a", "vec_id_b"),
       Some("""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-             |                             CAST(b.embedding AS DOUBLE[])) >= 0.95""".stripMargin)),
+             |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin)),
 
     // --------------------------------------------- relational checklist
     Q("q_window",
@@ -658,6 +661,77 @@ object QueryCatalog {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
              |FROM events""".stripMargin)),
+
+    Q("harm_lower",
+      (s, dir) => {
+        val up = t(s, dir, "documents")
+          .withColumn("srcU", upper(col("source")))
+        val b = RuleBinding(1, "documents", 1, "srcU",
+          RuleSpec.Harmonize(1, "Low", HarmonizeOp.ToLower),
+          outputColumn = Some("src_low"))
+        StageExec.lazyApply(up, Seq(b))
+          .select("doc_id", "src_low", "StatusColRule_1")
+      },
+      Some("""SELECT doc_id, lower(upper(source)) AS src_low,
+             |  CASE WHEN source IS NULL THEN 'ToLower: NULL Source Value'
+             |       WHEN upper(source) <> lower(upper(source)) THEN 'ToLower: Applied'
+             |       ELSE 'ToLower: No Change' END AS StatusColRule_1
+             |FROM documents""".stripMargin)),
+
+    Q("trans_cast2",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("qty_str", col("l_quantity").cast("string"))
+        val bindings = Seq(
+          RuleBinding(1, "lineitem", 1, "l_orderkey",
+            RuleSpec.Convert(1, "I2V", ConvertKind.IntToVarchar(3), Severity.Info),
+            outputColumn = Some("key_trunc"), statusColumn = Some("st1")),
+          RuleBinding(2, "lineitem", 1, "qty_str",
+            RuleSpec.Convert(2, "V2N", ConvertKind.VarcharToNumeric(10, 2), Severity.Info),
+            outputColumn = Some("qty_dec"), statusColumn = Some("st2")))
+        StageExec.lazyApply(li, bindings)
+          .select(col("l_orderkey"), col("l_linenumber"), col("key_trunc"),
+            col("qty_dec").cast("double").as("qty_dec"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  substring(CAST(l_orderkey AS VARCHAR), 1, 3) AS key_trunc,
+             |  CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(10,2)) AS DOUBLE) AS qty_dec
+             |FROM lineitem""".stripMargin)),
+
+    Q("q_event_windows",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_multijoin",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum((col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1.0) - col("l_discount")).cast("decimal(18,2)")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin)),
 
     Q("q_topk",
       (s, dir) => {
