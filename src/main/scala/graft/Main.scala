@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.CatalogIO
+import graft.exec.{EngineConfig, PipelineRunner}
+
+/** spark-submit entry point — the production shape of the engine
+  * (≡ entry point A/B of the reference, SURVEY.md §3: domain run driven
+  * entirely by the stored catalog).
+  *
+  * {{{
+  * spark-submit --class graft.Main engine.jar \
+  *   --catalog  /path/rules.parquet   \  (CatalogIO table; S1 import)
+  *   --input    /path/files.parquet   \  (repo,path,commit,lang,content)
+  *   --output   /path/kept            \
+  *   --work-dir /path/run42           \  (checkpoints + audit + manifest)
+  *   [--entity files] [--key repo,path] [--resume]
+  *   [--rule-code 115]                   (single-rule mode ≡ entry point C)
+  * }}}
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val spark = run(args)
+    spark.stop()
+  }
+
+  /** Body without the session stop (tests share one session). */
+  def run(args: Array[String]): SparkSession = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap ++ args.filter(_ == "--resume").map(_ => "resume" -> "true").toMap
+
+    def req(k: String): String = opts.getOrElse(k,
+      throw new IllegalArgumentException(s"missing --$k"))
+
+    val spark = SparkSession.builder()
+      .appName("graft-dqe")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    rules.CodeQualityCatalog.registerOps() // bespoke ops available to catalogs
+
+    val bindings0 = CatalogIO.read(spark, req("catalog"))
+    // single-rule mode ≡ DQ.sExecuteStandAloneRule
+    val bindings = opts.get("rule-code") match {
+      case Some(code) => bindings0.filter(_.code == code.toInt)
+      case None => bindings0
+    }
+    val input = spark.read.parquet(req("input"))
+    val keys = opts.getOrElse("key", "repo,path").split(",").toSeq
+    val cfg = EngineConfig(
+      entityName = opts.getOrElse("entity", "files"),
+      keyColumns = keys,
+      workDir = req("work-dir"),
+      runId = opts.getOrElse("run-id", "run"),
+      resume = opts.get("resume").contains("true"),
+      repartitionOn = keys,
+      partitionLineage = true)
+
+    val result = new PipelineRunner(spark, cfg).run(input, bindings)
+    result.output.write.mode("overwrite").parquet(req("output"))
+    println(s"[graft] plan:\n${result.planDescription}")
+    println(s"[graft] ${result.summaries.size} summary rows, " +
+      s"${result.catalogErrors.size} catalog errors; audit at ${cfg.workDir}/audit")
+    spark
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.catalog.CatalogIO
+import graft.rules.{CodeQualityCatalog, CorpusFixture}
+
+/** spark-submit entry point smoke: catalog table + input parquet →
+  * kept output + audit, end to end through Main.main. */
+class MainSpec extends SparkSpec {
+
+  test("Main runs a catalog-driven pipeline from CLI args") {
+    val dir = tmpDir("main-run")
+    CatalogIO.write(spark, CodeQualityCatalog.bindings, s"$dir/catalog")
+    CorpusFixture.generate(spark, 800).toDF
+      .write.mode("overwrite").parquet(s"$dir/input")
+
+    Main.run(Array(
+      "--catalog", s"$dir/catalog",
+      "--input", s"$dir/input",
+      "--output", s"$dir/output",
+      "--work-dir", s"$dir/work",
+      "--run-id", "mainspec"))
+
+    val out = spark.read.parquet(s"$dir/output")
+    val expect = exec.StageExec.lazyApply(
+      spark.read.parquet(s"$dir/input"), CodeQualityCatalog.bindings).count()
+    assert(out.count() == expect && out.count() > 0)
+    assert(spark.read.parquet(s"$dir/work/audit/summaries").count() > 0)
+    assert(spark.read.parquet(s"$dir/work/audit/load_tree").count() > 0)
+  }
+
+  test("Main single-rule mode (≡ DQ.sExecuteStandAloneRule)") {
+    val dir = tmpDir("main-single")
+    CatalogIO.write(spark, CodeQualityCatalog.bindings, s"$dir/catalog")
+    CorpusFixture.generate(spark, 300).toDF
+      .write.mode("overwrite").parquet(s"$dir/input")
+
+    Main.run(Array(
+      "--catalog", s"$dir/catalog",
+      "--input", s"$dir/input",
+      "--output", s"$dir/output",
+      "--work-dir", s"$dir/work",
+      "--rule-code", "110")) // only DropEmpty
+
+    val out = spark.read.parquet(s"$dir/output")
+    // only the empty/blank drop applied; all other columns untouched
+    assert(!out.columns.contains("lang_pred"))
+    val input = spark.read.parquet(s"$dir/input")
+    val expected = input.where(
+      org.apache.spark.sql.functions.expr(
+        "NOT(content IS NULL OR length(trim(content)) = 0)")).count()
+    assert(out.count() == expected)
+  }
+}
