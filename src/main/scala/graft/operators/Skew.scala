@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation helpers (SURVEY.md §7.5 "mega-repos dominate").
+  *
+  * Two standard levers, both deterministic:
+  *  - [[addSalt]]: a stable per-row salt column derived from secondary
+  *    columns, to widen a skewed range/hash partitioning key;
+  *  - [[saltedAggregate]]: two-phase aggregation for skewed group keys —
+  *    phase 1 aggregates (key, salt) groups (spreading a hot key over
+  *    `buckets` reducers), phase 2 re-aggregates by key. AQE's skew-join
+  *    handling covers joins; this covers the groupBy side.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets) from `from` columns (xxhash64 —
+    * stable across runs and replays, unlike rand()). */
+  def addSalt(df: DataFrame, buckets: Int, from: Seq[Column],
+              saltCol: String = "__salt"): DataFrame =
+    df.withColumn(saltCol, pmod(xxhash64(from: _*), lit(buckets)).cast("int"))
+
+  /** Re-aggregatable summary for the two-phase form. */
+  case class SaltedAgg(column: String, kind: String, alias: String) {
+    require(Set("count", "sum", "min", "max")(kind), s"not re-aggregatable: $kind")
+    def phase1: Column = kind match {
+      case "count" => count(if (column == "*") lit(1) else col(column)).as(alias)
+      case "sum"   => sum(col(column)).as(alias)
+      case "min"   => min(col(column)).as(alias)
+      case "max"   => max(col(column)).as(alias)
+    }
+    /** counts re-aggregate as sums; the rest are idempotent. */
+    def phase2: Column = kind match {
+      case "count" | "sum" => sum(col(alias)).as(alias)
+      case "min"           => min(col(alias)).as(alias)
+      case "max"           => max(col(alias)).as(alias)
+    }
+  }
+
+  /** Two-phase skew-safe groupBy: result-equivalent to
+    * `df.groupBy(keys).agg(...)` for count/sum/min/max, but the first
+    * shuffle spreads each hot key over `buckets` partitions. The salt is
+    * derived from all non-key columns via the row's partition id + a
+    * monotone local id, keeping phase 1 combiner-friendly. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
+                      buckets: Int = 16): DataFrame = {
+    require(aggs.nonEmpty)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(buckets)))
+    val p1 = aggs.map(_.phase1)
+    val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*).agg(p1.head, p1.tail: _*)
+    val p2 = aggs.map(_.phase2)
+    phase1.groupBy(keys.map(col): _*).agg(p2.head, p2.tail: _*)
+  }
+}

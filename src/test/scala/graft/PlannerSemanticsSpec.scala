@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog._
+import graft.compile.RuleCompiler
+import graft.exec.StageExec
+import graft.operators.Skew
+import graft.plan.SequencePlanner
+
+/** Fusion-semantics edge cases (SURVEY.md §4.3.1 / §7.5 "hard parts"):
+  * same-column sequential writers, intra-tranche chaining, and skew
+  * helpers. */
+class PlannerSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two rules writing the same column in one tranche apply sequentially by code") {
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val bindings = Seq(
+      // code 10 first: a→x ; code 11 second reads 10's output: x→y, b→z
+      RuleBinding(10, "t", 1, "v",
+        RuleSpec.ValueCorrect(1, "r1", Seq("a" -> "x")),
+        outputColumn = Some("out"), statusColumn = Some("s1")),
+      RuleBinding(11, "t", 1, "out",
+        RuleSpec.ValueCorrect(2, "r2", Seq("x" -> "y", "b" -> "z")),
+        outputColumn = Some("out"), statusColumn = Some("s2")))
+    val compiled = bindings.map(b => RuleCompiler.compile(b, df.schema))
+    val segs = SequencePlanner.plan(compiled)
+    // rule 11 reads + rewrites rule 10's output → separate stages, same segment
+    assert(segs.size == 1 && segs.head.stages.size == 2)
+    val out = StageExec.lazyApply(df, bindings)
+      .select("id", "out").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "y") // a → x (rule 10) → y (rule 11)
+    assert(out(2) == "z") // b untouched by 10, corrected by 11
+    assert(out(3) == "c")
+  }
+
+  test("rule reading a sibling's newly created column lands in a later stage") {
+    val df = Seq(("hello world", 1), ("x", 2)).toDF("txt", "id")
+    val bindings = Seq(
+      RuleBinding(20, "t", 1, "txt",
+        RuleSpec.Harmonize(1, "up", HarmonizeOp.ToUpper),
+        outputColumn = Some("txt_up")),
+      RuleBinding(21, "t", 1, "txt_up",
+        RuleSpec.Predicate(2, "flag", "LIKE 'HELLO%'", RuleAction.Flag, Severity.Info),
+        statusColumn = Some("hit")))
+    val compiled = bindings.map(b => RuleCompiler.compile(b, df.schema))
+    val segs = SequencePlanner.plan(compiled)
+    assert(segs.head.stages.size == 2)
+    val out = StageExec.lazyApply(df, bindings)
+      .select("id", "hit").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "1" && out(2) == null)
+  }
+
+  test("independent rules fuse; Catalyst collapses layered stages to one projection") {
+    val dir = tmpDir("collapse")
+    Seq(("a", "b")).toDF("c1", "c2").write.mode("overwrite").parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t")
+    val bindings = Seq(
+      RuleBinding(30, "t", 1, "c1",
+        RuleSpec.Harmonize(1, "u1", HarmonizeOp.ToUpper), outputColumn = Some("o1")),
+      RuleBinding(31, "t", 1, "c2",
+        RuleSpec.Harmonize(2, "u2", HarmonizeOp.ToUpper), outputColumn = Some("o2")),
+      RuleBinding(32, "t", 1, "o1", // chained → second stage
+        RuleSpec.Harmonize(3, "l1", HarmonizeOp.ToLower), outputColumn = Some("o3")))
+    val plan = StageExec.lazyApply(df, bindings)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // CollapseProject keeps layered projections when merging would duplicate
+    // a non-cheap expression (o1 is referenced twice) — the invariants that
+    // matter at scale: ONE scan, and every stage inside ONE codegen span.
+    assert("FileScan".r.findAllIn(plan).size == 1, plan)
+    val spans = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet
+    assert(spans == Set("*(1)"), plan)
+  }
+
+  test("saltedAggregate equals direct groupBy on skewed keys") {
+    val rows = (0 until 5000).map { i =>
+      val repo = if (i % 10 < 8) "mega" else s"repo${i % 37}" // 80% hot key
+      (repo, i.toDouble, i.toLong)
+    }
+    val df = rows.toDF("repo", "v", "n")
+    val direct = df.groupBy("repo")
+      .agg(count(lit(1)).as("cnt"), sum($"n").as("total"),
+        min($"v").as("lo"), max($"v").as("hi"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val salted = Skew.saltedAggregate(df, Seq("repo"), Seq(
+      Skew.SaltedAgg("*", "count", "cnt"), Skew.SaltedAgg("n", "sum", "total"),
+      Skew.SaltedAgg("v", "min", "lo"), Skew.SaltedAgg("v", "max", "hi")), buckets = 8)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(salted == direct)
+  }
+
+  test("addSalt widens a hot range-partition key deterministically") {
+    val df = (0 until 2000).map(i => ("mega", s"path$i")).toDF("repo", "path")
+    val salted = Skew.addSalt(df, 8, Seq(col("path")))
+    val a = salted.collect().map(_.getInt(2))
+    val b = Skew.addSalt(df, 8, Seq(col("path"))).collect().map(_.getInt(2))
+    assert(a.toSeq == b.toSeq) // stable across evaluations
+    assert(a.distinct.length == 8) // all buckets used
+  }
+}
