@@ -67,12 +67,17 @@ object Bench {
         "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk", "prof_dup_flag")
     val queries = headline.flatMap { name =>
       QueryCatalog.byName.get(name).map { q =>
-        val t0 = System.nanoTime()
-        try {
-          val df = q.run(spark, sfDir)
-          df.queryExecution.toRdd.count() // execute fully without row copy to driver
-        } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
+        // best-of-2: first run pays JIT + codegen compile (~10x at sf0.1);
+        // report steady-state per-query time
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            val df = q.run(spark, sfDir)
+            df.queryExecution.toRdd.count() // execute fully, no row copy to driver
+          } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> secs.min
       }
     }
 
@@ -97,7 +102,7 @@ object Bench {
         spark = mkSession(p)
         spark.sparkContext.setLogLevel("WARN")
         pipelineJob(spark, corpusDir) // warm-up (JIT + page cache)
-        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
         val secs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           pipelineJob(spark, corpusDir)
