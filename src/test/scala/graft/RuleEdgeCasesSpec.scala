@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog._
+import graft.exec.StageExec
+import graft.functions.TextFunctions
+
+/** Reference-semantics edge cases called out in SURVEY.md §7.5/§7.6. */
+class RuleEdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("OptionalFilterClause scopes a rewrite: out-of-scope rows keep pre-image, NULL status") {
+    val df = Seq((1, "aa", "x"), (2, "bb", "y"), (3, "aa", "y")).toDF("id", "v", "grp")
+    val b = RuleBinding(1, "t", 1, "v",
+      RuleSpec.Harmonize(1, "up", HarmonizeOp.ToUpper),
+      outputColumn = Some("out"), statusColumn = Some("st"),
+      optionalFilter = Some("grp = 'y'"))
+    val rows = StageExec.lazyApply(df, Seq(b))
+      .select("id", "out", "st").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(1) == ("aa", null)) // outside filter: untouched, no status
+    assert(rows(2) == ("BB", "ToUpper: Applied"))
+    assert(rows(3) == ("AA", "ToUpper: Applied"))
+  }
+
+  test("OptionalFilterClause scopes a Drop: only matching rows inside the filter are deleted") {
+    val df = Seq((1, 5, "y"), (2, 5, "n"), (3, 50, "y")).toDF("id", "v", "grp")
+    val b = RuleBinding(1, "t", 1, "v",
+      RuleSpec.Predicate(1, "drop", "< 10", RuleAction.Drop, Severity.Fatal),
+      optionalFilter = Some("grp = 'y'"))
+    val kept = StageExec.lazyApply(df, Seq(b)).select("id").collect().map(_.getInt(0)).toSet
+    assert(kept == Set(2, 3)) // id=1 dropped; id=2 matches pred but not filter
+  }
+
+  test("OptionalFilterClause scopes RowCount (P6)") {
+    val df = Seq((1, "y"), (2, "y"), (3, "n")).toDF("id", "grp")
+    val b = RuleBinding(1, "t", 1, RuleBinding.IgnoreColumn,
+      RuleSpec.Profile(1, "cnt", ProfileKind.RowCount, Severity.Info),
+      optionalFilter = Some("grp = 'y'"))
+    val cfg = exec.EngineConfig("t", Seq("id"), tmpDir("edge-p6"), runId = "e1")
+    val res = new exec.PipelineRunner(spark, cfg).run(df, Seq(b))
+    assert(res.summaries.find(_.ruleAssocCode == 1).get.rowsAffected == 2)
+  }
+
+  test("H6 ReplaceValue: quoted replacement preserves leading spaces; exact vs LIKE modes") {
+    val df = Seq((1, "abcX"), (2, "exact"), (3, "zzz")).toDF("id", "v")
+    val bindings = Seq(
+      RuleBinding(1, "t", 1, "v",
+        RuleSpec.Harmonize(1, "r1", HarmonizeOp.ReplaceValue("%X%", "\" Y\"")),
+        outputColumn = Some("o1")),
+      RuleBinding(2, "t", 1, "v",
+        RuleSpec.Harmonize(2, "r2", HarmonizeOp.ReplaceValue("exact", "done")),
+        outputColumn = Some("o2")))
+    val rows = StageExec.lazyApply(df, bindings)
+      .select("id", "o1", "o2").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(1)._1 == "abc Y") // '%X%' LIKE mode: X replaced by ' Y' (quotes stripped)
+    assert(rows(2) == ("exact", "done")) // exact mode replaces whole value
+    assert(rows(3) == ("zzz", "zzz"))
+  }
+
+  test("E2 IndicatorFlag status column fallback chain: Output → Status → default") {
+    val df = Seq((1, 5), (2, 50)).toDF("id", "v")
+    def flag(out: Option[String], st: Option[String]) =
+      RuleBinding(7, "t", 1, "v",
+        RuleSpec.Predicate(1, "f", "> 10", RuleAction.Flag, Severity.Info),
+        outputColumn = out, statusColumn = st)
+    assert(StageExec.lazyApply(df, Seq(flag(Some("o"), Some("s")))).columns.contains("o"))
+    assert(StageExec.lazyApply(df, Seq(flag(None, Some("s")))).columns.contains("s"))
+    assert(StageExec.lazyApply(df, Seq(flag(None, None))).columns.contains("StatusColRule_7"))
+  }
+
+  test("V1 value-correct with interleaved Correct status (eval already preferred)") {
+    val df = Seq((1, "M"), (2, "10"), (3, "L"), (4, null: String)).toDF("id", "size")
+    val b = RuleBinding(1, "t", 1, "size",
+      RuleSpec.ValueCorrect(1, "vc", Seq("M" -> "10", "NULL" -> "0")),
+      outputColumn = Some("out"), statusColumn = Some("st"))
+    val rows = StageExec.lazyApply(df, Seq(b))
+      .select("id", "out", "st").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(1) == ("10", "Corrected"))
+    assert(rows(2) == ("10", "Correct")) // already the preferred value
+    assert(rows(3) == ("L", "Warning: No Rule Applied"))
+    assert(rows(4) == ("0", "Corrected")) // 'NULL' sentinel
+  }
+
+  test("F1 date format: all separator variants normalize; month-length + leap checks") {
+    val cases = Seq(
+      ("25/12/2020", 1), ("25-12-2020", 1), ("25.12.2020", 1),
+      ("25 12 2020", 1), ("25,12,2020", 1), ("25\\12\\2020", 1),
+      ("29/02/2020", 1),  // leap year
+      ("29/02/2021", 0),  // not a leap year
+      ("29/02/2000", 1),  // %400 leap
+      ("29/02/1900", 0),  // %100 not leap
+      ("31/04/2020", 0),  // April has 30
+      ("00/01/2020", 0), ("13/13/2020", 0),
+      ("1/1/2020", 1),    // single-digit accepted, as reference
+      ("2020/01/01", 0),  // wrong part order for DD/MM/YYYY
+      ("garbage", 0), ("", 0))
+    val got = cases.map(_._1).toDF("s")
+      .select(col("s"), TextFunctions.checkDateFormat(col("s"), "DD/MM/YYYY"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    cases.foreach { case (s, expect) => assert(got(s) == expect, s"date '$s'") }
+  }
+
+  test("F1 YYYYMMDD and two-digit-year formats") {
+    val ymd = Seq(("20201225", 1), ("20210229", 0), ("20200229", 1), ("2020122", 0), ("garbage", 0))
+    val gotY = ymd.map(_._1).toDF("s")
+      .select(col("s"), TextFunctions.checkDateFormat(col("s"), "YYYYMMDD"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    ymd.foreach { case (s, e) => assert(gotY(s) == e, s"YYYYMMDD '$s'") }
+    val dmy = Seq(("25/12/20", 1), ("31/02/21", 0), ("29/02/20", 1), ("25/12/2020", 0))
+    val gotD = dmy.map(_._1).toDF("s")
+      .select(col("s"), TextFunctions.checkDateFormat(col("s"), "DD/MM/YY"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    dmy.foreach { case (s, e) => assert(gotD(s) == e, s"DD/MM/YY '$s'") }
+    val mdy = Seq(("12/25/2020", 1), ("25/12/2020", 0))
+    val gotM = mdy.map(_._1).toDF("s")
+      .select(col("s"), TextFunctions.checkDateFormat(col("s"), "MM/DD/YYYY"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    mdy.foreach { case (s, e) => assert(gotM(s) == e, s"MM/DD/YYYY '$s'") }
+  }
+
+  test("R3 attribute comparison: '<>' mismatch predicate with per-row statuses") {
+    val dq = Seq((1, 10, 100.0), (2, 20, 50.0), (3, 99, 10.0)).toDF("id", "fk", "price")
+    val ref = Seq((10, 100.0), (20, 60.0)).toDF("rk", "rprice")
+    val b = RuleBinding(1, "t", 1, "fk",
+      RuleSpec.Reference(1, "cmp",
+        RefMode.AttributeComparison("ref", "dq.fk = ref.rk", "dq.price <> ref.rprice"),
+        Severity.Issue),
+      statusColumn = Some("st"))
+    val rows = StageExec.lazyApply(dq, Seq(b), Map("ref" -> ref))
+      .select("id", "st").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows(1) == "SUCCESS: Join established and attribute matched")
+    assert(rows(2) == "FAILURE: Join established but attribute comparison failed")
+    assert(rows(3) == "No Join Possible")
+  }
+}
