@@ -86,6 +86,20 @@ object Bench {
     pipelineJob(spark, corpusDir)
     val pipeSec = (System.nanoTime() - tP0) / 1e9
 
+    // full materializing runner (checkpoints + observe audit + row history):
+    // quantifies the audit overhead vs the lazy pipeline
+    val auditSec =
+      if (sys.env.getOrElse("SPARK_GRAFT_AUDIT_BENCH", "1") == "1") {
+        val wd = java.nio.file.Files.createTempDirectory("graft-bench-audit").toString
+        val cfg = exec.EngineConfig("files", Seq("repo", "path"), wd,
+          runId = "bench", partitionLineage = true)
+        val tA0 = System.nanoTime()
+        val res = new exec.PipelineRunner(spark, cfg)
+          .run(spark.read.parquet(corpusDir), rules.CodeQualityCatalog.bindings)
+        res.output.queryExecution.toRdd.count()
+        (System.nanoTime() - tA0) / 1e9
+      } else 0.0
+
     // ---- part 2: N vs 4N scaling protocol on identical input
     // N defaults to 4 (→ 4N = 16): this host reports 32 logical CPUs but
     // delivers ~16 effective cores (16 physical + SMT; a pure-CPU
@@ -124,7 +138,7 @@ object Bench {
     val total = queries.map(_._2).sum + pipeSec
     val thrAtCpus = benchRows / pipeSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_rows":$benchRows,"pipeline_sec":$pipeSec%.3f,"pipeline_files_per_sec":$thrAtCpus%.1f$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_rows":$benchRows,"pipeline_sec":$pipeSec%.3f,"pipeline_files_per_sec":$thrAtCpus%.1f,"pipeline_with_audit_sec":$auditSec%.3f$scalingJson}""")
     spark.stop()
   }
 }

@@ -55,6 +55,11 @@ case class CompiledRule(
     dropAfterProject: Seq[String] = Nil,
     /** keep = rows surviving this rule (Drop action). */
     keepPredicate: Option[Column] = None,
+    /** raw drop predicate (pre-image, filter-scoped) — lets the planner fuse
+      * consecutive Drop rules with first-match-wins attribution. */
+    dropPredicate: Option[Column] = None,
+    /** set by the planner: this rule ends its materialization segment. */
+    closesSegment: Boolean = false,
     scalarSummaries: Seq[ScalarSummary] = Nil,
     groupedJobs: Seq[GroupedJob] = Nil,
     hit: Option[HitSpec] = None,
@@ -222,6 +227,7 @@ object RuleCompiler {
         CompiledRule(b,
           internalColumns = Seq(hitFlag -> coalesce(pred, lit(false))),
           keepPredicate = Some(!pred || pred.isNull),
+          dropPredicate = Some(pred),
           scalarSummaries = Seq(ScalarSummary(
             meta.copy(messageTemplate = s"Rows deleted by: $fullSql"),
             cntAgg, ScalarKind.CountAffected)),

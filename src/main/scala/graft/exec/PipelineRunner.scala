@@ -30,6 +30,11 @@ import graft.audit._
   *                   break mega-repo skew
   * @param partitionLineage record per-file row counts per segment into the
   *                   manifest (per-partition lineage)
+  * @param rowHistory which rules write per-row hits to the row-history
+  *                   audit table: "all" (full reference parity — every
+  *                   affected row of every rule, including always-firing
+  *                   metric rules), "violations" (default: Drop rules and
+  *                   Fatal/Issue severities only) or "off"
   */
 case class EngineConfig(
     entityName: String,
@@ -40,7 +45,8 @@ case class EngineConfig(
     repartitionOn: Seq[String] = Nil,
     numPartitions: Option[Int] = None,
     saltColumn: Option[String] = None,
-    partitionLineage: Boolean = false)
+    partitionLineage: Boolean = false,
+    rowHistory: String = "violations")
 
 case class RunResult(
     output: DataFrame,
@@ -183,6 +189,15 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     filtered.drop(internal: _*)
   }
 
+  private val debugTiming = sys.env.get("GRAFT_DEBUG_TIMING").contains("1")
+  private def phase[T](seg: Int, name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (debugTiming)
+      System.err.println(f"[runner] seg$seg $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
   /** Runs one segment: fused projections + observe metrics + checkpoint
     * write + row-history extraction + grouped profile jobs. */
   private def runSegment(input: DataFrame, seg: Segment, loadId: Long): Seq[SummaryDraft] = {
@@ -202,7 +217,9 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
       }
     }
     // materialize: single write action evaluates every stage + observe node
-    df.write.mode("overwrite").parquet(s"${segDir(seg.id)}/data")
+    phase(seg.id, "checkpoint-write") {
+      df.write.mode("overwrite").parquet(s"${segDir(seg.id)}/data")
+    }
 
     val scalarDrafts = observations.flatMap { case (_, obs, metrics) =>
       val vals = obs.get
@@ -214,8 +231,10 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     }
 
     val ckpt = spark.read.parquet(s"${segDir(seg.id)}/data")
-    writeRowHits(ckpt, seg, loadId)
-    val groupedDrafts = seg.rules.flatMap(_.groupedJobs).flatMap(_.run(ckpt))
+    phase(seg.id, "row-hits") { writeRowHits(ckpt, seg, loadId) }
+    val groupedDrafts = phase(seg.id, "grouped-jobs") {
+      seg.rules.flatMap(_.groupedJobs).flatMap(_.run(ckpt))
+    }
     scalarDrafts.toSeq ++ groupedDrafts
   }
 
@@ -244,7 +263,13 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     * projection as the rule (no predicate re-evaluation, unlike the
     * reference which re-runs each predicate 2-3×, SURVEY.md §4.1). */
   private def writeRowHits(ckpt: DataFrame, seg: Segment, loadId: Long): Unit = {
-    val hitRules = seg.rules.flatMap(r => r.hit.map(h => (r, h)))
+    if (config.rowHistory == "off") return
+    val hitRules = seg.rules.flatMap(r => r.hit.map(h => (r, h))).filter { case (r, _) =>
+      config.rowHistory == "all" || r.keepPredicate.nonEmpty ||
+        r.scalarSummaries.headOption.exists(s =>
+          s.meta.severityName == Severity.Fatal.name ||
+          s.meta.severityName == Severity.Issue.name)
+    }
     if (hitRules.isEmpty) return
     val structs = hitRules.map { case (r, h) =>
       val b = r.binding

@@ -47,7 +47,7 @@ class EngineSpec extends SparkSpec {
   )
 
   lazy val cfg = EngineConfig("product", Seq("ProductId", "Name"), tmpDir("engine-spec"),
-    runId = "t1")
+    runId = "t1", rowHistory = "all") // full reference-parity row history
   lazy val result = new PipelineRunner(spark, cfg).run(productDf, bindings)
 
   test("value correction: first-match-wins + NULL sentinel + Correct/Corrected status") {
