@@ -1,0 +1,56 @@
+package graft.exec
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.audit.{LoadNode, LoadStatus}
+import graft.catalog.RuleBinding
+
+/** Multi-entity "domain" execution — the Spark-native MasterController /
+  * DQ.sGetDomainEntities loop (SURVEY.md §3 entry point A/B): one run
+  * processes every active entity of a rule domain, each with its own
+  * working directory and audit trail, all parented under a master load
+  * node (≡ the Audit.RoutineLoad tree root written by MasterController.dtsx).
+  *
+  * Entities are independent: the reference iterates them sequentially
+  * (SSIS FECL); here each entity's pipeline is still one Spark job chain,
+  * and a failure in one entity is recorded and does not stop siblings
+  * (≡ errors re-raised at severity 10 "so sibling rules continue",
+  * $P/DQ.sApplyDQRuleExpression.sql:616).
+  */
+object DomainRunner {
+
+  case class DomainEntity(
+      name: String,
+      data: DataFrame,
+      bindings: Seq[RuleBinding],
+      keyColumns: Seq[String],
+      refTables: Map[String, DataFrame] = Map.empty)
+
+  case class DomainResult(
+      domain: String,
+      masterLoad: LoadNode,
+      results: Map[String, Either[Throwable, RunResult]])
+
+  def run(spark: SparkSession, domain: String, entities: Seq[DomainEntity],
+          workDir: String, runId: String = "domain-run",
+          resume: Boolean = false): DomainResult = {
+    val t0 = new Timestamp(System.currentTimeMillis())
+    val results = entities.map { e =>
+      // only bindings targeting this entity, active ones, ordered by code
+      val scoped = e.bindings.filter(b => b.active && b.entity == e.name)
+      val cfg = EngineConfig(e.name, e.keyColumns, s"$workDir/${e.name}",
+        runId = s"$runId-${e.name}", resume = resume)
+      e.name -> (try Right(new PipelineRunner(spark, cfg).run(e.data, scoped, e.refTables))
+      catch { case t: Throwable => Left(t) })
+    }.toMap
+    val tEnd = new Timestamp(System.currentTimeMillis())
+    val status =
+      if (results.values.forall(_.isRight)) LoadStatus.Success else LoadStatus.Failure
+    val master = LoadNode(math.abs(runId.hashCode.toLong), None,
+      s"Domain $domain (${entities.size} entities)", status, t0, Some(tEnd),
+      Some((tEnd.getTime - t0.getTime) / 1000.0))
+    DomainResult(domain, master, results)
+  }
+}

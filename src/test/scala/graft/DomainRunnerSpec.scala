@@ -1,0 +1,44 @@
+package graft
+
+import graft.catalog._
+import graft.exec.DomainRunner
+
+class DomainRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domain run processes every entity; a failing entity doesn't stop siblings") {
+    val products = Seq((1, "M"), (2, "L")).toDF("ProductId", "Size")
+    val people = Seq((1, "Mr"), (2, "Dr")).toDF("PersonId", "Title")
+
+    val bindings = Seq(
+      RuleBinding(10, "product", 1, "Size",
+        RuleSpec.ValueCorrect(1, "vc", Seq("M" -> "10")),
+        outputColumn = Some("SizeOut")),
+      RuleBinding(20, "person", 1, "Title",
+        RuleSpec.Reference(2, "titles",
+          RefMode.ListReference(Seq("Mr", "Mrs", "Ms")), Severity.Issue),
+        statusColumn = Some("PersonTitleCheck")),
+      // entity with a broken rule: evaluation column missing → catalog
+      // error logged, run still succeeds with the rule skipped
+      RuleBinding(30, "broken", 1, "NoSuchColumn",
+        RuleSpec.Harmonize(3, "x", HarmonizeOp.ToUpper)))
+
+    val res = DomainRunner.run(spark, "TestDomain", Seq(
+      DomainRunner.DomainEntity("product", products, bindings, Seq("ProductId")),
+      DomainRunner.DomainEntity("person", people, bindings, Seq("PersonId")),
+      DomainRunner.DomainEntity("broken", products, bindings, Seq("ProductId"))),
+      tmpDir("domain-run"))
+
+    assert(res.results.size == 3)
+    assert(res.masterLoad.status == "SUCCESS")
+    val product = res.results("product").toOption.get
+    assert(product.output.columns.contains("SizeOut"))
+    assert(!product.output.columns.contains("PersonTitleCheck")) // scoped per entity
+    val person = res.results("person").toOption.get
+    val titles = person.output.select("PersonId", "PersonTitleCheck").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(titles(1) == "Reference Found" && titles(2) == "Missing Reference Value")
+    val broken = res.results("broken").toOption.get
+    assert(broken.catalogErrors.nonEmpty) // fatal pre-check recorded, siblings ran
+  }
+}
