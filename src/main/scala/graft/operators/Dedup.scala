@@ -43,22 +43,27 @@ object Dedup {
     val sigs = df.select(idCol.as("__id"),
       HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig"))
 
-    // band key = hash of the band's slice of the signature
-    val banded = sigs.select(col("__id"), col("__sig"),
+    // band key = hash of the band's slice of the signature. The exploded
+    // band relation carries ONLY (id, band, bucket) — never the signature —
+    // so the bucket shuffle moves 3 small ints per (row × band), not the
+    // full signature ×bands. Signatures re-join by id for verification
+    // (the candidate set is tiny relative to the corpus).
+    val banded = sigs.select(col("__id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
         .as(Seq("__band", "__bucket")))
 
-    val a = banded.select(col("__band"), col("__bucket"),
-      col("__id").as("__id_a"), col("__sig").as("__sig_a"))
-    val b = banded.select(col("__band"), col("__bucket"),
-      col("__id").as("__id_b"), col("__sig").as("__sig_b"))
+    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("__id_a"))
+    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("__id_b"))
     val candidates = a.join(b, Seq("__band", "__bucket"))
       .where(col("__id_a") < col("__id_b"))
-      .select("__id_a", "__id_b", "__sig_a", "__sig_b")
+      .select("__id_a", "__id_b")
       .dropDuplicates("__id_a", "__id_b")
 
-    val est = candidates.withColumn("__jacc",
+    val withSigs = candidates
+      .join(sigs.select(col("__id").as("__id_a"), col("__sig").as("__sig_a")), Seq("__id_a"))
+      .join(sigs.select(col("__id").as("__id_b"), col("__sig").as("__sig_b")), Seq("__id_b"))
+    val est = withSigs.withColumn("__jacc",
       expr("size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), v -> v))")
         .cast("double") / lit(numHashes))
     val drops = est.where(col("__jacc") >= jaccardThreshold)
@@ -96,22 +101,29 @@ object Dedup {
                         shingleSize: Int = 5, threshold: Double = 0.8,
                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val prepped = df.select(idCol.as("__id"), textCol.as("__text"),
-      HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig"))
-      .withColumn("__shingles", expr(
-        s"array_distinct(transform(sequence(0, greatest(length(__text) - $shingleSize, 0)), i -> substring(__text, i + 1, $shingleSize)))"))
+    val shingleArr = array_distinct(transform(
+      sequence(lit(0), greatest(length(textCol) - shingleSize, lit(0))),
+      i => textCol.substr(i + 1, lit(shingleSize))))
+    val prepped = df.select(idCol.as("__id"),
+      HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig"),
+      shingleArr.as("__shingles"))
 
-    val banded = prepped.select(col("__id"), col("__shingles"),
+    // candidate generation on (id, band, bucket) only; the (large) shingle
+    // sets re-join by id for the exact-Jaccard verification of the (small)
+    // candidate set — text-derived arrays never ride the ×bands explode
+    val banded = prepped.select(col("__id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
         .as(Seq("__band", "__bucket")))
-    val a = banded.select(col("__band"), col("__bucket"),
-      col("__id").as("doc_id_a"), col("__shingles").as("__sh_a"))
-    val b = banded.select(col("__band"), col("__bucket"),
-      col("__id").as("doc_id_b"), col("__shingles").as("__sh_b"))
+    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("doc_id_a"))
+    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("doc_id_b"))
+    val shingles = prepped.select(col("__id"), col("__shingles"))
     a.join(b, Seq("__band", "__bucket"))
       .where(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
       .dropDuplicates("doc_id_a", "doc_id_b")
+      .join(shingles.select(col("__id").as("doc_id_a"), col("__shingles").as("__sh_a")), Seq("doc_id_a"))
+      .join(shingles.select(col("__id").as("doc_id_b"), col("__shingles").as("__sh_b")), Seq("doc_id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
           / size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
