@@ -1,0 +1,18 @@
+package graft
+
+/** Driver-contract smoke: entry() returns rows on sf0.001 and carries the
+  * pipeline's derived columns. */
+class EntrySpec extends SparkSpec {
+  test("entry returns kept rows with pipeline columns on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    val cols = df.columns.toSet
+    assert(Set("repo", "path", "commit", "lang", "content",
+      "lang_pred", "surprisal", "scrub_status").subsetOf(cols))
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size >= 40)
+  }
+}
