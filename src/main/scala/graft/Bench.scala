@@ -109,7 +109,7 @@ object Bench {
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
     var scalingJson = ""
     if (doScaling) {
-      def timed(p: Int): Double = {
+      def timed(p: Int): (Double, Seq[Double]) = {
         spark.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
         System.gc() // drop prior session garbage before timing
@@ -123,15 +123,16 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         System.err.println(f"[bench] local[$p] reps: ${secs.map(s => f"$s%.2f").mkString(", ")}")
-        benchRows / secs.min // best-of-N: steady-state throughput
+        (benchRows / secs.min, secs) // best-of-N: steady-state throughput
       }
       // 4N first, N last: any later-run JIT/warm-up advantage then favors
       // the DENOMINATOR, making the reported efficiency conservative
-      val thr4N = timed(scaleN * 4)
-      val thrN = timed(scaleN)
+      val (thr4N, reps4N) = timed(scaleN * 4)
+      val (thrN, repsN) = timed(scaleN)
       val eff = thr4N / (4.0 * thrN)
+      def arr(xs: Seq[Double]) = xs.map(s => f"$s%.2f").mkString("[", ",", "]")
       scalingJson =
-        f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":$thrN%.1f,"files_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f}"""
+        f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":$thrN%.1f,"files_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f,"rep_secs_4n":${arr(reps4N)},"rep_secs_n":${arr(repsN)}}"""
     }
 
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
