@@ -62,9 +62,11 @@ object Bench {
     val headline =
       if (sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") != "1") Seq.empty[String]
       else Seq(
-        "q1_agg", "q_window", "q_topk", "ref_table", "ref_integrity",
+        "q1_agg", "q_window", "q_topk", "q_multijoin", "q_event_windows",
+        "ref_table", "ref_integrity",
         "vc_value_correct", "scrub_pii", "text_langid", "text_quality",
-        "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk", "prof_dup_flag")
+        "text_fingerprint", "dedup_exact", "dedup_minhash", "dedup_simhash",
+        "ann_topk", "prof_dup_flag", "prof_col_dist")
     val queries = headline.flatMap { name =>
       QueryCatalog.byName.get(name).map { q =>
         // best-of-2: first run pays JIT + codegen compile (~10x at sf0.1);

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Bucketed co-located joins (SURVEY.md §2.10 / the scale checklist):
+  * pre-bucketing both sides of a recurring join key removes the shuffle
+  * from every downstream join — the batch analogue of co-partitioned
+  * storage at cluster scale. */
+class BucketingSpec extends SparkSpec {
+
+  test("join of two tables bucketed on the key is shuffle-free") {
+    // managed tables land in the default warehouse; dropped in finally
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS part_b")
+
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    li.write.bucketBy(8, "l_partkey").sortBy("l_partkey")
+      .mode("overwrite").saveAsTable("li_b")
+    part.write.bucketBy(8, "p_partkey").sortBy("p_partkey")
+      .mode("overwrite").saveAsTable("part_b")
+
+    // disable broadcast so the join strategy must rely on partitioning
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("part_b"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // SortMergeJoin with NO exchange below it: bucket layout is reused
+      assert(plan.contains("SortMergeJoin"), plan)
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      val belowJoin = plan.substring(joinIdx)
+      assert(!belowJoin.contains("Exchange hashpartitioning(l_partkey"),
+        s"bucketed side must not reshuffle:\n$plan")
+      assert(!belowJoin.contains("Exchange hashpartitioning(p_partkey"),
+        s"bucketed side must not reshuffle:\n$plan")
+      // and the result is still correct
+      val n = joined.agg(sum(col("n"))).head().getLong(0)
+      assert(n == li.join(part, col("l_partkey") === col("p_partkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS part_b")
+    }
+  }
+}
