@@ -9,6 +9,13 @@ import org.apache.spark.sql.types.StructType
   * The reference validates lazily per rule at execution time; we validate the
   * whole catalog against the entity schema before a single executor task runs,
   * producing either a clean worklist or typed errors for the audit trail.
+  *
+  * Of the reference's three fatal pre-checks, the ">1 rule category populated
+  * on one association" check ($P/DQ.sApplyDQRuleValueCorrect.sql:283-304) is
+  * made UNREPRESENTABLE here rather than validated: a [[RuleBinding]] holds
+  * exactly one [[RuleSpec]], which is exactly one category by construction
+  * (and [[CatalogIO.fromRow]] decodes the stored wide row through the same
+  * single-category ADT).
   */
 object CatalogValidator {
 
@@ -47,13 +54,27 @@ object CatalogValidator {
     // A rule may evaluate a column produced by an EARLIER rule (reference:
     // output columns are ALTER TABLE ADDed as rules execute, so later rules
     // see them — the documented cross-tranche chaining, SURVEY.md §4.3.1).
-    // Walk in execution order (sequence, then code) accumulating outputs.
+    // Walk in execution order (sequence, then code) accumulating the columns
+    // each rule type ACTUALLY creates (mirrors RuleCompiler's writes).
+    def createdBy(b: RuleBinding): Set[String] = (b.spec match {
+      case _: RuleSpec.ValueCorrect => Set(b.resolvedOutput, b.resolvedStatus)
+      case RuleSpec.Predicate(_, _, _, RuleAction.Flag, _) =>
+        Set(b.outputColumn.orElse(b.statusColumn).getOrElse(b.resolvedStatus))
+      case _: RuleSpec.Predicate => Set.empty[String] // Log/Drop write nothing
+      case _: RuleSpec.Harmonize => Set(b.resolvedOutput, b.resolvedStatus)
+      case _: RuleSpec.Reference => Set(b.resolvedStatus)
+      case RuleSpec.Profile(_, _, _: ProfileKind.DataTypeCheck, _) |
+           RuleSpec.Profile(_, _, _: ProfileKind.DuplicatesFlag, _) =>
+        Set(b.resolvedStatus)
+      case _: RuleSpec.Profile => Set.empty[String] // pure aggregations
+      case _: RuleSpec.Convert => Set(b.resolvedOutput, b.resolvedStatus)
+    }).map(_.toLowerCase)
     val ordered = bindings.filter(_.active).sortBy(b => (b.sequence, b.code))
     val availableAt: Map[Int, Set[String]] = {
       var avail = inputCols
       ordered.map { b =>
         val at = b.code -> avail
-        avail = avail + b.resolvedOutput.toLowerCase + b.resolvedStatus.toLowerCase
+        avail = avail ++ createdBy(b)
         at
       }.toMap
     }

@@ -1,0 +1,83 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage abstraction for engine tables (SURVEY.md §7.1 io/).
+  *
+  * Production target is an Iceberg catalog (snapshot ids, atomic commits,
+  * time travel); this sandbox has no iceberg-spark-runtime jar and an
+  * offline resolver (verified — SURVEY.md §7.4), so [[ParquetSnapshotIO]]
+  * emulates the snapshot contract with parquet directories plus an atomic
+  * manifest: every commit is a new immutable `snap-N` directory, the
+  * manifest records the live history, and readers address any retained
+  * snapshot — the properties checkpoint/resume needs (replay a known-good
+  * snapshot, never observe a half-written one).
+  */
+trait TableIO {
+  /** Commit df as a NEW snapshot of `table`; returns the snapshot id. */
+  def commit(table: String, df: DataFrame): Long
+  /** Append-only audit write (no snapshot semantics needed). */
+  def append(table: String, df: DataFrame): Unit
+  /** Read the latest snapshot. */
+  def read(table: String): DataFrame
+  /** Read a specific snapshot (time travel). */
+  def readSnapshot(table: String, snapshotId: Long): DataFrame
+  /** Live snapshot ids, oldest first. */
+  def snapshots(table: String): Seq[Long]
+  /** Expire all but the newest `retain` snapshots (≡ S9 retention). */
+  def expireSnapshots(table: String, retain: Int): Unit
+}
+
+class ParquetSnapshotIO(spark: SparkSession, root: String) extends TableIO {
+  private def tableDir(t: String) = Paths.get(root, t)
+  private def manifest(t: String) = tableDir(t).resolve("_snapshots")
+
+  override def snapshots(table: String): Seq[Long] =
+    if (Files.exists(manifest(table)))
+      Files.readAllLines(manifest(table)).asScala.toSeq.filter(_.nonEmpty).map(_.toLong)
+    else Seq.empty
+
+  private def writeManifest(table: String, ids: Seq[Long]): Unit = {
+    val tmp = tableDir(table).resolve("_snapshots.tmp")
+    Files.createDirectories(tableDir(table))
+    Files.writeString(tmp, ids.mkString("\n") + "\n")
+    // atomic publish: a crash before this move leaves the old history intact
+    Files.move(tmp, manifest(table), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def commit(table: String, df: DataFrame): Long = {
+    val prev = snapshots(table)
+    val id = prev.lastOption.getOrElse(0L) + 1L
+    df.write.mode("overwrite").parquet(s"$root/$table/snap-$id")
+    writeManifest(table, prev :+ id) // manifest move = the commit point
+    id
+  }
+
+  override def append(table: String, df: DataFrame): Unit =
+    df.write.mode("append").parquet(s"$root/$table/log")
+
+  override def read(table: String): DataFrame = {
+    val ids = snapshots(table)
+    require(ids.nonEmpty, s"table $table has no snapshots")
+    readSnapshot(table, ids.last)
+  }
+
+  override def readSnapshot(table: String, snapshotId: Long): DataFrame =
+    spark.read.parquet(s"$root/$table/snap-$snapshotId")
+
+  override def expireSnapshots(table: String, retain: Int): Unit = {
+    val ids = snapshots(table)
+    val (expire, keep) = ids.splitAt(math.max(ids.size - retain, 0))
+    writeManifest(table, keep) // unpublish first, then delete files
+    expire.foreach { id =>
+      val dir = Paths.get(s"$root/$table/snap-$id")
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+    }
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import graft.io.ParquetSnapshotIO
+
+class TableIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshot commit / time travel / retention / atomic manifest") {
+    val io = new ParquetSnapshotIO(spark, tmpDir("tableio"))
+    val s1 = io.commit("t", Seq(1, 2, 3).toDF("v"))
+    val s2 = io.commit("t", Seq(4, 5).toDF("v"))
+    val s3 = io.commit("t", Seq(6).toDF("v"))
+    assert(io.snapshots("t") == Seq(s1, s2, s3))
+    assert(io.read("t").count() == 1)                    // latest
+    assert(io.readSnapshot("t", s1).count() == 3)        // time travel
+    io.expireSnapshots("t", retain = 2)
+    assert(io.snapshots("t") == Seq(s2, s3))
+    assert(io.readSnapshot("t", s2).count() == 2)
+    intercept[Exception] { io.readSnapshot("t", s1).count() } // expired
+  }
+
+  test("append-only log accumulates across writes") {
+    val root = tmpDir("tableio2")
+    val io = new ParquetSnapshotIO(spark, root)
+    io.append("audit", Seq("a").toDF("x"))
+    io.append("audit", Seq("b", "c").toDF("x"))
+    assert(spark.read.parquet(s"$root/audit/log").count() == 3)
+  }
+}
