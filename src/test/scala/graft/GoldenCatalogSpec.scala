@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog._
+import graft.exec.{EngineConfig, PipelineRunner}
+
+/** The reference's only correctness artifact, made executable: the seeded
+  * MDS model's association catalog ($MDS DataQuality.pkg, 29 bindings over
+  * 5 AdventureWorks2012 entities) reproduced in shape and parameter values
+  * against deterministic synthetic entity tables (FIXTURES.md §2-3).
+  * Every rule category × type appears with its seeded configuration
+  * (Size NULL→0 / M→10, ProductId 1→2, OrderQty expressions, the IGNORE
+  * date predicate, the Title reference list, etc.).
+  */
+class GoldenCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- FIXTURES.md §2 entity tables (tiny, typed, seeded shapes) ---------
+  private lazy val product = Seq(
+    (1, "HL Road Frame", "FR-R92B-58", "Black", "M", "01/06/2002", "43.50"),
+    (2, "LL Fork", "FK-1639", "Red", null, "15/07/2002", "9.25"),
+    (3, "Seat - Post", "SP 2098", "Silver", "L", "30/02/2002", "x"), // bad date, bad weight
+    (3, "Seat - Post", "SP 2098", "Silver", "L", "30/02/2002", "x"), // dup key
+    (4, "Chainring", "CR-7833", "", "M", "12/12/2002", "0.01")
+  ).toDF("ProductId", "Name", "ProductNumber", "Color", "Size", "SellStartDate", "Weight")
+
+  private lazy val salesOrder = Seq(
+    (1, 1, 3, "4911-403C-98"), (2, 2, 12, "6431-4D57-83"),
+    (3, 3, 1, null), (4, 99, 25, "4911-403C-98")
+  ).toDF("SalesOrderId", "ProductId", "OrderQty", "CarrierTrackingNumber")
+
+  private lazy val workOrder = Seq(
+    (1, 1, 5, 5, "01/01/2020", "05/01/2020"),
+    (2, 2, 3, 2, "10/02/2020", "01/02/2020"), // EndDate < StartDate
+    (3, 3, 8, 8, "03/03/2020", "03/03/2020")  // EndDate = StartDate
+  ).toDF("WorkOrderId", "ProductId", "OrderQty", "StockedQty", "StartDate", "EndDate")
+
+  private lazy val person = Seq(
+    (1, "Mr", "Ken"), (2, "Sra", "Rosa"), (3, "Dr", "Greg"), (4, null, "Ann")
+  ).toDF("PersonId", "Title", "FirstName")
+
+  private lazy val refProduct = Seq(1, 2, 3).toDF("ProductId")
+
+  // --- the golden catalog: every category × type, seeded parameter shapes
+  private def V = RuleSpec.ValueCorrect
+  private val goldenProduct = Seq(
+    // assoc 29-ish: ValueCorrection Size NULL→0, M→10 ($MDS RuleValueCorrection 85-87)
+    RuleBinding(29, "product", 1, "Size",
+      V(85, "SizeCorrect", Seq("NULL" -> "0", "M" -> "10")),
+      outputColumn = Some("SizeOut"), statusColumn = Some("SizeStatus")),
+    // assoc 210: harmonization RemoveSpecifiedCharacter '-' on ProductNumber
+    RuleBinding(210, "product", 1, "ProductNumber",
+      RuleSpec.Harmonize(20, "NoHyphen", HarmonizeOp.RemoveSpecifiedCharacter("-")),
+      outputColumn = Some("ProductNumberClean")),
+    // assoc 214: mask pattern (numeric/alpha) on ProductNumber
+    RuleBinding(214, "product", 1, "ProductNumber",
+      RuleSpec.Harmonize(21, "Mask",
+        HarmonizeOp.SpecialOperation("DQ.fnReturnNumericAlphaMask")),
+      outputColumn = Some("ProductNumberMask")),
+    // harmonization SetBlanksASNULL on Color
+    RuleBinding(216, "product", 1, "Color",
+      RuleSpec.Harmonize(22, "BlankColor", HarmonizeOp.SetBlanksAsNull)),
+    // assoc 23: duplicates flag on ProductId
+    RuleBinding(23, "product", 2, "ProductId",
+      RuleSpec.Profile(30, "DupFlag",
+        ProfileKind.DuplicatesFlag(Seq("ProductId"), "Name"), Severity.Issue),
+      statusColumn = Some("DupStatus")),
+    // assoc 34: table row count; assoc 33: distribution profile
+    RuleBinding(34, "product", 2, RuleBinding.IgnoreColumn,
+      RuleSpec.Profile(31, "RowCount", ProfileKind.RowCount, Severity.Info)),
+    RuleBinding(33, "product", 2, RuleBinding.AllColumns,
+      RuleSpec.Profile(32, "Dist", ProfileKind.TableValueDistribution, Severity.Info)),
+    // assoc 215: Int-To-Varchar on ProductId
+    RuleBinding(215, "product", 2, "ProductId",
+      RuleSpec.Convert(40, "Id2Str", ConvertKind.IntToVarchar(), Severity.Info),
+      outputColumn = Some("ProductIdStr")),
+    // date-format check (UK) on SellStartDate ($MDS RuleHarmonization 20-21)
+    RuleBinding(217, "product", 2, "SellStartDate",
+      RuleSpec.Harmonize(23, "DateOk",
+        HarmonizeOp.CheckDateFormatOfString("DD/MM/YYYY")),
+      outputColumn = Some("SellStartDateValid")),
+    // Varchar-To-Numeric on Weight (the conversion the reference left NYI)
+    RuleBinding(218, "product", 2, "Weight",
+      RuleSpec.Convert(41, "W2N", ConvertKind.VarcharToNumeric(8, 2), Severity.Info),
+      outputColumn = Some("WeightNum"), statusColumn = Some("WeightStatus")))
+
+  private val goldenSales = Seq(
+    // assoc 21: expression default-log OrderQty > 10
+    RuleBinding(21, "sales_order", 1, "OrderQty",
+      RuleSpec.Predicate(50, "BigQty", "> 10", RuleAction.Log, Severity.Info)),
+    // assoc 19: table-reference ProductId → ref product
+    RuleBinding(19, "sales_order", 1, "ProductId",
+      RuleSpec.Reference(51, "ProductRef",
+        RefMode.TableReference("ref_product", "ProductId"), Severity.Issue),
+      statusColumn = Some("ProductRefStatus")),
+    // assoc 36/37: min-max value + length; 35: column distribution
+    RuleBinding(36, "sales_order", 2, "OrderQty",
+      RuleSpec.Profile(52, "MinMax", ProfileKind.MinMaxValue, Severity.Info)),
+    RuleBinding(37, "sales_order", 2, "CarrierTrackingNumber",
+      RuleSpec.Profile(53, "Len", ProfileKind.MinMaxLength(), Severity.Info)),
+    RuleBinding(35, "sales_order", 2, "OrderQty",
+      RuleSpec.Profile(54, "Hist",
+        ProfileKind.ColumnValueDistribution(10.0), Severity.Info)))
+
+  private val goldenWork = Seq(
+    // assoc 27: delete-by-expression with IGNORE — the seeded predicate
+    RuleBinding(27, "work_order", 1, RuleBinding.IgnoreColumn,
+      RuleSpec.Predicate(60, "BadDates",
+        "(EndDate < StartDate) OR (EndDate = StartDate)",
+        RuleAction.Drop, Severity.Fatal)),
+    // assoc 41: indicator flag OrderQty = 3 (seeded [OrderQty] = 3)
+    RuleBinding(41, "work_order", 2, "OrderQty",
+      RuleSpec.Predicate(61, "QtyIs3", "= 3", RuleAction.Flag, Severity.Info),
+      statusColumn = Some("QtyFlag")),
+    // UK datetime transform on StartDate
+    RuleBinding(42, "work_order", 2, "StartDate",
+      RuleSpec.Convert(62, "Uk2Ts", ConvertKind.VarcharUkToDateTime, Severity.Info),
+      outputColumn = Some("StartTs")))
+
+  private val goldenPerson = Seq(
+    // assoc 38: Title list-check, StatusColumn=PersonTitleCheck
+    RuleBinding(38, "person", 1, "Title",
+      RuleSpec.Reference(70, "TitleList",
+        RefMode.ListReference(Seq("Mr", "Sr", "Mrs", "Sra", "Ms")), Severity.Issue),
+      statusColumn = Some("PersonTitleCheck")))
+
+  private def run(df: org.apache.spark.sql.DataFrame, entity: String,
+                  bindings: Seq[RuleBinding], keys: Seq[String]) = {
+    val cfg = EngineConfig(entity, keys, tmpDir(s"golden-$entity"),
+      runId = s"golden-$entity", rowHistory = "all")
+    new PipelineRunner(spark, cfg).run(df, bindings,
+      Map("ref_product" -> refProduct))
+  }
+
+  lazy val productRes = run(product, "product", goldenProduct, Seq("ProductId", "Name"))
+  lazy val salesRes = run(salesOrder, "sales_order", goldenSales, Seq("SalesOrderId"))
+  lazy val workRes = run(workOrder, "work_order", goldenWork, Seq("WorkOrderId"))
+  lazy val personRes = run(person, "person", goldenPerson, Seq("PersonId"))
+
+  test("product: value correction NULL→0 / M→10 with outcome counts") {
+    val sizes = productRes.output.select("ProductId", "Name", "SizeOut", "SizeStatus")
+      .collect().map(r => (r.getInt(0), r.getString(2), r.getString(3)))
+    assert(sizes.count(_._2 == "10") == 2) // two 'M's corrected
+    assert(sizes.exists(s => s._1 == 2 && s._2 == "0" && s._3 == "Corrected")) // NULL→0
+    val vc = productRes.summaries.filter(_.ruleAssocCode == 29)
+      .map(s => s.checkName -> s.rowsAffected).toMap
+    assert(vc("SizeCorrect [Corrected]") == 3)
+  }
+
+  test("product: hyphen removal, mask, blanks→NULL, date check, conversions") {
+    val rows = productRes.output
+      .select("ProductId", "Name", "ProductNumberClean", "ProductNumberMask",
+        "Color", "SellStartDateValid", "ProductIdStr", "WeightNum")
+      .collect().map(r => (r.getInt(0), r.getString(1))-> r).toMap
+    val frame = rows((1, "HL Road Frame"))
+    assert(frame.getString(2) == "FRR92B58")      // hyphens removed
+    assert(frame.getString(3) == "AA-ANNA-NN")    // mask: letters→A digits→N
+    assert(frame.getString(5) == "1")             // valid UK date
+    assert(frame.getString(6) == "1")             // int→varchar
+    assert(frame.getDecimal(7).toString == "43.50") // varchar→numeric(8,2)
+    val seat = rows((3, "Seat - Post"))
+    assert(seat.getString(5) == "0")              // 30/02 invalid
+    assert(seat.isNullAt(7))                      // 'x' not numeric → try_cast null
+    val chain = rows((4, "Chainring"))
+    assert(chain.isNullAt(4))                     // '' → NULL (SetBlanksASNULL in place)
+  }
+
+  test("product: duplicate flag + profiling summaries") {
+    val dup = productRes.output.select("ProductId", "DupStatus").collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    assert(dup.filter(_._1 == 3).map(_._2).sorted.toSeq == Seq("1", "2"))
+    val counts = productRes.summaries.filter(_.ruleAssocCode == 34)
+    assert(counts.head.rowsAffected == 5)
+    assert(productRes.summaries.exists(s =>
+      s.ruleAssocCode == 33 && s.checkName == "Dist [Empty]" &&
+        s.columnName == "Color" && s.rowsAffected == 1))
+  }
+
+  test("sales_order: expression log + table reference statuses") {
+    val big = salesRes.summaries.find(_.ruleAssocCode == 21).get
+    assert(big.rowsAffected == 2) // qty 12 and 25
+    val ref = salesRes.output.select("SalesOrderId", "ProductRefStatus").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ref(1) == "Reference Found")
+    assert(ref(4) == "Missing Reference Value") // ProductId 99
+    val viol = salesRes.summaries.find(_.ruleAssocCode == 19).get
+    assert(viol.rowsAffected == 1 && viol.severityName == "Issue")
+  }
+
+  test("work_order: IGNORE delete predicate drops both seeded date violations") {
+    val kept = workRes.output.select("WorkOrderId").collect().map(_.getInt(0)).toSet
+    assert(kept == Set(1)) // rows 2 (EndDate<Start) and 3 (=) dropped
+    assert(workRes.summaries.find(_.ruleAssocCode == 27).get.rowsAffected == 2)
+    val ts = workRes.output.select("StartTs").head().getTimestamp(0)
+    assert(ts.toString.startsWith("2020-01-01"))
+  }
+
+  test("person: title list check with CI collation semantics") {
+    val titles = personRes.output.select("PersonId", "PersonTitleCheck").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(titles(1) == "Reference Found")
+    assert(titles(2) == "Reference Found")          // Sra in seeded list
+    assert(titles(3) == "Missing Reference Value")  // Dr
+    assert(titles(4) == "Null Evaluation Value")
+  }
+
+  test("golden catalog round-trips through the stored-table form") {
+    val all = goldenProduct ++ goldenSales ++ goldenWork ++ goldenPerson
+    val dir = tmpDir("golden-cat")
+    CatalogIO.write(spark, all, s"$dir/catalog")
+    assert(CatalogIO.read(spark, s"$dir/catalog").sortBy(_.code) == all.sortBy(_.code))
+  }
+}
