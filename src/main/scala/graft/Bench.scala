@@ -88,20 +88,6 @@ object Bench {
     pipelineJob(spark, corpusDir)
     val pipeSec = (System.nanoTime() - tP0) / 1e9
 
-    // full materializing runner (checkpoints + observe audit + row history):
-    // quantifies the audit overhead vs the lazy pipeline
-    val auditSec =
-      if (sys.env.getOrElse("SPARK_GRAFT_AUDIT_BENCH", "1") == "1") {
-        val wd = java.nio.file.Files.createTempDirectory("graft-bench-audit").toString
-        val cfg = exec.EngineConfig("files", Seq("repo", "path"), wd,
-          runId = "bench", partitionLineage = true)
-        val tA0 = System.nanoTime()
-        val res = new exec.PipelineRunner(spark, cfg)
-          .run(spark.read.parquet(corpusDir), rules.CodeQualityCatalog.bindings)
-        res.output.queryExecution.toRdd.count()
-        (System.nanoTime() - tA0) / 1e9
-      } else 0.0
-
     // ---- part 2: N vs 4N scaling protocol on identical input
     // N defaults to 4 (→ 4N = 16): this host reports 32 logical CPUs but
     // delivers ~16 effective cores (16 physical + SMT; a pure-CPU
@@ -136,6 +122,27 @@ object Bench {
       scalingJson =
         f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":$thrN%.1f,"files_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f,"rep_secs_4n":${arr(reps4N)},"rep_secs_n":${arr(repsN)}}"""
     }
+
+    // full materializing runner (checkpoints + observe audit + row history),
+    // AFTER the scaling block so its JVM garbage can't skew those timings;
+    // quantifies the audit overhead vs the lazy pipeline
+    val auditSec =
+      if (sys.env.getOrElse("SPARK_GRAFT_AUDIT_BENCH", "1") == "1") {
+        if (doScaling) { // scaling left the session at local[N]; restore
+          spark.stop()
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          spark = mkSession(cpus)
+          spark.sparkContext.setLogLevel("WARN")
+        }
+        val wd = java.nio.file.Files.createTempDirectory("graft-bench-audit").toString
+        val cfg = exec.EngineConfig("files", Seq("repo", "path"), wd,
+          runId = "bench", partitionLineage = true)
+        val tA0 = System.nanoTime()
+        val res = new exec.PipelineRunner(spark, cfg)
+          .run(spark.read.parquet(corpusDir), rules.CodeQualityCatalog.bindings)
+        res.output.queryExecution.toRdd.count()
+        (System.nanoTime() - tA0) / 1e9
+      } else 0.0
 
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queries.map(_._2).sum + pipeSec
