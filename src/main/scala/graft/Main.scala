@@ -27,9 +27,21 @@ object Main {
 
   /** Body without the session stop (tests share one session). */
   def run(args: Array[String]): SparkSession = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap ++ args.filter(_ == "--resume").map(_ => "resume" -> "true").toMap
+    // flags (--resume) may appear anywhere between key-value pairs
+    val opts = {
+      val m = Map.newBuilder[String, String]
+      var i = 0
+      while (i < args.length) {
+        args(i) match {
+          case "--resume" => m += "resume" -> "true"; i += 1
+          case k if k.startsWith("--") && i + 1 < args.length =>
+            m += k.drop(2) -> args(i + 1); i += 2
+          case other =>
+            throw new IllegalArgumentException(s"unexpected argument: $other")
+        }
+      }
+      m.result()
+    }
 
     def req(k: String): String = opts.getOrElse(k,
       throw new IllegalArgumentException(s"missing --$k"))
