@@ -98,7 +98,7 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
         val lines = scala.jdk.CollectionConverters.ListHasAsScala(
           Files.readAllLines(manifestPath)).asScala.toSeq
         if (lines.headOption.contains(s"plan $planHash"))
-          lines.collect { case l if l.startsWith("segment ") && l.endsWith(" DONE") =>
+          lines.collect { case l if l.startsWith("unit ") && l.endsWith(" DONE") =>
             l.split(" ")(1).toInt }.toSet
         else Set.empty
       } else Set.empty
@@ -125,35 +125,36 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
         Severity.Fatal.name, "", e.message, 0L, None)
     }
 
-    for (seg <- segments) {
-      val segLoadId = rootLoadId * 1000 + seg.id
+    for (unit <- SequencePlanner.units(segments)) {
+      val unitId = unit.head.id
+      val unitLoadId = rootLoadId * 1000 + unitId
+      val label = s"unit $unitId (tranches ${unit.map(_.sequence).distinct.mkString(",")}, " +
+        s"segments ${unit.map(_.id).mkString(",")})"
       val st = new Timestamp(System.currentTimeMillis())
-      if (doneSegments.contains(seg.id)) {
+      if (doneSegments.contains(unitId)) {
         // resume: replay nothing; reload checkpoint + persisted drafts
-        val ckpt = spark.read.parquet(s"${segDir(seg.id)}/data")
-        drafts ++= spark.read.parquet(s"${segDir(seg.id)}/drafts").as[SummaryDraft].collect()
-        current = nextInput(ckpt, seg)
-        loadNodes += LoadNode(segLoadId, Some(rootLoadId),
-          s"segment ${seg.id} (tranche ${seg.sequence}) [resumed]",
+        val ckpt = spark.read.parquet(s"${segDir(unitId)}/data")
+        drafts ++= spark.read.parquet(s"${segDir(unitId)}/drafts").as[SummaryDraft].collect()
+        current = nextInput(ckpt, unit)
+        loadNodes += LoadNode(unitLoadId, Some(rootLoadId), s"$label [resumed]",
           LoadStatus.Success, st, Some(st), Some(0.0))
-        manifestLines += s"segment ${seg.id} DONE"
+        manifestLines += s"unit $unitId DONE"
       } else {
-        val segDrafts = runSegment(current, seg, segLoadId)
-        drafts ++= segDrafts
+        val unitDrafts = runUnit(current, unit, unitLoadId)
+        drafts ++= unitDrafts
         // persist drafts for resume
-        segDrafts.toDS().write.mode("overwrite").parquet(s"${segDir(seg.id)}/drafts")
-        val ckpt = spark.read.parquet(s"${segDir(seg.id)}/data")
+        unitDrafts.toDS().write.mode("overwrite").parquet(s"${segDir(unitId)}/drafts")
+        val ckpt = spark.read.parquet(s"${segDir(unitId)}/data")
         if (config.partitionLineage) {
           val perFile = ckpt.groupBy(input_file_name().as("file")).count().collect()
           perFile.foreach(r => manifestLines +=
-            s"lineage ${seg.id} ${r.getString(0)} ${r.getLong(1)}")
+            s"lineage $unitId ${r.getString(0)} ${r.getLong(1)}")
         }
-        current = nextInput(ckpt, seg)
+        current = nextInput(ckpt, unit)
         val et = new Timestamp(System.currentTimeMillis())
-        loadNodes += LoadNode(segLoadId, Some(rootLoadId),
-          s"segment ${seg.id} (tranche ${seg.sequence})", LoadStatus.Success,
+        loadNodes += LoadNode(unitLoadId, Some(rootLoadId), label, LoadStatus.Success,
           st, Some(et), Some((et.getTime - st.getTime) / 1000.0))
-        manifestLines += s"segment ${seg.id} DONE"
+        manifestLines += s"unit $unitId DONE"
         writeManifest(manifestLines.toSeq)
       }
     }
@@ -181,11 +182,13 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
       lineage.map(_.copy(loadId = rootLoadId)), planDesc)
   }
 
-  /** checkpoint → input of the next segment: apply keep-filters, drop
-    * audit-internal columns. */
-  private def nextInput(ckpt: DataFrame, seg: Segment): DataFrame = {
-    val filtered = seg.keepFilters.foldLeft(ckpt)((d, r) => d.filter(r.keepPredicate.get))
-    val internal = seg.rules.flatMap(_.internalColumns.map(_._1))
+  /** unit checkpoint → input of the next unit: apply the unit's keep
+    * filters (only its last segment can have any), drop every
+    * audit-internal column the unit created. */
+  private def nextInput(ckpt: DataFrame, unit: Seq[Segment]): DataFrame = {
+    val keepFilters = unit.flatMap(_.keepFilters)
+    val filtered = keepFilters.foldLeft(ckpt)((d, r) => d.filter(r.keepPredicate.get))
+    val internal = unit.flatMap(_.rules.flatMap(_.internalColumns.map(_._1)))
     filtered.drop(internal: _*)
   }
 
@@ -198,17 +201,20 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     r
   }
 
-  /** Runs one segment: fused projections + observe metrics + checkpoint
-    * write + row-history extraction + grouped profile jobs. */
-  private def runSegment(input: DataFrame, seg: Segment, loadId: Long): Seq[SummaryDraft] = {
-    // build the layered plan, attaching one observe() per stage
+  /** Runs one materialization unit: every segment's fused projections chain
+    * lazily (hit/status columns freeze their stage's image inside the
+    * projection), one observe() per stage, ONE checkpoint write for the
+    * whole unit, then row-history extraction and grouped profile jobs per
+    * segment against the unit checkpoint. */
+  private def runUnit(input: DataFrame, unit: Seq[Segment], loadId: Long): Seq[SummaryDraft] = {
+    val unitId = unit.head.id
     var df = input
     val observations = mutable.ArrayBuffer[(Stage, Observation, Seq[(String, ScalarSummary)])]()
-    for ((stage, i) <- seg.stages.zipWithIndex) {
+    for (seg <- unit; (stage, i) <- seg.stages.zipWithIndex) {
       df = applyStage(df, stage)
       val metrics = stage.rules.flatMap(_.scalarSummaries).zipWithIndex
         .map { case (ss, k) => (s"m${ss.meta.code}_$k", ss) }
-      if (metrics.nonEmpty || stage.rules.exists(_.scalarSummaries.nonEmpty)) {
+      if (metrics.nonEmpty) {
         val obs = Observation(s"seg${seg.id}_st$i")
         val aggCols = metrics.map { case (n, ss) => ss.agg.as(n) } :+
           count(lit(1)).as("__total")
@@ -217,8 +223,8 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
       }
     }
     // materialize: single write action evaluates every stage + observe node
-    phase(seg.id, "checkpoint-write") {
-      df.write.mode("overwrite").parquet(s"${segDir(seg.id)}/data")
+    phase(unitId, "checkpoint-write") {
+      df.write.mode("overwrite").parquet(s"${segDir(unitId)}/data")
     }
 
     val scalarDrafts = observations.flatMap { case (_, obs, metrics) =>
@@ -230,10 +236,12 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
       }
     }
 
-    val ckpt = spark.read.parquet(s"${segDir(seg.id)}/data")
-    phase(seg.id, "row-hits") { writeRowHits(ckpt, seg, loadId) }
-    val groupedDrafts = phase(seg.id, "grouped-jobs") {
-      seg.rules.flatMap(_.groupedJobs).flatMap(_.run(ckpt))
+    val ckpt = spark.read.parquet(s"${segDir(unitId)}/data")
+    phase(unitId, "row-hits") {
+      unit.foreach(seg => writeRowHits(ckpt, seg, loadId))
+    }
+    val groupedDrafts = phase(unitId, "grouped-jobs") {
+      unit.flatMap(_.rules).flatMap(_.groupedJobs).flatMap(_.run(ckpt))
     }
     scalarDrafts.toSeq ++ groupedDrafts
   }

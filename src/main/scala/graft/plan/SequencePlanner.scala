@@ -117,6 +117,35 @@ object SequencePlanner {
     segments.result()
   }
 
+  /** Group segments into materialization UNITS — the runner checkpoints
+    * once per unit, not per segment. A tranche boundary alone does not
+    * require materialization: hit/status columns freeze their stage's image
+    * inside the chained projection, so lazily chaining drop-less segments is
+    * expression-exact. A checkpoint is required only (a) after keep/drop
+    * filters — dropped rows must exist in the checkpoint for row-history
+    * audit and must be gone for the next unit — and (b) when a later
+    * segment would overwrite a column an earlier segment's grouped profile
+    * job reads (the job runs against the unit checkpoint and must see that
+    * segment's image). Resume granularity coarsens to units. */
+  def units(segments: Seq[Segment]): Seq[Seq[Segment]] = {
+    val out = Seq.newBuilder[Seq[Segment]]
+    var cur = Vector.empty[Segment]
+    var groupedReads = Set.empty[String]
+    for (s <- segments) {
+      val writes = s.rules.flatMap(_.writes).toSet
+      if (cur.nonEmpty && (writes intersect groupedReads).nonEmpty) {
+        out += cur; cur = Vector.empty; groupedReads = Set.empty
+      }
+      cur = cur :+ s
+      groupedReads ++= s.rules.filter(_.groupedJobs.nonEmpty).flatMap(_.reads)
+      if (s.keepFilters.nonEmpty) {
+        out += cur; cur = Vector.empty; groupedReads = Set.empty
+      }
+    }
+    if (cur.nonEmpty) out += cur
+    out.result()
+  }
+
   /** Human-readable plan description for the lineage audit (≡ the reference
     * logging every generated statement to DQ.RuleExecutionHistory, S8). */
   def describe(segments: Seq[Segment]): String =

@@ -86,15 +86,16 @@ class CodeQualitySpec extends SparkSpec {
     val cfg = EngineConfig("files", Seq("repo", "path"), dir, runId = "cq3")
     val r1 = new PipelineRunner(spark, cfg).run(corpus, CodeQualityCatalog.bindings)
     val out1 = r1.output.orderBy("repo", "path").select("repo", "path").collect().toSeq
-    val nSegs = r1.loadTree.count(_.parentLoadId.nonEmpty)
-    // simulate a crash after the first 2 segments: drop later DONE lines
+    val nUnits = r1.loadTree.count(_.parentLoadId.nonEmpty)
+    assert(nUnits == 2) // [t1 + keep-drop tranche], [scrub + profiling]
+    // simulate a crash after the first unit: drop later DONE lines
     val mPath = java.nio.file.Paths.get(s"$dir/manifest.txt")
     val lines = java.nio.file.Files.readAllLines(mPath)
     val kept = new java.util.ArrayList[String]()
     var done = 0
     lines.forEach { l =>
-      if (l.startsWith("segment ") && l.endsWith(" DONE")) {
-        if (done < 2) { kept.add(l); done += 1 }
+      if (l.startsWith("unit ") && l.endsWith(" DONE")) {
+        if (done < 1) { kept.add(l); done += 1 }
       } else if (!l.startsWith("lineage")) kept.add(l)
     }
     java.nio.file.Files.write(mPath, kept)
@@ -102,9 +103,9 @@ class CodeQualitySpec extends SparkSpec {
       .run(corpus, CodeQualityCatalog.bindings)
     val out2 = r2.output.orderBy("repo", "path").select("repo", "path").collect().toSeq
     assert(out1 == out2)
-    assert(r2.loadTree.count(_.process.contains("[resumed]")) == 2)
+    assert(r2.loadTree.count(_.process.contains("[resumed]")) == 1)
     assert(r2.loadTree.count(n => n.parentLoadId.nonEmpty && !n.process.contains("[resumed]"))
-      == nSegs - 2)
+      == nUnits - 1)
   }
 
   test("resume replays only unfinished segments and yields identical output") {

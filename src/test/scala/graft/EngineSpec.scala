@@ -121,10 +121,11 @@ class EngineSpec extends SparkSpec {
     assert(msg == "CORRECTED: M TO 10")
   }
 
-  test("load tree has root + one node per segment, all SUCCESS") {
+  test("load tree has root + one node per materialization unit, all SUCCESS") {
     val root = result.loadTree.find(_.parentLoadId.isEmpty).get
     assert(root.status == "SUCCESS")
-    assert(result.loadTree.count(_.parentLoadId.contains(root.loadId)) == 3) // 3 segments
+    // 3 segments group into 2 units: [tranche1 + drop], [dup-flag]
+    assert(result.loadTree.count(_.parentLoadId.contains(root.loadId)) == 2)
   }
 
   test("catalog validation rejects missing column / empty rule / dup codes") {
