@@ -25,6 +25,11 @@ object Bench {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // pin the scan partition size: local mode otherwise bin-packs input by
+    // totalSize/cores, giving local[4] a handful of huge straggler-prone
+    // tasks while local[16] gets many — the two scaling levels must see the
+    // same balanced task layout for the comparison to measure the engine
+    .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
     .getOrCreate()
 
   /** Corpus parquet shared byte-identically by both scaling runs. */
