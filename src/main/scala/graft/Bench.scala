@@ -1,20 +1,25 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): prints ONE JSON line
   * `{"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}`.
   *
-  * Two parts:
+  * Three parts:
   *  1. headline operator queries timed at SPARK_GRAFT_CPUS (default 32);
-  *  2. the north-star keep-drop+scrub throughput protocol (BASELINE.md):
-  *     the same generated corpus parquet processed at local[8] and
-  *     local[32]; reports files/sec at both plus scaling efficiency
-  *     = thr(4N) / (4 × thr(N)).  (Sandbox evidencing of the north rule's
-  *     N→4N executor scaling — same job, same input bytes, two
-  *     parallelism levels.)
+  *  2. the audit-on runner (checkpoints + observe metrics + row history +
+  *     lineage + resume manifest) vs the lazy pipeline, measured in the SAME
+  *     warm session as the lazy timing — round-1 measured it after three
+  *     SparkSession restarts and recorded a 9× session-lifecycle artifact,
+  *     not engine cost;
+  *  3. the north-star keep-drop+scrub throughput protocol (BASELINE.md):
+  *     the same generated corpus processed at local[N] and local[4N] in
+  *     ALTERNATING fresh sessions (A/B rounds), reporting the per-level
+  *     MEDIAN — alternation cancels monotonic same-JVM degradation that a
+  *     run-all-of-one-level-then-the-other ordering folds into the ratio
+  *     (the round-1 superlinear reading). Efficiency = thr(4N)/(4·thr(N)).
   */
 object Bench {
 
@@ -52,6 +57,11 @@ object Bench {
       .head().getLong(0)
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -71,7 +81,7 @@ object Bench {
         "ref_table", "ref_integrity",
         "vc_value_correct", "scrub_pii", "text_langid", "text_quality",
         "text_fingerprint", "dedup_exact", "dedup_minhash", "dedup_simhash",
-        "ann_topk", "prof_dup_flag", "prof_col_dist")
+        "ann_topk", "dedup_embed_lsh", "prof_dup_flag", "prof_col_dist")
     val queries = headline.flatMap { name =>
       QueryCatalog.byName.get(name).map { q =>
         // best-of-2: first run pays JIT + codegen compile (~10x at sf0.1);
@@ -89,11 +99,30 @@ object Bench {
     }
 
     // warm-up + timed run of the pipeline job at the requested parallelism
+    pipelineJob(spark, corpusDir) // warm-up (JIT, page cache)
     val tP0 = System.nanoTime()
     pipelineJob(spark, corpusDir)
     val pipeSec = (System.nanoTime() - tP0) / 1e9
 
-    // ---- part 2: N vs 4N scaling protocol on identical input
+    // ---- part 2: audit-on runner in the SAME warm session (best-of-2,
+    // fresh workdir per rep so checkpoint/manifest writes are not reused)
+    val auditSec =
+      if (sys.env.getOrElse("SPARK_GRAFT_AUDIT_BENCH", "1") == "1") {
+        val reps = (1 to 2).map { _ =>
+          val wd = java.nio.file.Files.createTempDirectory("graft-bench-audit").toString
+          val cfg = exec.EngineConfig("files", Seq("repo", "path"), wd,
+            runId = "bench", partitionLineage = true)
+          val tA0 = System.nanoTime()
+          val res = new exec.PipelineRunner(spark, cfg)
+            .run(spark.read.parquet(corpusDir), rules.CodeQualityCatalog.bindings)
+          res.output.queryExecution.toRdd.count()
+          (System.nanoTime() - tA0) / 1e9
+        }
+        System.err.println(f"[bench] audit reps: ${reps.map(s => f"$s%.2f").mkString(", ")}")
+        reps.min
+      } else 0.0
+
+    // ---- part 3: N vs 4N scaling protocol on identical input
     // N defaults to 4 (→ 4N = 16): this host reports 32 logical CPUs but
     // delivers ~16 effective cores (16 physical + SMT; a pure-CPU
     // microbenchmark scales 8→32 threads by only ~2.2×). 4→16 stays within
@@ -102,52 +131,38 @@ object Bench {
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
     var scalingJson = ""
     if (doScaling) {
-      def timed(p: Int): (Double, Seq[Double]) = {
+      def sessionReps(p: Int, reps: Int): Seq[Double] = {
         spark.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
         System.gc() // drop prior session garbage before timing
         spark = mkSession(p)
         spark.sparkContext.setLogLevel("WARN")
         pipelineJob(spark, corpusDir) // warm-up (JIT + page cache)
-        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
-        val secs = (1 to reps).map { _ =>
+        (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           pipelineJob(spark, corpusDir)
           (System.nanoTime() - t0) / 1e9
         }
-        System.err.println(f"[bench] local[$p] reps: ${secs.map(s => f"$s%.2f").mkString(", ")}")
-        (benchRows / secs.min, secs) // best-of-N: steady-state throughput
       }
-      // 4N first, N last: any later-run JIT/warm-up advantage then favors
-      // the DENOMINATOR, making the reported efficiency conservative
-      val (thr4N, reps4N) = timed(scaleN * 4)
-      val (thrN, repsN) = timed(scaleN)
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+      val repsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+      var reps4N = Seq.empty[Double]
+      var repsN = Seq.empty[Double]
+      // A/B alternation, 4N first in each round (any residual later-run
+      // advantage then favors the DENOMINATOR → conservative efficiency)
+      for (_ <- 1 to rounds) {
+        reps4N ++= sessionReps(scaleN * 4, repsPer)
+        repsN ++= sessionReps(scaleN, repsPer)
+      }
+      System.err.println(f"[bench] local[${scaleN * 4}] reps: ${reps4N.map(s => f"$s%.2f").mkString(", ")}")
+      System.err.println(f"[bench] local[$scaleN] reps: ${repsN.map(s => f"$s%.2f").mkString(", ")}")
+      val thr4N = benchRows / median(reps4N)
+      val thrN = benchRows / median(repsN)
       val eff = thr4N / (4.0 * thrN)
       def arr(xs: Seq[Double]) = xs.map(s => f"$s%.2f").mkString("[", ",", "]")
       scalingJson =
-        f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":$thrN%.1f,"files_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f,"rep_secs_4n":${arr(reps4N)},"rep_secs_n":${arr(repsN)}}"""
+        f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":$thrN%.1f,"files_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f,"rep_secs_4n":${arr(reps4N)},"rep_secs_n":${arr(repsN)},"estimator":"median, A/B-alternated sessions"}"""
     }
-
-    // full materializing runner (checkpoints + observe audit + row history),
-    // AFTER the scaling block so its JVM garbage can't skew those timings;
-    // quantifies the audit overhead vs the lazy pipeline
-    val auditSec =
-      if (sys.env.getOrElse("SPARK_GRAFT_AUDIT_BENCH", "1") == "1") {
-        if (doScaling) { // scaling left the session at local[N]; restore
-          spark.stop()
-          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-          spark = mkSession(cpus)
-          spark.sparkContext.setLogLevel("WARN")
-        }
-        val wd = java.nio.file.Files.createTempDirectory("graft-bench-audit").toString
-        val cfg = exec.EngineConfig("files", Seq("repo", "path"), wd,
-          runId = "bench", partitionLineage = true)
-        val tA0 = System.nanoTime()
-        val res = new exec.PipelineRunner(spark, cfg)
-          .run(spark.read.parquet(corpusDir), rules.CodeQualityCatalog.bindings)
-        res.output.queryExecution.toRdd.count()
-        (System.nanoTime() - tA0) / 1e9
-      } else 0.0
 
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queries.map(_._2).sum + pipeSec

@@ -99,7 +99,75 @@ object QueryCatalog {
               |       ELSE 'Warning: No Rule Applied' END AS lang_status
               |FROM ($docsAugSql)""".stripMargin)),
 
+    // status-gated freeze across chained pairs: with [(a->b),(b->c)] an input
+    // 'b' is 'Correct' at pair 1 and must NOT be rewritten to 'c' by pair 2
+    // ($P/DQ.sApplyDQRuleValueCorrect.sql: every pair UPDATE requires
+    // status IS NULL)
+    Q("vc_chained",
+      (s, dir) => {
+        val in = t(s, dir, "documents").withColumn("letter",
+          when(col("doc_id") % 4 === 0, lit("a"))
+            .when(col("doc_id") % 4 === 1, lit("b"))
+            .when(col("doc_id") % 4 === 2, lit("c"))
+            .otherwise(lit("d")))
+        val b = RuleBinding(1, "documents", 1, "letter",
+          RuleSpec.ValueCorrect(1, "Chained", Seq("a" -> "b", "b" -> "c")),
+          outputColumn = Some("fixed"), statusColumn = Some("fix_status"))
+        StageExec.lazyApply(in, Seq(b)).select("doc_id", "letter", "fixed", "fix_status")
+      },
+      Some("""SELECT doc_id, letter,
+             |  CASE WHEN letter = 'a' THEN 'b' ELSE letter END AS fixed,
+             |  CASE WHEN letter = 'a' THEN 'Corrected'
+             |       WHEN letter = 'b' THEN 'Correct'
+             |       WHEN letter = 'c' THEN 'Correct'
+             |       ELSE 'Warning: No Rule Applied' END AS fix_status
+             |FROM (SELECT doc_id,
+             |        CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+             |             WHEN 2 THEN 'c' ELSE 'd' END AS letter
+             |      FROM documents)""".stripMargin)),
+
+    // ruleset expansion (the reference's main reuse mechanism): one
+    // association binds a 3-member ruleset; members execute in memberCode
+    // order against the association's column — in-place, so each member
+    // reads the previous member's output (sequential-UPDATE semantics)
+    Q("ruleset_expand",
+      (s, dir) => {
+        val binding = CatalogIO.rulesetBinding(
+          code = 5, entity = "documents", sequence = 1,
+          evaluationColumn = "source", rulesetCode = "clean3")
+        val members = Seq(
+          CatalogIO.rulesetMember("clean3", 1,
+            RuleSpec.Harmonize(1, "NoSpaces", HarmonizeOp.RemoveSpaces)),
+          CatalogIO.rulesetMember("clean3", 2,
+            RuleSpec.Harmonize(2, "Upper", HarmonizeOp.ToUpper)),
+          CatalogIO.rulesetMember("clean3", 3,
+            RuleSpec.Harmonize(3, "E3", HarmonizeOp.ReplaceValue("%E%", "3"))))
+        val (rows, errs) = CatalogIO.expandRulesets(Seq(binding), members)
+        require(errs.isEmpty, errs.mkString("; "))
+        val bindings = rows.map(CatalogIO.fromRow)
+        StageExec.lazyApply(t(s, dir, "documents"), bindings)
+          .select(col("doc_id"), col("source").as("src_final"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN upper(replace(source, ' ', '')) LIKE '%E%'
+             |       THEN replace(upper(replace(source, ' ', '')), 'E', '3')
+             |       ELSE upper(replace(source, ' ', '')) END AS src_final
+             |FROM documents""".stripMargin)),
+
     // --------------------------------------------------- E1-E3 expression
+    // E1 Default/Log action: counts + logs only, writes no user column —
+    // observable through the hit flag's aggregate
+    Q("expr_log",
+      (s, dir) => {
+        val b = RuleBinding(1, "documents", 1, "n_chars",
+          RuleSpec.Predicate(1, "LogBig", "> 300", RuleAction.Log, Severity.Info))
+        StageExec.lazyApply(t(s, dir, "documents"), Seq(b), keepInternal = true)
+          .agg(sum(when(col("__hit_1"), 1L).otherwise(0L)).as("n_logged"),
+            count(lit(1)).as("n_total"))
+      },
+      Some("""SELECT CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_logged,
+             |  COUNT(*) AS n_total FROM documents""".stripMargin)),
+
     Q("expr_flag",
       (s, dir) => {
         val b = RuleBinding(1, "documents", 1, "n_chars",
@@ -480,6 +548,39 @@ object QueryCatalog {
              |  strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS date_ts
              |FROM orders""".stripMargin)),
 
+    // T5/T7: US-format date conversions
+    Q("trans_cast_us",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .withColumn("date_str_us", date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        val bindings = Seq(
+          RuleBinding(1, "orders", 1, "date_str_us",
+            RuleSpec.Convert(1, "Us2Ts", ConvertKind.VarcharUsToDateTime, Severity.Info),
+            outputColumn = Some("date_ts_us"), statusColumn = Some("st1")),
+          RuleBinding(2, "orders", 1, "date_str_us",
+            RuleSpec.Convert(2, "Us2IntDate", ConvertKind.VarcharUsToIntDate, Severity.Info),
+            outputColumn = Some("date_int_us"), statusColumn = Some("st2")))
+        StageExec.lazyApply(o, bindings)
+          .select("o_orderkey", "date_ts_us", "date_int_us")
+      },
+      Some("""SELECT o_orderkey,
+             |  strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS date_ts_us,
+             |  CAST(strftime(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y'), '%Y%m%d') AS INTEGER) AS date_int_us
+             |FROM orders""".stripMargin)),
+
+    // T3: Varchar-To-Varchar truncation
+    Q("trans_varchar",
+      (s, dir) => {
+        val b = RuleBinding(1, "customer", 1, "c_name",
+          RuleSpec.Convert(1, "V2V", ConvertKind.VarcharToVarchar(5), Severity.Info),
+          outputColumn = Some("name5"), statusColumn = Some("st1"))
+        StageExec.lazyApply(t(s, dir, "customer"), Seq(b))
+          .select("c_custkey", "name5", "st1")
+      },
+      Some("""SELECT c_custkey, substring(c_name, 1, 5) AS name5,
+             |  CASE WHEN c_name IS NOT NULL THEN 'Cleansed' END AS st1
+             |FROM customer""".stripMargin)),
+
     // ------------------------------------------------ F1-F9 functions
     Q("fn_mask_and_clean",
       (s, dir) => t(s, dir, "customer").select(
@@ -492,7 +593,7 @@ object QueryCatalog {
              |       ELSE regexp_replace(regexp_replace(c_name, '[A-Za-z]', 'A', 'g'), '[0-9]', 'N', 'g')
              |  END AS name_mask,
              |  regexp_replace(c_name, '[^A-Za-z]', '', 'g') AS name_alpha,
-             |  replace(c_mktsegment, 'M', '') AS seg_nom
+             |  regexp_replace(c_mktsegment, 'M', '', 'gi') AS seg_nom
              |FROM customer""".stripMargin)),
 
     Q("fn_parse_text",
@@ -581,12 +682,42 @@ object QueryCatalog {
         s"SELECT doc_id, $scrub AS scrubbed, ($any) AS had_pii FROM documents"
       }),
 
+    // P3 with an OptionalFilterClause: group counts and ranks see only
+    // in-filter rows (the 1M000000 shift is ≢ 0 mod 3, so each dup group has
+    // members on both sides of the filter)
+    Q("prof_dup_flag_scoped",
+      (s, dir) => {
+        val b = RuleBinding(1, "dup_docs", 1, "text",
+          RuleSpec.Profile(1, "DupFlagScoped",
+            ProfileKind.DuplicatesFlag(Seq("text"), "doc_id"), Severity.Issue),
+          statusColumn = Some("dup_status"),
+          optionalFilter = Some("doc_id % 3 = 0"))
+        StageExec.lazyApply(dupDocs(s, dir), Seq(b)).select("doc_id", "dup_status")
+      },
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN doc_id % 3 = 0 THEN
+              |    CASE WHEN cnt > 1 THEN (CASE WHEN rn > 1 THEN '2' ELSE '1' END) END
+              |  END AS dup_status
+              |FROM (SELECT doc_id,
+              |        SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+              |          OVER (PARTITION BY text) AS cnt,
+              |        SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+              |          OVER (PARTITION BY text ORDER BY doc_id
+              |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn
+              |      FROM ($dupDocsSql))""".stripMargin)),
+
     // --------------------------------------------- dedup (exact + fuzzy)
     Q("dedup_exact",
-      (s, dir) => dupDocs(s, dir)
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-        .select("doc_id", "n_copies"),
+      (s, dir) => graft.operators.Dedup.exactDedupCounts(
+        dupDocs(s, dir), col("text"), col("doc_id")),
+      Some(s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+              |FROM ($dupDocsSql) GROUP BY text""".stripMargin)),
+
+    // same result through the text-verifying two-phase form (the bit-exact
+    // oracle path of exactDedup)
+    Q("dedup_exact_verified",
+      (s, dir) => graft.operators.Dedup.exactDedupVerified(
+        dupDocs(s, dir), col("text"), col("doc_id")),
       Some(s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
               |FROM ($dupDocsSql) GROUP BY text""".stripMargin)),
 
@@ -632,6 +763,14 @@ object QueryCatalog {
         t(s, dir, "embeddings").where(col("vec_id") >= 10),
         k = 5, numPlanes = 8),
       None), // LSH recall is approximate → rows-only check
+
+    // production bucketed near-dup path: hyperplane-LSH candidates + exact
+    // cosine verify; recall vs the exact form is covered by OperatorsSpec
+    Q("dedup_embed_lsh",
+      (s, dir) => graft.operators.Dedup.embeddingNearDupPairsLsh(
+        t(s, dir, "embeddings"), threshold = 0.45)
+        .select("vec_id_a", "vec_id_b"),
+      None), // LSH recall approximate by design → rows-only check
 
     Q("dedup_embed_cosine",
       // threshold 0.45 because the synthetic embeddings' max pairwise cosine

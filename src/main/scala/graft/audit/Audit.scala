@@ -62,3 +62,13 @@ object LoadStatus {
   val Logged = "LOGGED"
   val NotLogged = "NOT LOGGED"
 }
+
+/** ≡ Audit.RoutineError row stamped by Audit.sRoutineErrorStamp
+  * ($T/Audit.RoutineError.sql:9-17): the persisted diagnosis of a failed
+  * entity run — without it an overnight failure loses its message/stack. */
+case class RoutineError(
+    loadId: Long,
+    process: String,
+    errorMessage: String,
+    stackTrace: String,
+    createdAt: Timestamp)

@@ -1,0 +1,78 @@
+package graft.audit
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ≡ Reports.DQSummaryResults ($V/Reports.DQSummaryResults.sql:9-62) — the
+  * reporting surface the reference's six SSRS reports consume: summary rows
+  * joined to the flattened load tree (own node + master node), one wide
+  * dashboard-ready frame.
+  *
+  * Reads the audit parquet sinks a [[graft.exec.PipelineRunner]] writes
+  * under `workDir/audit`. All joins are driver-scale (audit rows ×
+  * manifest-sized load tree) — Catalyst broadcasts the tree side.
+  */
+object Reports {
+
+  /** The view over already-loaded frames (unit-testable form). */
+  def summaryResults(summaries: DataFrame, loadTree: DataFrame): DataFrame = {
+    // a replayed/resumed run re-appends its load nodes under the SAME load
+    // ids (deterministic runId hash); keep the latest node per id so the
+    // per-summary joins below stay 1:1 instead of multiplying
+    val nodes = loadTree
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("loadId"))
+          .orderBy(col("startTime").desc_nulls_last)))
+      .where(col("__rn") === 1)
+      .select("loadId", "parentLoadId", "process", "status",
+        "startTime", "endTime", "durationSec")
+    val masters = {
+      // iterative fixpoint like AuditMaintenance.flattenLoadTree, but kept
+      // here on the raw DataFrame (the tree parquet may hold many runs)
+      var cur = nodes.select(col("loadId"),
+        coalesce(col("parentLoadId"), col("loadId")).as("masterLoadId"))
+      var depth = 0
+      var converged = false
+      while (depth < 10 && !converged) {
+        val parents = nodes.select(col("loadId").as("p_id"), col("parentLoadId").as("p_parent"))
+        val next = cur.join(parents, cur("masterLoadId") === parents("p_id"), "left")
+          .select(col("loadId"),
+            coalesce(col("p_parent"), col("masterLoadId")).as("masterLoadId"))
+        converged = next.join(cur.withColumnRenamed("masterLoadId", "prev"), Seq("loadId"))
+          .where(col("masterLoadId") =!= col("prev")).isEmpty
+        cur = next
+        depth += 1
+      }
+      cur
+    }
+    val own = nodes.select(
+      col("loadId"), col("parentLoadId"), col("process").as("loadProcess"),
+      col("status").as("loadStatus"), col("startTime"), col("endTime"),
+      col("durationSec").as("durationInSeconds"))
+    val master = nodes.select(
+      col("loadId").as("masterLoadId"), col("process").as("masterProcess"),
+      col("startTime").as("masterStartTime"), col("endTime").as("masterEndTime"))
+    summaries
+      .join(own, Seq("loadId"), "left")
+      .join(masters, Seq("loadId"), "left")
+      .join(master, Seq("masterLoadId"), "left")
+      .select(
+        col("loadId"), col("parentLoadId"), col("masterLoadId"),
+        col("loadProcess"), col("loadStatus"),
+        col("ruleType"), col("ruleId").as("ruleCode"),
+        col("checkName").as("ruleName"),
+        col("ruleAssocCode").as("ruleEntityAssociationCode"),
+        col("entityName").as("dqEntity"),
+        col("columnName").as("evaluationColumn"),
+        col("dqMessage"), col("rowsAffected"), col("percentageValue"),
+        col("durationInSeconds"), col("severityName"),
+        col("startTime"), col("endTime"),
+        col("masterStartTime"), col("masterEndTime"))
+  }
+
+  /** The view over a run's audit directory (the SSRS connection string). */
+  def summaryResults(spark: SparkSession, auditDir: String): DataFrame =
+    summaryResults(
+      spark.read.parquet(s"$auditDir/summaries"),
+      spark.read.parquet(s"$auditDir/load_tree"))
+}

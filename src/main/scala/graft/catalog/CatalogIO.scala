@@ -37,7 +37,21 @@ case class CatalogRow(
     threshold: Option[Double], compatFlag: Option[Boolean],
     // Transformation
     convertKind: Option[String], length: Option[Int],
-    precision: Option[Int], scale: Option[Int])
+    precision: Option[Int], scale: Option[Int],
+    // Ruleset binding (≡ MDS.DQRuleEntityAssociation.Ruleset_Code): when a
+    // binding row names a ruleset INSTEAD of carrying rule content
+    // (category == "Ruleset"), it expands at load to one row per member
+    rulesetCode: Option[String] = None,
+    // activation window (≡ DateFrom/DateTo, $T/MDS.DQRuleEntityAssociation.sql:52-53)
+    dateFrom: Option[String] = None, dateTo: Option[String] = None)
+
+/** One member rule of a ruleset (≡ a MDS.DQRule<category> row carrying a
+  * Ruleset_Code, $T/MDS.DQRuleset.sql + the Ruleset_Code FK on each of the
+  * six rule tables). Only the rule-content fields of `rule` are read at
+  * expansion; association-level fields (entity, evaluation column, output/
+  * status columns, filter, tranche) come from the binding row. `memberCode`
+  * orders members within the ruleset (≡ rule Code). */
+case class RulesetMember(rulesetCode: String, memberCode: Int, rule: CatalogRow)
 
 object CatalogIO {
   import HarmonizeOp._
@@ -50,12 +64,53 @@ object CatalogIO {
     None, None, None, None, None, None, None, None, None, None, None, None,
     None, None, None, None, None)
 
+  /** Expand ruleset bindings: a row with category "Ruleset" + `rulesetCode`
+    * becomes one row per member (≡ the `REA.Ruleset_Code = R.Ruleset_Code`
+    * join branch every apply proc carries,
+    * $P/DQ.sApplyDQRuleValueCorrect.sql:349-366 — a direct rule, when
+    * present, wins over the ruleset, and an association with neither is the
+    * 'Error: No Rule or Ruleset defined.' fatal, here surfaced as
+    * [[CatalogValidator.EmptyRule]] via an empty expansion marker).
+    *
+    * Expanded association codes are `code * 1000 + rank` (rank = 1-based
+    * member position by `memberCode`) — deterministic, order-preserving
+    * within the binding's slot of the tranche, and collision-free for
+    * catalogs with codes < 1000 members per ruleset. */
+  def expandRulesets(rows: Seq[CatalogRow],
+                     members: Seq[RulesetMember]): (Seq[CatalogRow], Seq[String]) = {
+    val bySet = members.groupBy(_.rulesetCode)
+    val errors = Seq.newBuilder[String]
+    val out = rows.flatMap { r =>
+      if (r.category != "Ruleset") Seq(r) // direct rule wins / plain binding
+      else bySet.get(r.rulesetCode.getOrElse("")) match {
+        case Some(ms) if ms.nonEmpty =>
+          ms.sortBy(_.memberCode).zipWithIndex.map { case (m, i) =>
+            m.rule.copy(
+              code = r.code * 1000 + i + 1,
+              entity = r.entity, sequence = r.sequence,
+              evaluationColumn = r.evaluationColumn,
+              outputColumn = r.outputColumn, statusColumn = r.statusColumn,
+              optionalFilter = r.optionalFilter,
+              active = r.active && m.rule.active,
+              rulesetCode = r.rulesetCode,
+              dateFrom = r.dateFrom, dateTo = r.dateTo)
+          }
+        case _ =>
+          errors += s"association ${r.code}: no rule or ruleset defined " +
+            s"(ruleset '${r.rulesetCode.getOrElse("")}' empty or unknown)"
+          Nil
+      }
+    }
+    (out, errors.result())
+  }
+
   def toRow(b: RuleBinding): CatalogRow = {
     val base = empty.copy(code = b.code, entity = b.entity, sequence = b.sequence,
       evaluationColumn = b.evaluationColumn, outputColumn = b.outputColumn,
       statusColumn = b.statusColumn, optionalFilter = b.optionalFilter,
       active = b.active, category = RuleSpec.category(b.spec),
-      ruleId = b.spec.ruleId, ruleName = b.spec.ruleName)
+      ruleId = b.spec.ruleId, ruleName = b.spec.ruleName,
+      dateFrom = b.dateFrom, dateTo = b.dateTo)
     b.spec match {
       case RuleSpec.ValueCorrect(_, _, pairs) =>
         base.copy(sourceValues = Some(pairs.map(_._1)),
@@ -186,7 +241,50 @@ object CatalogIO {
       case other => throw new IllegalArgumentException(s"Unknown category $other")
     }
     RuleBinding(r.code, r.entity, r.sequence, r.evaluationColumn, spec,
-      r.outputColumn, r.statusColumn, r.optionalFilter, r.active)
+      r.outputColumn, r.statusColumn, r.optionalFilter, r.active,
+      r.dateFrom, r.dateTo)
+  }
+
+  /** A binding row that names a ruleset instead of carrying rule content. */
+  def rulesetBinding(code: Int, entity: String, sequence: Int,
+                     evaluationColumn: String, rulesetCode: String,
+                     outputColumn: Option[String] = None,
+                     statusColumn: Option[String] = None,
+                     optionalFilter: Option[String] = None,
+                     active: Boolean = true): CatalogRow =
+    empty.copy(code = code, entity = entity, sequence = sequence,
+      evaluationColumn = evaluationColumn, outputColumn = outputColumn,
+      statusColumn = statusColumn, optionalFilter = optionalFilter,
+      active = active, category = "Ruleset", ruleName = rulesetCode,
+      rulesetCode = Some(rulesetCode))
+
+  /** A ruleset member from a typed spec (rule-content fields only —
+    * association fields are filled at expansion). */
+  def rulesetMember(rulesetCode: String, memberCode: Int, spec: RuleSpec): RulesetMember =
+    RulesetMember(rulesetCode, memberCode, toRow(RuleBinding(memberCode, "", 1, "", spec)))
+
+  /** Persist ruleset members as a parquet table (≡ MDS.DQRuleset + the
+    * Ruleset_Code-tagged rows of the six rule tables). */
+  def writeRulesets(spark: SparkSession, members: Seq[RulesetMember], path: String): Unit = {
+    import spark.implicits._
+    members.toDS().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readRulesets(spark: SparkSession, path: String): Seq[RulesetMember] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[RulesetMember].collect().toSeq
+  }
+
+  /** Ruleset-aware catalog load: read binding rows + ruleset members, expand,
+    * decode. Expansion problems ('no rule or ruleset defined') surface as
+    * the second element — the caller logs them as fatal pre-check rows. */
+  def readExpanded(spark: SparkSession, bindingsPath: String,
+                   rulesetsPath: String): (Seq[RuleBinding], Seq[String]) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(bindingsPath).as[CatalogRow].collect().toSeq
+    val members = readRulesets(spark, rulesetsPath)
+    val (expanded, errs) = expandRulesets(rows, members)
+    (expanded.map(fromRow).sortBy(_.code), errs)
   }
 
   /** Persist the catalog as a parquet table. */

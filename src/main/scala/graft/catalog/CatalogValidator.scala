@@ -39,17 +39,34 @@ object CatalogValidator {
     def message = s"FATAL: association $code has invalid execution sequence $seq (must be 1..11)"
   }
 
-  case class Validated(ok: Seq[RuleBinding], errors: Seq[CatalogError])
+  /** Association skipped because `asOf` is outside its [dateFrom, dateTo]
+    * window — NOT an error: recorded as an Info audit row, siblings run. */
+  case class OutOfWindow(code: Int, window: String) {
+    def message = s"Association $code excluded: activation window $window"
+  }
+
+  case class Validated(ok: Seq[RuleBinding], errors: Seq[CatalogError],
+                       excluded: Seq[OutOfWindow] = Nil)
 
   /** @param schema        subject entity schema
     * @param refSchemas    schemas of available reference tables by name
+    * @param asOf          evaluation date for [dateFrom, dateTo] activation
+    *                      windows (≡ GETDATE() against the reference's
+    *                      declared-but-unenforced association columns)
     */
   def validate(bindings: Seq[RuleBinding], schema: StructType,
-               refSchemas: Map[String, StructType] = Map.empty): Validated = {
+               refSchemas: Map[String, StructType] = Map.empty,
+               asOf: java.time.LocalDate = java.time.LocalDate.now()): Validated = {
+    val outOfWindow = bindings.filter(b => b.active && !b.activeAt(asOf))
+      .map(b => OutOfWindow(b.code,
+        s"[${b.dateFrom.getOrElse("-")} .. ${b.dateTo.getOrElse("-")}] asOf=$asOf"))
+    val windowExcluded = outOfWindow.map(_.code).toSet
     val inputCols = schema.fieldNames.map(_.toLowerCase).toSet
 
     val dupCodes = bindings.groupBy(_.code).collect { case (c, bs) if bs.size > 1 => c }
     val dupErrs = dupCodes.map(DuplicateAssociationCode).toSeq
+
+    def inScope(b: RuleBinding): Boolean = b.active && !windowExcluded(b.code)
 
     // A rule may evaluate a column produced by an EARLIER rule (reference:
     // output columns are ALTER TABLE ADDed as rules execute, so later rules
@@ -69,7 +86,7 @@ object CatalogValidator {
       case _: RuleSpec.Profile => Set.empty[String] // pure aggregations
       case _: RuleSpec.Convert => Set(b.resolvedOutput, b.resolvedStatus)
     }).map(_.toLowerCase)
-    val ordered = bindings.filter(_.active).sortBy(b => (b.sequence, b.code))
+    val ordered = bindings.filter(inScope).sortBy(b => (b.sequence, b.code))
     val availableAt: Map[Int, Set[String]] = {
       var avail = inputCols
       ordered.map { b =>
@@ -79,7 +96,7 @@ object CatalogValidator {
       }.toMap
     }
 
-    val errs = bindings.filter(_.active).flatMap { b =>
+    val errs = bindings.filter(inScope).flatMap { b =>
       def has(c: String): Boolean =
         availableAt.getOrElse(b.code, inputCols)(c.toLowerCase)
       val evalErr: Option[CatalogError] = b.evaluationColumn match {
@@ -128,7 +145,7 @@ object CatalogValidator {
     } ++ dupCodes).toSet
     // Deterministic rule order: ORDER BY CAST(Code AS INT)
     // ($P/DQ.sGetEntityDQTasks.sql:73)
-    val ok = bindings.filter(b => b.active && !badCodes(b.code)).sortBy(_.code)
-    Validated(ok, dupErrs ++ errs)
+    val ok = bindings.filter(b => inScope(b) && !badCodes(b.code)).sortBy(_.code)
+    Validated(ok, dupErrs ++ errs, outOfWindow)
   }
 }

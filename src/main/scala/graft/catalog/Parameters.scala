@@ -1,0 +1,41 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+
+/** ≡ MDS.DQAppParameters + DQ.fnGetParameterValue
+  * ($T/MDS.DQAppParameters.sql:9-30, $F/DQ.fnGetParameterValue.sql:14-25):
+  * engine configuration as CATALOG DATA an operator can edit, not code-level
+  * config. Stored as a tiny parquet table; loaded once per run on the
+  * driver.
+  *
+  * The reference's seeded parameter (used by DQ.sClearHistoricalRecords:66)
+  * is `HistoricalLoadsToRetain`; arbitrary names are allowed, values are
+  * strings re-typed at use sites — exactly the reference contract.
+  */
+case class AppParameter(name: String, value: String)
+
+object Parameters {
+
+  /** The reference's seeded retention parameter name. */
+  val HistoricalLoadsToRetain = "HistoricalLoadsToRetain"
+
+  val defaults: Seq[AppParameter] = Seq(
+    AppParameter(HistoricalLoadsToRetain, "10"))
+
+  /** ≡ DQ.fnGetParameterValue: value by name, NULL→None when absent. */
+  def fnGetParameterValue(params: Seq[AppParameter], name: String): Option[String] =
+    params.find(_.name == name).map(_.value)
+
+  def getInt(params: Seq[AppParameter], name: String, default: Int): Int =
+    fnGetParameterValue(params, name).flatMap(_.toIntOption).getOrElse(default)
+
+  def write(spark: SparkSession, params: Seq[AppParameter], path: String): Unit = {
+    import spark.implicits._
+    params.toDS().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): Seq[AppParameter] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[AppParameter].collect().toSeq
+  }
+}

@@ -161,6 +161,11 @@ object RuleSpec {
   * @param outputColumn defaults to evaluationColumn (in-place) when None
   * @param statusColumn defaults to s"StatusColRule_$code" when None
   * @param optionalFilter pushdown predicate applied to this rule's scope
+  * @param dateFrom/dateTo inclusive activation window (ISO yyyy-MM-dd; None
+  *                  = unbounded). The reference DECLARES these on the
+  *                  association ($T/MDS.DQRuleEntityAssociation.sql:52-53)
+  *                  but no proc enforces them; here the validator excludes
+  *                  out-of-window associations with an audit row.
   */
 case class RuleBinding(
     code: Int,
@@ -171,9 +176,15 @@ case class RuleBinding(
     outputColumn: Option[String] = None,
     statusColumn: Option[String] = None,
     optionalFilter: Option[String] = None,
-    active: Boolean = true) {
+    active: Boolean = true,
+    dateFrom: Option[String] = None,
+    dateTo: Option[String] = None) {
   def resolvedOutput: String = outputColumn.getOrElse(evaluationColumn)
   def resolvedStatus: String = statusColumn.getOrElse(s"StatusColRule_$code")
+  /** in the [dateFrom, dateTo] activation window (inclusive) as of `asOf`. */
+  def activeAt(asOf: java.time.LocalDate): Boolean =
+    dateFrom.forall(f => !asOf.isBefore(java.time.LocalDate.parse(f))) &&
+    dateTo.forall(t => !asOf.isAfter(java.time.LocalDate.parse(t)))
 }
 
 /** Whole-row sentinel ($P/DQ.sApplyDQRuleExpression.sql:233-234). */

@@ -67,6 +67,12 @@ case class CompiledRule(
     reads: Set[String] = Set.empty,
     /** columns this rule writes. */
     writes: Set[String] = Set.empty,
+    /** input columns whose POST-projection values this rule's scalar
+      * summaries aggregate (observe() runs after the stage projection, so a
+      * same-stage sibling overwriting one of these would corrupt the metric;
+      * the planner closes the stage instead). Empty for rules whose
+      * summaries aggregate only their own written columns. */
+    aggReads: Set[String] = Set.empty,
     lineage: String = "")
 
 /** Compiles a validated [[RuleBinding]] into Catalyst expressions — the
@@ -77,6 +83,12 @@ case class CompiledRule(
   * SURVEY.md §4.1 anti-patterns).
   */
 object RuleCompiler {
+
+  /** Driver-side bound on P8 histogram buckets: a ColumnValueDistribution
+    * with threshold 0 on a high-cardinality column would otherwise collect
+    * |distinct values| rows to the driver. Beyond the cap the remainder is
+    * reported as one overflow bucket. */
+  val MaxHistogramBuckets: Int = 10000
 
   /** Column references of a SQL fragment (for dependency analysis). Parsed
     * with the Catalyst SQL parser (Spark 4's `Column` no longer exposes its
@@ -120,7 +132,10 @@ object RuleCompiler {
     }
     val filterReads = b.optionalFilter.map(refsOf).getOrElse(Set.empty)
     base.copy(reads = base.reads ++ filterReads,
-      writes = base.writes ++ base.newColumns.map(_._1))
+      writes = base.writes ++ base.newColumns.map(_._1),
+      // a filter-scoped input aggregate also re-evaluates the filter columns
+      // post-projection
+      aggReads = base.aggReads ++ (if (base.aggReads.nonEmpty) filterReads else Set.empty))
   }
 
   // ---------------------------------------------------------------- V1-V3
@@ -134,26 +149,36 @@ object RuleCompiler {
     def matches(src: String): Column =
       if (src == "NULL") eval.isNull else eval === lit(src) // 'NULL' sentinel (:408-411)
 
-    val outExpr = s.pairs.foldLeft(Option.empty[Column]) { case (acc, (src, pref)) =>
-      val w = acc match {
-        case None    => when(matches(src), lit(pref))
-        case Some(c) => c.when(matches(src), lit(pref))
-      }
-      Some(w)
-    }.get.otherwise(eval) // V2 fallback: output = eval
-
-    val statusExpr = s.pairs.foldLeft(Option.empty[Column]) { case (acc, (src, pref)) =>
-      val w1 = acc match {
-        case None    => when(matches(src), lit("Corrected"))
-        case Some(c) => c.when(matches(src), lit("Corrected"))
-      }
-      Some(w1.when(eval === lit(pref), lit("Correct")))
-    }.get.otherwise(lit("Warning: No Rule Applied"))
-
-    val correctedPred = s.pairs.foldLeft(Option.empty[Column]) { case (acc, (src, pref)) =>
-      val hitPair = matches(src) && !(eval <=> lit(pref))
-      Some(acc.map(_ || hitPair).getOrElse(hitPair))
-    }.get
+    // The reference's per-pair cursor gates EVERY update on `status IS NULL`
+    // ($P/DQ.sApplyDQRuleValueCorrect.sql:389-480): once pair i marks a row
+    // Corrected (eval = SourceValue_i) or Correct (eval = PreferredValue_i),
+    // later pairs cannot touch it. With pairs [(a->b),(b->c)] an input 'b'
+    // freezes as 'Correct' at pair 1 and is NOT rewritten to 'c' by pair 2.
+    // All three expressions therefore interleave the same terminal
+    // preferred-value branch; the hit flag additionally tracks the frozen
+    // set explicitly.
+    var outW: Option[Column] = None
+    var stW: Option[Column] = None
+    var hitW: Option[Column] = None
+    var frozen: Column = lit(false) // any earlier branch (src or pref) matched
+    for ((src, pref) <- s.pairs) {
+      val mSrc = matches(src)
+      val mPref = eval === lit(pref)
+      outW = Some(outW match {
+        case None    => when(mSrc, lit(pref)).when(mPref, eval)
+        case Some(c) => c.when(mSrc, lit(pref)).when(mPref, eval)
+      })
+      stW = Some(stW match {
+        case None    => when(mSrc, lit("Corrected")).when(mPref, lit("Correct"))
+        case Some(c) => c.when(mSrc, lit("Corrected")).when(mPref, lit("Correct"))
+      })
+      val hitPair = !frozen && mSrc && !(eval <=> lit(pref))
+      hitW = Some(hitW.map(_ || hitPair).getOrElse(hitPair))
+      frozen = frozen || coalesce(mSrc, lit(false)) || coalesce(mPref, lit(false))
+    }
+    val outExpr = outW.get.otherwise(eval) // V2 fallback: output = eval
+    val statusExpr = stW.get.otherwise(lit("Warning: No Rule Applied"))
+    val correctedPred = hitW.get
 
     val outCol = b.resolvedOutput
     val stCol = b.resolvedStatus
@@ -485,10 +510,20 @@ object RuleCompiler {
           lineage = s"groupBy(${pk.mkString(",")}).count having > 1")
 
       case DuplicatesFlag(pk, orderCol) => // P3 (:667-752); deterministic tie-break (§7.6.5)
+        // With an OptionalFilterClause the reference's windowed query only
+        // SEES filtered rows ($P/DQ.sApplyDQRuleProfiling.sql:681+717 append
+        // @OuterOptionalFilterClause), so both the group count and the
+        // row rank must ignore out-of-filter rows. rank-among-filtered is a
+        // running conditional count (ties pinned by orderCol as documented).
         val w = Window.partitionBy(pk.map(col): _*)
         val wOrd = w.orderBy(col(orderCol))
-        val grpN = count(lit(1)).over(w)
-        val rn = row_number().over(wOrd)
+        val (grpN, rn) = filterCol(b) match {
+          case Some(f) =>
+            (sum(when(f, 1L).otherwise(0L)).over(w),
+             sum(when(f, 1L).otherwise(0L)).over(
+               wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          case None => (count(lit(1)).over(w), row_number().over(wOrd).cast("long"))
+        }
         val stCol = b.resolvedStatus
         // '1' = member of a duplicated key group (keep candidate), '2' = non-first row
         val statusExpr = when(grpN > 1, when(rn > 1, lit("2")).otherwise(lit("1")))
@@ -508,31 +543,42 @@ object RuleCompiler {
           lineage = s"$stCol := dup-flag over (${pk.mkString(",")}) order by $orderCol")
 
       case MinMaxValue => // P4 (:757-947); ALL → one wide agg, not per-column queries
+        // every profiling query appends @OuterOptionalFilterClause
+        // (:417-1459): aggregate only in-filter values (out-of-filter → NULL,
+        // ignored by min/max)
+        def fv(c: String): Column = filterCol(b) match {
+          case Some(f) => when(f, col(c)); case None => col(c)
+        }
         val sums = allCols.flatMap { c =>
           Seq(
             ScalarSummary(meta(s"${s.ruleName} [Min]", c, "Minimum Value = {value}"),
-              min(col(c)).cast(StringType), ScalarKind.ValueIntoMessage),
+              min(fv(c)).cast(StringType), ScalarKind.ValueIntoMessage),
             ScalarSummary(meta(s"${s.ruleName} [Max]", c, "Maximum Value = {value}"),
-              max(col(c)).cast(StringType), ScalarKind.ValueIntoMessage))
+              max(fv(c)).cast(StringType), ScalarKind.ValueIntoMessage))
         }
-        CompiledRule(b, scalarSummaries = sums, reads = allCols.toSet,
+        CompiledRule(b, scalarSummaries = sums,
+          reads = allCols.toSet, aggReads = allCols.toSet,
           lineage = s"min/max over ${allCols.mkString(",")}")
 
       case MinMaxLength(compat) => // P5 (:950-1139); compat replicates the no-LEN bug
+        def fv(c: Column): Column = filterCol(b) match {
+          case Some(f) => when(f, c); case None => c
+        }
         val sums = allCols.flatMap { c =>
           val (mn, mx) =
             if (compat && b.evaluationColumn != RuleBinding.AllColumns)
-              (min(col(c)).cast(StringType), max(col(c)).cast(StringType)) // reference bug (:955,993)
+              (min(fv(col(c))).cast(StringType), max(fv(col(c))).cast(StringType)) // reference bug (:955,993)
             else
-              (min(length(col(c).cast(StringType))).cast(StringType),
-               max(length(col(c).cast(StringType))).cast(StringType))
+              (min(fv(length(col(c).cast(StringType)))).cast(StringType),
+               max(fv(length(col(c).cast(StringType)))).cast(StringType))
           Seq(
             ScalarSummary(meta(s"${s.ruleName} [MinLen]", c, "Minimum Length = {value}"),
               mn, ScalarKind.ValueIntoMessage),
             ScalarSummary(meta(s"${s.ruleName} [MaxLen]", c, "Maximum Length = {value}"),
               mx, ScalarKind.ValueIntoMessage))
         }
-        CompiledRule(b, scalarSummaries = sums, reads = allCols.toSet,
+        CompiledRule(b, scalarSummaries = sums,
+          reads = allCols.toSet, aggReads = allCols.toSet,
           lineage = s"min/max length over ${allCols.mkString(",")}")
 
       case RowCount => // P6 (:1142-1185)
@@ -541,19 +587,21 @@ object RuleCompiler {
           scalarSummaries = Seq(ScalarSummary(
             meta(s.ruleName, "*", "Table Row Count"), sum(one), ScalarKind.CountAffected)),
           reads = b.optionalFilter.map(refsOf).getOrElse(Set.empty),
+          aggReads = b.optionalFilter.map(refsOf).getOrElse(Set.empty),
           lineage = "count(*)")
 
       case TableValueDistribution => // P7 (:1190-1429): 5 metrics per column
+        val inF: Column = filterCol(b).getOrElse(lit(true)) // filter scope (:1459)
         val scalar = allCols.flatMap { c =>
           val cs = col(c).cast(StringType)
           val isEmpty = col(c).isNull || length(cs) === 0 // (:1295-1297)
           Seq(
             ScalarSummary(meta(s"${s.ruleName} [Total]", c, "Total rows"),
-              count(lit(1)), ScalarKind.CountAffected),
+              sum(when(inF, 1L).otherwise(0L)), ScalarKind.CountAffected),
             ScalarSummary(meta(s"${s.ruleName} [Populated]", c, "Populated values", pct = true),
-              sum(when(!isEmpty, 1L).otherwise(0L)), ScalarKind.CountAffected),
+              sum(when(inF && !isEmpty, 1L).otherwise(0L)), ScalarKind.CountAffected),
             ScalarSummary(meta(s"${s.ruleName} [Empty]", c, "Empty values", pct = true),
-              sum(when(isEmpty, 1L).otherwise(0L)), ScalarKind.CountAffected))
+              sum(when(inF && isEmpty, 1L).otherwise(0L)), ScalarKind.CountAffected))
         }
         val grouped = allCols.map { c =>
           GroupedJob { df =>
@@ -573,27 +621,50 @@ object RuleCompiler {
           }
         }
         CompiledRule(b, scalarSummaries = scalar, groupedJobs = grouped,
-          reads = allCols.toSet, lineage = s"value distribution over ${allCols.mkString(",")}")
+          reads = allCols.toSet, aggReads = allCols.toSet,
+          lineage = s"value distribution over ${allCols.mkString(",")}")
 
       case ColumnValueDistribution(threshold) => // P8 (:1433-1481)
         val c = b.evaluationColumn
         val job = GroupedJob { df =>
           val scopedDf = b.optionalFilter.map(f => df.filter(expr(f))).getOrElse(df)
-          val hist = scopedDf
+          val counts = scopedDf
             .groupBy(coalesce(col(c).cast(StringType), lit("NULL")).as("__v"))
             .agg(count(lit(1)).as("__n"))
-            .withColumn("__pct", col("__n") * 100.0 / sum(col("__n")).over(Window.partitionBy()))
+          // total via a scalar aggregate broadcast-cross-joined onto the
+          // histogram — NOT an unpartitioned window, which would funnel every
+          // distinct value through one task at scale
+          val total = scopedDf.agg(count(lit(1)).as("__t"))
+          val totalRows = total.head().getLong(0)
+          val hist = counts.crossJoin(broadcast(total))
+            .withColumn("__pct", col("__n") * 100.0 / col("__t"))
             // below-threshold values collapse into 'MiscMinorValues' (:1448-1463)
             .withColumn("__bucket", when(col("__pct") < threshold, lit("MiscMinorValues")).otherwise(col("__v")))
             .groupBy(col("__bucket")).agg(sum(col("__n")).as("__n"), sum(col("__pct")).as("__pct"))
-            .orderBy(col("__bucket"))
+          // With threshold = 0 every distinct value is its own bucket — on a
+          // high-cardinality column that is an unbounded driver collect. Keep
+          // the top MaxHistogramBuckets by count (deterministic tie-break on
+          // the bucket value) and report the remainder as one overflow row.
+          val top = hist
+            .orderBy(col("__n").desc, col("__bucket"))
+            .limit(MaxHistogramBuckets)
             .collect()
-          hist.toSeq.map { r =>
+            .sortBy(_.getAs[String]("__bucket"))
+          val covered = top.map(_.getAs[Long]("__n")).sum
+          val overflow =
+            if (covered < totalRows)
+              Seq(SummaryDraft(b.code, s.ruleId, "RuleProfiling",
+                s"${s.ruleName} [Histogram]", sev, c,
+                s"Value = __OtherValuesBeyondBucketCap($MaxHistogramBuckets)",
+                totalRows - covered,
+                Some(math.round((totalRows - covered) * 100.0 / totalRows * 10000.0) / 10000.0)))
+            else Nil
+          top.toSeq.map { r =>
             SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [Histogram]",
               sev, c, s"Value = ${r.getAs[String]("__bucket")}",
               r.getAs[Long]("__n"),
               Some(math.round(r.getAs[Double]("__pct") * 10000.0) / 10000.0))
-          }
+          } ++ overflow
         }
         CompiledRule(b, groupedJobs = Seq(job), reads = Set(c),
           lineage = s"histogram($c) threshold=$threshold%")

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.audit.{LoadNode, LoadStatus}
+import graft.audit.{LoadNode, LoadStatus, RoutineError}
 import graft.catalog.RuleBinding
 
 /** Multi-entity "domain" execution — the Spark-native MasterController /
@@ -36,6 +36,7 @@ object DomainRunner {
   def run(spark: SparkSession, domain: String, entities: Seq[DomainEntity],
           workDir: String, runId: String = "domain-run",
           resume: Boolean = false): DomainResult = {
+    import spark.implicits._
     val t0 = new Timestamp(System.currentTimeMillis())
     val results = entities.map { e =>
       // only bindings targeting this entity, active ones, ordered by code
@@ -43,7 +44,19 @@ object DomainRunner {
       val cfg = EngineConfig(e.name, e.keyColumns, s"$workDir/${e.name}",
         runId = s"$runId-${e.name}", resume = resume)
       e.name -> (try Right(new PipelineRunner(spark, cfg).run(e.data, scoped, e.refTables))
-      catch { case t: Throwable => Left(t) })
+      catch {
+        case t: Throwable =>
+          // ≡ Audit.sRoutineErrorStamp: persist the diagnosis before moving
+          // on to siblings ($T/Audit.RoutineError.sql:9-17)
+          val err = RoutineError(
+            math.abs(s"$runId-${e.name}".hashCode.toLong),
+            s"Domain $domain entity ${e.name}",
+            Option(t.getMessage).getOrElse(t.getClass.getName),
+            t.getStackTrace.take(40).mkString("\n"),
+            new Timestamp(System.currentTimeMillis()))
+          Seq(err).toDS().write.mode("append").parquet(s"$workDir/audit/errors")
+          Left(t)
+      })
     }.toMap
     val tEnd = new Timestamp(System.currentTimeMillis())
     val status =

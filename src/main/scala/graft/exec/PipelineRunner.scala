@@ -46,7 +46,10 @@ case class EngineConfig(
     numPartitions: Option[Int] = None,
     saltColumn: Option[String] = None,
     partitionLineage: Boolean = false,
-    rowHistory: String = "violations")
+    rowHistory: String = "violations",
+    /** evaluation date (ISO yyyy-MM-dd) for [dateFrom, dateTo] activation
+      * windows; None = today (≡ GETDATE()). Pin in tests for replayability. */
+    asOfDate: Option[String] = None)
 
 case class RunResult(
     output: DataFrame,
@@ -78,8 +81,10 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     Files.createDirectories(Paths.get(config.workDir))
 
     // 1. validate (≡ the fatal pre-checks of every apply proc, SURVEY.md §2.2)
+    val asOf = config.asOfDate.map(java.time.LocalDate.parse)
+      .getOrElse(java.time.LocalDate.now())
     val validated = CatalogValidator.validate(bindings, input.schema,
-      refTables.map { case (k, v) => k -> v.schema })
+      refTables.map { case (k, v) => k -> v.schema }, asOf)
 
     // 2. compile + plan
     val compiled = validated.ok.map(b => RuleCompiler.compile(b, input.schema, refTables))
@@ -124,6 +129,10 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
       drafts += SummaryDraft(e.code, -1, "CatalogValidation", "PreCheck",
         Severity.Fatal.name, "", e.message, 0L, None)
     }
+    validated.excluded.foreach { x =>
+      drafts += SummaryDraft(x.code, -1, "CatalogValidation", "ActivationWindow",
+        Severity.Info.name, "", x.message, 0L, None)
+    }
 
     for (unit <- SequencePlanner.units(segments)) {
       val unitId = unit.head.id
@@ -146,9 +155,14 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
         unitDrafts.toDS().write.mode("overwrite").parquet(s"${segDir(unitId)}/drafts")
         val ckpt = spark.read.parquet(s"${segDir(unitId)}/data")
         if (config.partitionLineage) {
-          val perFile = ckpt.groupBy(input_file_name().as("file")).count().collect()
-          perFile.foreach(r => manifestLines +=
-            s"lineage $unitId ${r.getString(0)} ${r.getLong(1)}")
+          // per-file row counts as a parquet side-output — NOT collected into
+          // the driver-side manifest: at corpus scale that would be millions
+          // of rows through collect(). The manifest keeps unit statuses only.
+          ckpt.groupBy(input_file_name().as("file"))
+            .agg(count(lit(1)).as("rows"))
+            .select(lit(unitLoadId).as("loadId"), lit(unitId).as("unit"),
+              col("file"), col("rows"))
+            .write.mode("overwrite").parquet(s"$auditDir/lineage_files/unit=$unitId")
         }
         current = nextInput(ckpt, unit)
         val et = new Timestamp(System.currentTimeMillis())
@@ -172,10 +186,15 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
         d.ruleType, d.checkName, d.dqMessage, d.ruleId, d.code, d.rowsAffected,
         d.percentageValue, codeToSeq.getOrElse(d.code, 0), tEnd)
     }
-    summaries.toDS().write.mode("append").parquet(s"$auditDir/summaries")
+    // one overwritten directory per root load: replaying the same runId
+    // replaces its own audit rows instead of appending duplicates (other
+    // runIds keep their partitions — the history stays append-only per load)
+    summaries.toDS().write.mode("overwrite")
+      .parquet(s"$auditDir/summaries/load=$rootLoadId")
     lineage.map(_.copy(loadId = rootLoadId)).toDS()
-      .write.mode("append").parquet(s"$auditDir/lineage")
-    loadNodes.toSeq.toDS().write.mode("append").parquet(s"$auditDir/load_tree")
+      .write.mode("overwrite").parquet(s"$auditDir/lineage/load=$rootLoadId")
+    loadNodes.toSeq.toDS().write.mode("overwrite")
+      .parquet(s"$auditDir/load_tree/load=$rootLoadId")
     writeManifest(manifestLines.toSeq)
 
     RunResult(current, summaries, validated.errors, loadNodes.toSeq,
@@ -299,7 +318,11 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
       .where(size(col("__hits")) > 0)
       .select(keyCols :+ explode(col("__hits")).as("__hit"): _*)
       .select(keyCols ++ Seq(col("__hit.*"), lit(loadId).as("loadId")): _*)
-    hits.write.mode("append").parquet(s"$auditDir/row_hits")
+    // one overwritten directory per (load, segment): a crash between this
+    // write and the unit's manifest DONE line makes the resumed run replay
+    // the unit, and the replay OVERWRITES the same path instead of appending
+    // duplicate hit records (idempotent replays)
+    hits.write.mode("overwrite").parquet(s"$auditDir/row_hits/load=$loadId/seg=${seg.id}")
   }
 
   private def writeManifest(lines: Seq[String]): Unit = {

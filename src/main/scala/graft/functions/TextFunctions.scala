@@ -80,8 +80,10 @@ object TextFunctions {
   def removeSpecialCharacters(c: Column): Column =
     regexp_replace(c, "[^A-Za-z]", "")
 
-  /** ≡ DQ.fnRemoveMCharacters ($F/DQ.fnRemoveMCharacters.sql:13-17). */
-  def removeMCharacters(c: Column): Column = regexp_replace(c, "M", "")
+  /** ≡ DQ.fnRemoveMCharacters ($F/DQ.fnRemoveMCharacters.sql:13-17).
+    * The reference's REPLACE runs under the database default CI collation,
+    * so lower-case 'm' is removed too — hence the (?i) flag. */
+  def removeMCharacters(c: Column): Column = regexp_replace(c, "(?i)M", "")
 
   /** ≡ DQ.fnReturnNumericAlphaMask — letter→'A', digit→'N', rest passthrough;
     * NULL→'NULL', ''→'Blank' ($F/DQ.fnReturnNumericAlphaMask.sql:13-83). */

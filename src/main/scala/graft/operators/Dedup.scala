@@ -6,25 +6,86 @@ import org.apache.spark.sql.functions._
 import graft.functions.HashSignatures
 
 /** Deduplication operators for training-data pipelines: exact,
-  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — all built from
-  * signature kernels computed once per row in the scan projection, with
+  * MinHash+LSH, SimHash, n-gram-Jaccard, and embedding near-dup — all built
+  * from signature kernels computed once per row in the scan projection, with
   * candidate generation on the (small) signature relation.
   *
-  * Scale design: the only shuffles are (a) groupBy on band buckets /
-  * signature blocks — tiny keys, combiner-friendly — and (b) the candidate
-  * self-join, whose input is |buckets with >1 member| rows, not the corpus.
-  * Text never crosses the wire for candidate generation.
+  * Scale design: the only shuffles are (a) groupBy on fingerprints / band
+  * buckets — small fixed-width keys, combiner-friendly — and (b) the
+  * candidate self-join, whose input is |buckets with >1 member| rows, not
+  * the corpus, and whose per-bucket blow-up is bounded by
+  * [[Dedup.DefaultBucketCap]]. Text never crosses the wire.
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per identical text. Grouping is on a
-    * 64-bit fingerprint of the text (xxhash64), not the text itself, so the
-    * shuffle carries 8-byte keys; full-text equality is then verified within
-    * groups via first-value semantics on (hash, text). */
+  /** Per-(band,bucket) frequency cap for LSH candidate generation. A
+    * degenerate bucket (empty files, license boilerplate) would make the
+    * bucket self-join quadratic; above the cap members are STAR-linked to
+    * the bucket's min id instead (linear — identical-signature clusters
+    * still collapse to one survivor, only transitive *near*-dup chains
+    * through a mega-bucket can lose recall). */
+  val DefaultBucketCap: Int = 1000
+
+  /** Exact dedup keep-set: the smallest id per identical text.
+    *
+    * Grouping key is the 256-bit content fingerprint `sha2(text, 256)` — the
+    * same per-row invariant the north rule uses for pass-through equality —
+    * so the shuffle carries a fixed 64-char key + id, never the text.
+    * Collision probability at 10^12 rows is ~2^-176 (birthday bound); for a
+    * bit-exact guarantee use [[exactDedupVerified]], which text-verifies
+    * within fingerprint groups.
+    */
   def exactDedup(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
-    df.groupBy(xxhash64(textCol), textCol)
-      .agg(min(idCol).as("__keep_id"))
-      .select(col("__keep_id").as("doc_id"))
+    exactDedupCounts(df, textCol, idCol).select(col("doc_id"))
+
+  /** Exact dedup with group sizes: (doc_id = min id of the identical-text
+    * group, n_copies). Same fingerprint-only shuffle as [[exactDedup]]. */
+  def exactDedupCounts(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.groupBy(sha2(textCol, 256).as("__fp"))
+      .agg(min(idCol).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** Exact dedup with in-group text verification: phase 1 shuffles only
+    * (fingerprint, id); rows of multi-member fingerprint groups — the dup
+    * fraction of the corpus, plus any (cryptographically implausible)
+    * collisions — re-shuffle WITH text for exact within-group equality.
+    * This is the oracle form; [[exactDedupCounts]] is the production path. */
+  def exactDedupVerified(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val hashed = df.select(idCol.as("__id"), sha2(textCol, 256).as("__fp"))
+    val groups = hashed.groupBy(col("__fp"))
+      .agg(min(col("__id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    val singles = groups.where(col("n_copies") === 1).select("doc_id", "n_copies")
+    val multiFps = groups.where(col("n_copies") > 1).select("__fp")
+    val verified = df.select(idCol.as("__id"), textCol.as("__text"),
+        sha2(textCol, 256).as("__fp"))
+      .join(multiFps, Seq("__fp")) // only dup-group rows carry text onward
+      .groupBy(col("__fp"), col("__text"))
+      .agg(min(col("__id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+    singles.unionAll(verified)
+  }
+
+  /** Candidate pairs from an exploded (`__id`, `__band`, `__bucket`)
+    * relation, frequency-capped: buckets with ≤ cap members produce
+    * all-pairs; oversized buckets star-link every member to the bucket's
+    * min id (O(n) instead of O(n²) — a 10k-identical-docs bucket yields
+    * 9 999 pairs, not ~50M). Output columns are (idA, idB), idA < idB. */
+  private[graft] def cappedCandidates(banded: DataFrame, idA: String, idB: String,
+                                      cap: Int): DataFrame = {
+    val stats = banded.groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("__bn"), min(col("__id")).as("__bmin"))
+    val withStats = banded.join(stats, Seq("__band", "__bucket")) // co-partitioned on the same keys
+    val small = withStats.where(col("__bn") <= cap)
+    val a = small.select(col("__band"), col("__bucket"), col("__id").as(idA))
+    val b = small.select(col("__band"), col("__bucket"), col("__id").as(idB))
+    val smallPairs = a.join(b, Seq("__band", "__bucket"))
+      .where(col(idA) < col(idB))
+      .select(idA, idB)
+    val bigPairs = withStats
+      .where(col("__bn") > cap && col("__id") =!= col("__bmin"))
+      .select(col("__bmin").as(idA), col("__id").as(idB))
+    smallPairs.unionAll(bigPairs).dropDuplicates(idA, idB)
+  }
 
   /** MinHash signature + banded LSH near-dup removal.
     *
@@ -37,7 +98,8 @@ object Dedup {
     */
   def minHashDedup(df: DataFrame, textCol: Column, idCol: Column,
                    numHashes: Int = 64, bands: Int = 16,
-                   shingleSize: Int = 5, jaccardThreshold: Double = 0.8): DataFrame = {
+                   shingleSize: Int = 5, jaccardThreshold: Double = 0.8,
+                   maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val sigs = df.select(idCol.as("__id"),
@@ -53,12 +115,7 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
         .as(Seq("__band", "__bucket")))
 
-    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("__id_a"))
-    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("__id_b"))
-    val candidates = a.join(b, Seq("__band", "__bucket"))
-      .where(col("__id_a") < col("__id_b"))
-      .select("__id_a", "__id_b")
-      .dropDuplicates("__id_a", "__id_b")
+    val candidates = cappedCandidates(banded, "__id_a", "__id_b", maxBucketSize)
 
     val withSigs = candidates
       .join(sigs.select(col("__id").as("__id_a"), col("__sig").as("__sig_a")), Seq("__id_a"))
@@ -74,21 +131,20 @@ object Dedup {
 
   /** SimHash near-dup removal: 64-bit signatures, candidates via the
     * 4×16-bit block pigeonhole (hamming ≤ 3 ⇒ at least one equal block),
-    * verified with an exact popcount of the XOR. */
+    * verified with an exact popcount of the XOR. Candidate generation
+    * carries (id, block, value) only; signatures re-join by id. */
   def simHashDedup(df: DataFrame, textCol: Column, idCol: Column,
-                   hammingThreshold: Int = 3): DataFrame = {
+                   hammingThreshold: Int = 3,
+                   maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     val sigs = df.select(idCol.as("__id"), HashSignatures.simHash(textCol).as("__sim"))
-    val blocks = sigs.select(col("__id"), col("__sim"),
+    val blocks = sigs.select(col("__id"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> cast(shiftright(__sim, b * 16) & 65535 as int))"))
-        .as(Seq("__blk", "__blkval")))
-    val a = blocks.select(col("__blk"), col("__blkval"),
-      col("__id").as("__id_a"), col("__sim").as("__sim_a"))
-    val b = blocks.select(col("__blk"), col("__blkval"),
-      col("__id").as("__id_b"), col("__sim").as("__sim_b"))
-    val drops = a.join(b, Seq("__blk", "__blkval"))
-      .where(col("__id_a") < col("__id_b"))
-      .dropDuplicates("__id_a", "__id_b")
+        .as(Seq("__band", "__bucket")))
+    val candidates = cappedCandidates(blocks, "__id_a", "__id_b", maxBucketSize)
+    val drops = candidates
+      .join(sigs.select(col("__id").as("__id_a"), col("__sim").as("__sim_a")), Seq("__id_a"))
+      .join(sigs.select(col("__id").as("__id_b"), col("__sim").as("__sim_b")), Seq("__id_b"))
       .where(expr(s"bit_count(__sim_a ^ __sim_b) <= $hammingThreshold"))
       .select(col("__id_b").as("__drop_id")).distinct()
     df.join(drops, idCol === col("__drop_id"), "left_anti")
@@ -99,7 +155,8 @@ object Dedup {
     * sets confirms. Returns (doc_id_a, doc_id_b, jaccard ≥ threshold). */
   def ngramJaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
                         shingleSize: Int = 5, threshold: Double = 0.8,
-                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                        numHashes: Int = 64, bands: Int = 16,
+                        maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     val rowsPerBand = numHashes / bands
     val shingleArr = array_distinct(transform(
       sequence(lit(0), greatest(length(textCol) - shingleSize, lit(0))),
@@ -115,13 +172,8 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
         .as(Seq("__band", "__bucket")))
-    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("doc_id_a"))
-    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("doc_id_b"))
     val shingles = prepped.select(col("__id"), col("__shingles"))
-    a.join(b, Seq("__band", "__bucket"))
-      .where(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b")
-      .dropDuplicates("doc_id_a", "doc_id_b")
+    cappedCandidates(banded, "doc_id_a", "doc_id_b", maxBucketSize)
       .join(shingles.select(col("__id").as("doc_id_a"), col("__shingles").as("__sh_a")), Seq("doc_id_a"))
       .join(shingles.select(col("__id").as("doc_id_b"), col("__shingles").as("__sh_b")), Seq("doc_id_b"))
       .withColumn("jaccard",
@@ -131,16 +183,39 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  /** Embedding near-dup pairs by cosine ≥ threshold. Exact all-pairs form
-    * (self-join on id inequality) — at corpus scale prefer
-    * [[Similarity.lshTopK]]-style bucketing first; this exact form is the
-    * verification/oracle path. */
+  /** Embedding near-dup pairs by cosine ≥ threshold — exact all-pairs form
+    * (self-join on id inequality), O(n²): the oracle/verification path for
+    * [[embeddingNearDupPairsLsh]], and the correctness baseline in tests. */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
     val withD = df.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("__e"))
     val a = withD.select(col("vec_id").as("vec_id_a"), col("__e").as("__ea"))
     val b = withD.select(col("vec_id").as("vec_id_b"), col("__e").as("__eb"))
     a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__ea"), col("__eb")))
+      .where(col("cosine") >= threshold)
+      .select("vec_id_a", "vec_id_b", "cosine")
+  }
+
+  /** Production embedding near-dup pairs: random-hyperplane LSH with
+    * `numTables` independent hash tables of `planesPerTable` bits each
+    * (multi-table = the banding trick for cosine space). Rows sharing any
+    * table's full signature become candidates (frequency-capped buckets);
+    * exact cosine verifies. Per-pair recall at cosine θ is
+    * 1-(1-p^planes)^tables with p = 1-acos(θ)/π — the defaults give ~0.95
+    * at θ = 0.45 and ≥0.99 at θ ≥ 0.7 — while the compare count drops from
+    * n²/2 to the bucket-bounded candidate set. */
+  def embeddingNearDupPairsLsh(df: DataFrame, threshold: Double,
+                               numTables: Int = 16, planesPerTable: Int = 4,
+                               dim: Int = 64, seed: Long = 42L,
+                               maxBucketSize: Int = DefaultBucketCap): DataFrame = {
+    val vecs = df.select(col("vec_id").as("__id"),
+      expr("transform(embedding, x -> cast(x as double))").as("__e"))
+    val banded = Similarity.bandedSignatures(vecs, "__id", "__e",
+      numTables, planesPerTable, dim, seed)
+    cappedCandidates(banded, "vec_id_a", "vec_id_b", maxBucketSize)
+      .join(vecs.select(col("__id").as("vec_id_a"), col("__e").as("__ea")), Seq("vec_id_a"))
+      .join(vecs.select(col("__id").as("vec_id_b"), col("__e").as("__eb")), Seq("vec_id_b"))
       .withColumn("cosine", Similarity.cosine(col("__ea"), col("__eb")))
       .where(col("cosine") >= threshold)
       .select("vec_id_a", "vec_id_b", "cosine")

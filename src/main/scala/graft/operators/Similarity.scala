@@ -51,6 +51,22 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(r.nextGaussian()))
   }
 
+  /** Multi-table hyperplane signatures for near-dup candidate generation:
+    * one row per (id, table) with the table's `planesPerTable`-bit signature
+    * as the bucket key — the cosine-space analogue of MinHash banding. The
+    * output carries ONLY (__id, __band, __bucket); vectors re-join by id
+    * for verification. */
+  private[operators] def bandedSignatures(vecs: DataFrame, idCol: String, vecCol: String,
+                                          numTables: Int, planesPerTable: Int,
+                                          dim: Int, seed: Long): DataFrame = {
+    val tableSigs: Seq[Column] = (0 until numTables).map { t =>
+      val ps = planes(planesPerTable, dim, seed + t)
+      signature(col(vecCol), ps)
+    }
+    vecs.select(col(idCol).as("__id"),
+        posexplode(array(tableSigs: _*)).as(Seq("__band", "__bucket")))
+  }
+
   /** Signature = bitmask of sign(v · plane_i). */
   private def signature(e: Column, ps: Array[Array[Double]]): Column =
     ps.zipWithIndex.map { case (p, i) =>

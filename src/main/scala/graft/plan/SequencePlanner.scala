@@ -89,10 +89,12 @@ object SequencePlanner {
       var stages = Vector.empty[Vector[CompiledRule]]
       var current = Vector.empty[CompiledRule]
       var currentWrites = Set.empty[String]
+      var currentAggReads = Set.empty[String] // scalar-summary input reads, this stage
+      var segGroupedReads = Set.empty[String] // grouped-job input reads, this segment
 
       def closeStage(): Unit = {
         if (current.nonEmpty) { stages = stages :+ current }
-        current = Vector.empty; currentWrites = Set.empty
+        current = Vector.empty; currentWrites = Set.empty; currentAggReads = Set.empty
       }
       def closeSegment(): Unit = {
         closeStage()
@@ -100,16 +102,29 @@ object SequencePlanner {
           segments += Segment(segId, seq, stages.map(Stage(_)))
           segId += 1
         }
-        stages = Vector.empty
+        stages = Vector.empty; segGroupedReads = Set.empty
       }
 
       for (r <- ordered) {
-        val conflict =
-          (r.reads intersect currentWrites).nonEmpty ||
-          (r.writes intersect currentWrites).nonEmpty
-        if (conflict) closeStage()
+        // write-after-aggregate-read: a scalar summary observes the frame
+        // AFTER its stage's projection, so a later rule overwriting a column
+        // an earlier same-stage summary aggregates must start a new stage
+        // (the reference's sequential execution gives the lower-code rule
+        // the pre-write image). A grouped job runs against the UNIT
+        // checkpoint, so a later same-segment writer must close the whole
+        // segment (units() then keeps the writer out of the reader's unit).
+        if ((r.writes intersect segGroupedReads).nonEmpty) closeSegment()
+        else {
+          val conflict =
+            (r.reads intersect currentWrites).nonEmpty ||
+            (r.writes intersect currentWrites).nonEmpty ||
+            (r.writes intersect currentAggReads).nonEmpty
+          if (conflict) closeStage()
+        }
         current = current :+ r
         currentWrites ++= r.writes
+        currentAggReads ++= r.aggReads
+        if (r.groupedJobs.nonEmpty) segGroupedReads ++= r.reads
         if (r.closesSegment) closeSegment() // last delete of a run ends the segment
       }
       closeSegment() // tranche boundary is always a materialization barrier

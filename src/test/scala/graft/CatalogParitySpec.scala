@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.audit.Reports
+import graft.catalog._
+import graft.exec.{DomainRunner, EngineConfig, PipelineRunner}
+
+/** Round-2 catalog-parity features: ruleset expansion (the reference's main
+  * reuse mechanism), DateFrom/DateTo activation windows, the parameters
+  * table, the error-audit sink, and the reporting view. */
+class CatalogParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, "alpha beta"), (2, "Gamma"), (3, "delta E")
+  ).toDF("id", "txt")
+
+  // ---------------------------------------------------------------- rulesets
+  test("ruleset expansion: members apply in order against the association's column") {
+    val binding = CatalogIO.rulesetBinding(7, "t", 1, "txt", "tidy")
+    val members = Seq(
+      CatalogIO.rulesetMember("tidy", 2,
+        RuleSpec.Harmonize(2, "Upper", HarmonizeOp.ToUpper)),
+      CatalogIO.rulesetMember("tidy", 1, // memberCode orders, not list position
+        RuleSpec.Harmonize(1, "NoSpaces", HarmonizeOp.RemoveSpaces)))
+    val (rows, errs) = CatalogIO.expandRulesets(Seq(binding), members)
+    assert(errs.isEmpty)
+    assert(rows.map(_.code) == Seq(7001, 7002)) // deterministic derived codes
+    assert(rows.map(_.ruleName) == Seq("NoSpaces", "Upper"))
+    val out = exec.StageExec.lazyApply(df, rows.map(CatalogIO.fromRow))
+      .select("id", "txt").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "ALPHABETA") // spaces removed first, THEN uppercased
+    assert(out(3) == "DELTAE")
+  }
+
+  test("ruleset round-trips through parquet and expands at load") {
+    val dir = tmpDir("ruleset-io")
+    val members = Seq(
+      CatalogIO.rulesetMember("s1", 1, RuleSpec.Harmonize(1, "Up", HarmonizeOp.ToUpper)),
+      CatalogIO.rulesetMember("s1", 2,
+        RuleSpec.Predicate(2, "Short", "length(txt) < 3", RuleAction.Flag, Severity.Issue)))
+    CatalogIO.writeRulesets(spark, members, s"$dir/rulesets")
+    import spark.implicits._
+    Seq(CatalogIO.rulesetBinding(9, "t", 1, "txt", "s1")).toDS()
+      .write.mode("overwrite").parquet(s"$dir/bindings")
+    val (bindings, errs) = CatalogIO.readExpanded(spark, s"$dir/bindings", s"$dir/rulesets")
+    assert(errs.isEmpty)
+    assert(bindings.map(_.code) == Seq(9001, 9002))
+    assert(bindings.map(b => RuleSpec.category(b.spec)) ==
+      Seq("RuleHarmonization", "RuleExpression"))
+    assert(bindings.forall(_.evaluationColumn == "txt"))
+  }
+
+  test("empty/unknown ruleset ≡ 'Error: No Rule or Ruleset defined.'") {
+    val (rows, errs) = CatalogIO.expandRulesets(
+      Seq(CatalogIO.rulesetBinding(3, "t", 1, "txt", "nope")), Nil)
+    assert(rows.isEmpty)
+    assert(errs.exists(_.contains("no rule or ruleset defined")))
+  }
+
+  // ------------------------------------------------------ activation window
+  test("DateFrom/DateTo: out-of-window association excluded with audit row, in-window runs") {
+    val bindings = Seq(
+      RuleBinding(1, "t", 1, "txt",
+        RuleSpec.Harmonize(1, "Up", HarmonizeOp.ToUpper), outputColumn = Some("up"),
+        dateFrom = Some("2020-01-01"), dateTo = Some("2020-12-31")), // expired
+      RuleBinding(2, "t", 1, "txt",
+        RuleSpec.Harmonize(2, "Low", HarmonizeOp.ToLower), outputColumn = Some("low"),
+        dateFrom = Some("2020-01-01"))) // open-ended, in window
+    val cfg = EngineConfig("t", Seq("id"), tmpDir("window"), runId = "w1",
+      asOfDate = Some("2026-08-16"))
+    val res = new PipelineRunner(spark, cfg).run(df, bindings)
+    assert(!res.output.columns.contains("up"))  // excluded rule never ran
+    assert(res.output.columns.contains("low"))
+    val audit = res.summaries.filter(_.checkName == "ActivationWindow")
+    assert(audit.map(_.ruleAssocCode) == Seq(1))
+    assert(audit.head.severityName == "Info")
+    // boundary dates are inclusive
+    assert(bindings.head.activeAt(java.time.LocalDate.parse("2020-12-31")))
+    assert(!bindings.head.activeAt(java.time.LocalDate.parse("2021-01-01")))
+  }
+
+  // ------------------------------------------------------------- parameters
+  test("parameters table: fnGetParameterValue drives retention") {
+    val dir = tmpDir("params")
+    Parameters.write(spark, Seq(AppParameter("HistoricalLoadsToRetain", "2"),
+      AppParameter("custom.flag", "yes")), s"$dir/params")
+    val params = Parameters.read(spark, s"$dir/params")
+    assert(Parameters.fnGetParameterValue(params, "custom.flag").contains("yes"))
+    assert(Parameters.fnGetParameterValue(params, "absent").isEmpty)
+    val retain = Parameters.getInt(params, Parameters.HistoricalLoadsToRetain, 10)
+    assert(retain == 2)
+    val audit = Seq((1, 100L), (1, 101L), (1, 102L), (2, 100L))
+      .toDF("ruleAssocCode", "loadId")
+    val kept = graft.audit.AuditMaintenance.retainHistoricalLoads(audit, retain)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(kept == Set((1, 102L), (1, 101L), (2, 100L))) // newest 2 per rule
+  }
+
+  // ------------------------------------------------------------ error audit
+  test("error audit ≡ Audit.RoutineError: failed entity stamped, siblings complete") {
+    val wd = tmpDir("domain-err")
+    val good = DomainRunner.DomainEntity("good", df,
+      Seq(RuleBinding(1, "good", 1, "txt",
+        RuleSpec.Harmonize(1, "Up", HarmonizeOp.ToUpper), outputColumn = Some("up"))),
+      Seq("id"))
+    val bad = DomainRunner.DomainEntity("bad", df,
+      Seq(RuleBinding(1, "bad", 1, RuleBinding.IgnoreColumn,
+        RuleSpec.Predicate(1, "Boom", "raise_error('boom') IS NOT NULL",
+          RuleAction.Drop, Severity.Fatal))),
+      Seq("id"))
+    val res = DomainRunner.run(spark, "d1", Seq(good, bad), wd, runId = "dr1")
+    assert(res.results("good").isRight)
+    assert(res.results("bad").isLeft)
+    assert(res.masterLoad.status == "FAILURE")
+    val errs = spark.read.parquet(s"$wd/audit/errors").collect()
+    assert(errs.length == 1)
+    val row = errs.head
+    assert(row.getAs[String]("process").contains("bad"))
+    assert(row.getAs[String]("errorMessage").nonEmpty)
+    assert(row.getAs[String]("stackTrace").nonEmpty)
+  }
+
+  // -------------------------------------------------------------- reporting
+  test("Reports.DQSummaryResults: summaries joined to own + master load nodes") {
+    val wd = tmpDir("reports")
+    val cfg = EngineConfig("t", Seq("id"), wd, runId = "rep1")
+    val res = new PipelineRunner(spark, cfg).run(df, Seq(
+      RuleBinding(1, "t", 1, "txt",
+        RuleSpec.Profile(1, "Rows", ProfileKind.RowCount, Severity.Info))))
+    val view = Reports.summaryResults(spark, s"$wd/audit")
+    val rows = view.collect()
+    assert(rows.nonEmpty)
+    val root = res.loadTree.find(_.parentLoadId.isEmpty).get.loadId
+    rows.foreach(r => assert(r.getAs[Long]("masterLoadId") == root))
+    val cols = view.columns.toSet
+    Seq("loadId", "masterLoadId", "ruleType", "ruleName", "dqMessage",
+      "rowsAffected", "severityName", "masterStartTime").foreach(c => assert(cols(c), c))
+  }
+}

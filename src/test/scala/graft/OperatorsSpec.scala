@@ -81,6 +81,54 @@ class OperatorsSpec extends SparkSpec {
       s"nearest neighbor of $i should be its copy"))
   }
 
+  test("exactDedupVerified agrees with exactDedup (fingerprint vs text-verified)") {
+    val a = Dedup.exactDedupCounts(docs, $"text", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.exactDedupVerified(docs, $"text", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("degenerate bucket: 10k identical docs dedup to 1 with bounded candidates") {
+    val many = (0 until 10000).map(i => (i.toLong, "all docs carry this exact text"))
+      .toDF("doc_id", "text")
+    // star-linking keeps the candidate relation LINEAR in bucket size: with
+    // cap=50 every (band,bucket) holds all 10k rows → 9 999 star pairs per
+    // band (deduped across bands), not ~50M all-pairs
+    val kept = Dedup.minHashDedup(many, $"text", $"doc_id",
+      numHashes = 32, bands = 8, maxBucketSize = 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(0L))
+    val keptSim = Dedup.simHashDedup(many, $"text", $"doc_id", maxBucketSize = 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(keptSim.toSeq == Seq(0L))
+  }
+
+  test("cappedCandidates: oversized buckets produce n-1 star pairs, small buckets all-pairs") {
+    val banded =
+      ((0 until 100).map(i => (i.toLong, 0, 7)) ++          // one bucket of 100
+        Seq((500L, 1, 9), (501L, 1, 9), (502L, 1, 9)))      // one bucket of 3
+        .toDF("__id", "__band", "__bucket")
+    val pairs = Dedup.cappedCandidates(banded, "a", "b", cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = (1 until 100).map(i => (0L, i.toLong)).toSet
+    val allPairs3 = Set((500L, 501L), (500L, 502L), (501L, 502L))
+    assert(pairs == star ++ allPairs3) // 99 + 3, not 4950 + 3
+  }
+
+  test("embeddingNearDupPairsLsh: high recall vs the exact all-pairs form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairs(emb, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, threshold = 0.45)
+      .select("vec_id_a", "vec_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // exact-verify ⇒ zero false positives
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
+  }
+
   test("lshTopK finds the exact duplicate (same bucket by construction)") {
     val vecs = (0 until 64).map { i =>
       val v = (0 until 64).map(j => math.cos(i * 64 + j).toFloat)

@@ -72,6 +72,46 @@ class PlannerSemanticsSpec extends SparkSpec {
     assert(spans == Set("*(1)"), plan)
   }
 
+  test("write-after-aggregate-read closes the stage: scalar profile sees pre-write image") {
+    val df = Seq(("a", 1), ("zz", 2)).toDF("v", "id")
+    val bindings = Seq(
+      RuleBinding(40, "t", 1, "v",
+        RuleSpec.Profile(1, "MM", ProfileKind.MinMaxValue, Severity.Info)),
+      RuleBinding(41, "t", 1, "v", // later rule overwrites the profiled column
+        RuleSpec.Harmonize(2, "up", HarmonizeOp.ToUpper)))
+    val compiled = bindings.map(b => RuleCompiler.compile(b, df.schema))
+    val segs = SequencePlanner.plan(compiled)
+    assert(segs.head.stages.size == 2, SequencePlanner.describe(segs))
+    val cfg = exec.EngineConfig("t", Seq("id"), tmpDir("aggread"), runId = "ar1")
+    val res = new exec.PipelineRunner(spark, cfg).run(df, bindings)
+    val mm = res.summaries.filter(_.ruleAssocCode == 40)
+      .map(s => s.checkName -> s.dqMessage).toMap
+    assert(mm("MM [Min]") == "Minimum Value = a")  // NOT 'A': pre-upper image
+    assert(mm("MM [Max]") == "Maximum Value = zz")
+  }
+
+  test("write-after-grouped-read closes the segment: grouped profile sees pre-write image") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("v", "id")
+    val bindings = Seq(
+      RuleBinding(50, "t", 1, "v",
+        RuleSpec.Profile(1, "Dist", ProfileKind.TableValueDistribution, Severity.Info)),
+      RuleBinding(51, "t", 1, "v", // a→b would make every value 'b' post-write
+        RuleSpec.Harmonize(2, "repl", HarmonizeOp.ReplaceValue("a", "b"))))
+    val compiled = bindings.map(b => RuleCompiler.compile(b, df.schema))
+    val segs = SequencePlanner.plan(compiled)
+    assert(segs.size == 2, SequencePlanner.describe(segs))
+    assert(SequencePlanner.units(segs).size == 2) // writer kept out of the reader's unit
+    val cfg = exec.EngineConfig("t", Seq("id"), tmpDir("groupedread"), runId = "gr1")
+    val res = new exec.PipelineRunner(spark, cfg).run(df, bindings)
+    val dist = res.summaries.filter(_.ruleAssocCode == 50)
+      .map(s => s.checkName -> s.rowsAffected).toMap
+    assert(dist("Dist [DuplicatedValues]") == 1) // 'a' ×2 on the pre-write image
+    assert(dist("Dist [DistinctOnce]") == 1)     // 'b' — post-write would read 0
+    // and the rewrite itself still applied downstream
+    val out = res.output.select("v").collect().map(_.getString(0)).toSeq.sorted
+    assert(out == Seq("b", "b", "b"))
+  }
+
   test("saltedAggregate equals direct groupBy on skewed keys") {
     val rows = (0 until 5000).map { i =>
       val repo = if (i % 10 < 8) "mega" else s"repo${i % 37}" // 80% hot key

@@ -97,6 +97,32 @@ class ProfilingRunnerSpec extends SparkSpec {
     assert(byKey(("a", "2"))._2.isEmpty)            // 31/02 invalid
     assert(sm(8).head.rowsAffected == 3)            // cleansed count
   }
+  test("profile scalars respect optionalFilter: P4/P5/P7 aggregate in-filter rows only") {
+    val scoped = Seq(
+      RuleBinding(31, "t", 1, "v",
+        RuleSpec.Profile(31, "MinMaxF", ProfileKind.MinMaxValue, Severity.Info),
+        optionalFilter = Some("k <> 'c'")),
+      RuleBinding(32, "t", 1, "numStr",
+        RuleSpec.Profile(32, "LenF", ProfileKind.MinMaxLength(), Severity.Info),
+        optionalFilter = Some("k = 'a'")),
+      RuleBinding(33, "t", 1, "numStr",
+        RuleSpec.Profile(33, "DistF", ProfileKind.TableValueDistribution, Severity.Info),
+        optionalFilter = Some("k <> 'c'")))
+    val cfg = EngineConfig("t", Seq("k", "numStr"), tmpDir("prof-scoped"), runId = "ps1")
+    val r = new PipelineRunner(spark, cfg).run(df, scoped)
+    def by(code: Int) = r.summaries.filter(_.ruleAssocCode == code)
+    val mm = by(31).map(s => s.checkName -> s.dqMessage).toMap
+    assert(mm("MinMaxF [Min]") == "Minimum Value = 10") // k='c' row (v=50) excluded
+    assert(mm("MinMaxF [Max]") == "Maximum Value = 40")
+    val len = by(32).map(s => s.checkName -> s.dqMessage).toMap
+    assert(len("LenF [MinLen]") == "Minimum Length = 1") // only k='a': "1","2"
+    assert(len("LenF [MaxLen]") == "Maximum Length = 1")
+    val dist = by(33).map(s => s.checkName -> s.rowsAffected).toMap
+    assert(dist("DistF [Total]") == 4)      // k='c' excluded
+    assert(dist("DistF [Populated]") == 4)  // the "" value sits on the excluded row
+    assert(dist("DistF [Empty]") == 0)
+  }
+
   test("F1 date-format check flags leap/month-length violations") {
     val valid = res.output.collect()
       .map(r => r.getAs[String]("dateStr") -> r.getAs[String]("dateValid")).toMap

@@ -36,9 +36,13 @@ class PropertySpec extends SparkSpec {
       val got = StageExec.lazyApply(df, Seq(b))
         .select("id", "out").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
       values.zipWithIndex.foreach { case (v, i) =>
-        // naive interpreter: walk pairs in order, first source match wins
+        // naive interpreter ≡ the reference's status-gated pair cursor: walk
+        // pairs in order; a SOURCE match rewrites to the preferred value, a
+        // PREFERRED-value match freezes the row as 'Correct' — either way
+        // later pairs cannot touch it
         val expect = pairs.collectFirst {
           case (src, pref) if (src == "NULL" && v.isEmpty) || v.contains(src) => pref
+          case (_, pref) if v.contains(pref) => v.get
         }.orElse(v).orNull
         assert(got(i) == expect, s"value=$v pairs=$pairs")
       }
