@@ -17,6 +17,10 @@ import graft.exec.{EngineConfig, PipelineRunner}
   *   --work-dir /path/run42           \  (checkpoints + audit + manifest)
   *   [--entity files] [--key repo,path] [--resume]
   *   [--rule-code 115]                   (single-rule mode ≡ entry point C)
+  *   [--rulesets /path/rulesets.parquet] (MDS.DQRuleset expansion at load)
+  *   [--params   /path/params.parquet]   (MDS.DQAppParameters: row-history
+  *                                        mode, history retention)
+  *   [--as-of 2026-08-16]                (DateFrom/DateTo evaluation date)
   * }}}
   */
 object Main {
@@ -54,12 +58,22 @@ object Main {
 
     rules.CodeQualityCatalog.registerOps() // bespoke ops available to catalogs
 
-    val bindings0 = CatalogIO.read(spark, req("catalog"))
+    // ruleset-aware catalog load (≡ the Ruleset_Code expansion branch)
+    val bindings0 = opts.get("rulesets") match {
+      case Some(rsPath) =>
+        val (expanded, errs) = CatalogIO.readExpanded(spark, req("catalog"), rsPath)
+        errs.foreach(e => System.err.println(s"[graft] FATAL pre-check: $e"))
+        expanded
+      case None => CatalogIO.read(spark, req("catalog"))
+    }
     // single-rule mode ≡ DQ.sExecuteStandAloneRule
     val bindings = opts.get("rule-code") match {
       case Some(code) => bindings0.filter(_.code == code.toInt)
       case None => bindings0
     }
+    // ≡ MDS.DQAppParameters via fnGetParameterValue
+    val params = opts.get("params").map(p => catalog.Parameters.read(spark, p))
+      .getOrElse(Seq.empty)
     val input = spark.read.parquet(req("input"))
     val keys = opts.getOrElse("key", "repo,path").split(",").toSeq
     val cfg = EngineConfig(
@@ -69,10 +83,28 @@ object Main {
       runId = opts.getOrElse("run-id", "run"),
       resume = opts.get("resume").contains("true"),
       repartitionOn = keys,
-      partitionLineage = true)
+      partitionLineage = true,
+      rowHistory = catalog.Parameters
+        .fnGetParameterValue(params, "RowHistoryMode").getOrElse("violations"),
+      asOfDate = opts.get("as-of"))
 
     val result = new PipelineRunner(spark, cfg).run(input, bindings)
     result.output.write.mode("overwrite").parquet(req("output"))
+
+    // S9 history retention driven by the parameters table
+    // (≡ DQ.sClearHistoricalRecords reading HistoricalLoadsToRetain)
+    if (params.nonEmpty) {
+      val retain = catalog.Parameters.getInt(params,
+        catalog.Parameters.HistoricalLoadsToRetain, 10)
+      val summariesDir = s"${cfg.workDir}/audit/summaries"
+      val retained = graft.audit.AuditMaintenance.retainHistoricalLoads(
+        spark.read.parquet(summariesDir), retain)
+      retained.write.mode("overwrite")
+        .parquet(s"${cfg.workDir}/audit/summaries_retained")
+      println(s"[graft] retention: kept ${retained.count()} summary rows " +
+        s"(HistoricalLoadsToRetain=$retain) -> audit/summaries_retained")
+    }
+
     println(s"[graft] plan:\n${result.planDescription}")
     println(s"[graft] ${result.summaries.size} summary rows, " +
       s"${result.catalogErrors.size} catalog errors; audit at ${cfg.workDir}/audit")

@@ -67,34 +67,36 @@ case class MinHashExpr(child: Expression, numHashes: Int, shingleSize: Int)
     new GenericArrayData(sig)
   }
 
+  /** Loop emitted as a private function (ctx.addNewFunction), keeping the
+    * fused stage's `processNext` under HotSpot's 8000-byte huge-method JIT
+    * limit — see [[TextStatsExpr.doGenCode]] for the measured failure mode. */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("mhA", aParams, "long[]")
     val bRef = ctx.addReferenceObj("mhB", bParams, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
-      val s = ctx.freshName("s"); val sig = ctx.freshName("sig")
-      val n = ctx.freshName("n"); val sl = ctx.freshName("sl")
-      val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val h = ctx.freshName("h"); val hj = ctx.freshName("hj")
-      val p = ctx.freshName("p")
-      s"""
-        java.lang.String $s = $c.toString();
-        long[] $sig = new long[$numHashes];
-        java.util.Arrays.fill($sig, Long.MAX_VALUE);
-        int $n = ($s.length() <= $shingleSize) ? 1 : $s.length() - $shingleSize + 1;
-        int $sl = java.lang.Math.min($shingleSize, $s.length());
-        for (int $i = 0; $i < $n; $i++) {
-          long $h = 0xCBF29CE484222325L;
-          for (int $p = $i; $p < $i + $sl; $p++) {
-            $h ^= (long) $s.charAt($p);
-            $h *= 0x100000001B3L;
+      val fname = ctx.freshName("minHashKernel")
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private org.apache.spark.sql.catalyst.util.GenericArrayData $fname(java.lang.String s) {
+            long[] sig = new long[$numHashes];
+            java.util.Arrays.fill(sig, Long.MAX_VALUE);
+            int n = (s.length() <= $shingleSize) ? 1 : s.length() - $shingleSize + 1;
+            int sl = java.lang.Math.min($shingleSize, s.length());
+            for (int i = 0; i < n; i++) {
+              long h = 0xCBF29CE484222325L;
+              for (int p = i; p < i + sl; p++) {
+                h ^= (long) s.charAt(p);
+                h *= 0x100000001B3L;
+              }
+              for (int j = 0; j < $numHashes; j++) {
+                long hj = $aRef[j] * h + $bRef[j];
+                if (hj < sig[j]) sig[j] = hj;
+              }
+            }
+            return new org.apache.spark.sql.catalyst.util.GenericArrayData(sig);
           }
-          for (int $j = 0; $j < $numHashes; $j++) {
-            long $hj = $aRef[$j] * $h + $bRef[$j];
-            if ($hj < $sig[$j]) $sig[$j] = $hj;
-          }
-        }
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
-      """
+        """)
+      s"${ev.value} = $fn($c.toString());"
     })
   }
 
@@ -131,35 +133,36 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     out
   }
 
+  /** Loop emitted as a private function — see [[MinHashExpr.doGenCode]]. */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val s = ctx.freshName("s"); val v = ctx.freshName("v")
-      val i = ctx.freshName("i"); val start = ctx.freshName("start")
-      val h = ctx.freshName("h"); val b = ctx.freshName("b")
-      val p = ctx.freshName("p"); val out = ctx.freshName("out")
-      s"""
-        java.lang.String $s = $c.toString();
-        int[] $v = new int[64];
-        int $i = 0;
-        while ($i < $s.length()) {
-          while ($i < $s.length() && java.lang.Character.isWhitespace($s.charAt($i))) $i++;
-          int $start = $i;
-          while ($i < $s.length() && !java.lang.Character.isWhitespace($s.charAt($i))) $i++;
-          if ($i > $start) {
-            long $h = 0xCBF29CE484222325L;
-            for (int $p = $start; $p < $i; $p++) {
-              $h ^= (long) $s.charAt($p);
-              $h *= 0x100000001B3L;
+      val fname = ctx.freshName("simHashKernel")
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private long $fname(java.lang.String s) {
+            int[] v = new int[64];
+            int i = 0;
+            while (i < s.length()) {
+              while (i < s.length() && java.lang.Character.isWhitespace(s.charAt(i))) i++;
+              int start = i;
+              while (i < s.length() && !java.lang.Character.isWhitespace(s.charAt(i))) i++;
+              if (i > start) {
+                long h = 0xCBF29CE484222325L;
+                for (int p = start; p < i; p++) {
+                  h ^= (long) s.charAt(p);
+                  h *= 0x100000001B3L;
+                }
+                for (int b = 0; b < 64; b++) {
+                  if (((h >>> b) & 1L) == 1L) v[b]++; else v[b]--;
+                }
+              }
             }
-            for (int $b = 0; $b < 64; $b++) {
-              if ((($h >>> $b) & 1L) == 1L) $v[$b]++; else $v[$b]--;
-            }
+            long out = 0L;
+            for (int b = 0; b < 64; b++) { if (v[b] > 0) out |= (1L << b); }
+            return out;
           }
-        }
-        long $out = 0L;
-        for (int $b = 0; $b < 64; $b++) { if ($v[$b] > 0) $out |= (1L << $b); }
-        ${ev.value} = $out;
-      """
+        """)
+      s"${ev.value} = $fn($c.toString());"
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =

@@ -28,6 +28,51 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/work/audit/load_tree").count() > 0)
   }
 
+  test("Main with --rulesets, --params and --as-of: expansion + parameter-driven retention") {
+    import graft.catalog._
+    val dir = tmpDir("main-ruleset")
+    // catalog: one plain binding + one ruleset binding (expired by --as-of)
+    // + one in-window ruleset binding
+    val plain = CatalogIO.toRow(RuleBinding(1, "files", 1, "content",
+      RuleSpec.Profile(1, "Rows", ProfileKind.RowCount, Severity.Info)))
+    val expired = CatalogIO.rulesetBinding(2, "files", 1, "lang", "tidy")
+      .copy(dateTo = Some("2020-01-01"))
+    val live = CatalogIO.rulesetBinding(3, "files", 1, "lang", "tidy")
+    import spark.implicits._
+    Seq(plain, expired, live).toDS().write.mode("overwrite").parquet(s"$dir/catalog")
+    CatalogIO.writeRulesets(spark, Seq(
+      CatalogIO.rulesetMember("tidy", 1, RuleSpec.Harmonize(1, "Up", HarmonizeOp.ToUpper)),
+      CatalogIO.rulesetMember("tidy", 2, RuleSpec.Harmonize(2, "Trim", HarmonizeOp.RemoveSpaces))),
+      s"$dir/rulesets")
+    Parameters.write(spark, Seq(AppParameter("HistoricalLoadsToRetain", "1"),
+      AppParameter("RowHistoryMode", "off")), s"$dir/params")
+    CorpusFixture.generate(spark, 200).toDF
+      .write.mode("overwrite").parquet(s"$dir/input")
+
+    Main.run(Array(
+      "--catalog", s"$dir/catalog",
+      "--input", s"$dir/input",
+      "--output", s"$dir/output",
+      "--work-dir", s"$dir/work",
+      "--rulesets", s"$dir/rulesets",
+      "--params", s"$dir/params",
+      "--as-of", "2026-08-16",
+      "--run-id", "rsrun"))
+
+    val out = spark.read.parquet(s"$dir/output")
+    // live ruleset expanded and ran (lang uppercased, spaces removed);
+    // statuses for expanded codes 3001/3002 present
+    assert(out.columns.contains("StatusColRule_3001"))
+    assert(out.columns.contains("StatusColRule_3002"))
+    val summaries = spark.read.parquet(s"$dir/work/audit/summaries")
+    // expired binding 2 excluded with an ActivationWindow audit row
+    // (codes 2001/2002 after expansion)
+    val excluded = summaries.where($"checkName" === "ActivationWindow")
+      .select("ruleAssocCode").collect().map(_.getInt(0)).toSet
+    assert(excluded == Set(2001, 2002))
+    assert(spark.read.parquet(s"$dir/work/audit/summaries_retained").count() > 0)
+  }
+
   test("Main single-rule mode (≡ DQ.sExecuteStandAloneRule)") {
     val dir = tmpDir("main-single")
     CatalogIO.write(spark, CodeQualityCatalog.bindings, s"$dir/catalog")
