@@ -67,7 +67,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
-    val corpusDir = s"/tmp/graft_bench_corpus_$benchRows"
+    // v2: fixture gained the toxicity-injection branch — versioned path so a
+    // cached v1 corpus is never reused against the new catalog
+    val corpusDir = s"/tmp/graft_bench_corpus_v2_$benchRows"
 
     // ---- part 1: headline operator queries at the requested parallelism
     var spark = mkSession(cpus)

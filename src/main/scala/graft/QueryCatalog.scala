@@ -706,6 +706,27 @@ object QueryCatalog {
               |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn
               |      FROM ($dupDocsSql))""".stripMargin)),
 
+    Q("scrub_toxicity",
+      (s, dir) => {
+        val d = t(s, dir, "documents").withColumn("text2",
+          concat(col("text"), when(col("doc_id") % 9 === 0,
+            lit(" this DAMN thing is crap says the moron"))
+            .otherwise(lit(""))))
+        d.select(col("doc_id"),
+          CodeQuality.scrubToxicity(col("text2")).as("detoxed"),
+          CodeQuality.hasToxicity(col("text2")).as("had_tox"))
+      },
+      Some {
+        val inner = """text || CASE WHEN doc_id % 9 = 0
+                      | THEN ' this DAMN thing is crap says the moron'
+                      | ELSE '' END""".stripMargin.replace("\n", "")
+        val re = CodeQuality.toxicityPattern // Java∩RE2 common subset
+        s"""SELECT doc_id,
+           |  regexp_replace(($inner), '$re', '<TOX>', 'g') AS detoxed,
+           |  regexp_matches(($inner), '$re') AS had_tox
+           |FROM documents""".stripMargin
+      }),
+
     // --------------------------------------------- dedup (exact + fuzzy)
     Q("dedup_exact",
       (s, dir) => graft.operators.Dedup.exactDedupCounts(

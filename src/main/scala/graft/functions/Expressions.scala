@@ -163,6 +163,113 @@ case class BigramSurprisalExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass case-insensitive whole-word lexicon replacement — the
+  * toxicity-scrub kernel. Semantics are exactly
+  * `regexp_replace(s, "(?i)\\b(w1|w2|...)\\b", replacement)` for ASCII
+  * lexicon words over ASCII-\w boundaries (leftmost, non-overlapping,
+  * first-alternative-wins): the regex form costs a per-position Matcher
+  * alternation pass (plus 2 more for the status/hit recomputation in a
+  * harmonization rule); this kernel is one allocation-free scan unless a
+  * replacement actually fires. Equivalence is differential-tested and
+  * oracle-checked (scrub_toxicity). */
+case class LexiconScrubExpr(child: Expression, words: Seq[String],
+                            replacement: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val wordArr: Array[String] = words.toArray
+
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var sb: java.lang.StringBuilder = null
+    var i = 0
+    var last = 0
+    while (i < s.length) {
+      val boundary = i == 0 || !isWordChar(s.charAt(i - 1))
+      if (boundary) {
+        var w = 0
+        var matched = -1
+        while (w < wordArr.length && matched < 0) {
+          val word = wordArr(w)
+          if (i + word.length <= s.length &&
+              s.regionMatches(true, i, word, 0, word.length) &&
+              (i + word.length == s.length || !isWordChar(s.charAt(i + word.length))))
+            matched = w
+          w += 1
+        }
+        if (matched >= 0) {
+          if (sb == null) sb = new java.lang.StringBuilder(s.length)
+          sb.append(s, last, i).append(replacement)
+          i += wordArr(matched).length
+          last = i
+        } else i += 1
+      } else i += 1
+    }
+    if (sb == null) input.asInstanceOf[UTF8String]
+    else {
+      sb.append(s, last, s.length)
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  /** Loop emitted as a private function — see [[TextStatsExpr.doGenCode]]. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("lexWords", wordArr, "java.lang.String[]")
+    val replRef = ctx.addReferenceObj("lexRepl", replacement, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c => {
+      val fname = ctx.freshName("lexiconScrubKernel")
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private org.apache.spark.unsafe.types.UTF8String $fname(
+              org.apache.spark.unsafe.types.UTF8String in) {
+            java.lang.String s = in.toString();
+            java.lang.StringBuilder sb = null;
+            int i = 0;
+            int last = 0;
+            while (i < s.length()) {
+              char prev = i == 0 ? ' ' : s.charAt(i - 1);
+              boolean boundary = i == 0 ||
+                !((prev >= 'a' && prev <= 'z') || (prev >= 'A' && prev <= 'Z') ||
+                  (prev >= '0' && prev <= '9') || prev == '_');
+              if (boundary) {
+                int matched = -1;
+                for (int w = 0; w < $wordsRef.length && matched < 0; w++) {
+                  java.lang.String word = $wordsRef[w];
+                  if (i + word.length() <= s.length() &&
+                      s.regionMatches(true, i, word, 0, word.length())) {
+                    if (i + word.length() == s.length()) { matched = w; }
+                    else {
+                      char nx = s.charAt(i + word.length());
+                      boolean nw = (nx >= 'a' && nx <= 'z') || (nx >= 'A' && nx <= 'Z') ||
+                        (nx >= '0' && nx <= '9') || nx == '_';
+                      if (!nw) matched = w;
+                    }
+                  }
+                }
+                if (matched >= 0) {
+                  if (sb == null) sb = new java.lang.StringBuilder(s.length());
+                  sb.append(s, last, i).append($replRef);
+                  i += $wordsRef[matched].length();
+                  last = i;
+                } else i++;
+              } else i++;
+            }
+            if (sb == null) return in;
+            sb.append(s, last, s.length());
+            return org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString());
+          }
+        """)
+      s"${ev.value} = $fn($c);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LexiconScrubExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom kernels. */
 object NgramScore {
   def textStats(c: Column): Column =
@@ -171,6 +278,8 @@ object NgramScore {
     ColumnBridge.column(BigramSurprisalExpr(ColumnBridge.expression(c)))
   def langId(c: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(c), langs, markers))
+  def lexiconScrub(c: Column, words: Seq[String], replacement: String): Column =
+    ColumnBridge.column(LexiconScrubExpr(ColumnBridge.expression(c), words, replacement))
 }
 
 /** Single-pass language-ID kernel: counts per-language marker occurrences

@@ -74,6 +74,7 @@ object CorpusFixture {
       else if (roll < 21) base + s"\nkey=AKIA" + f"${r.nextInt(1 << 30)}%08X" + "ABCDEFGH\n" // aws key
       else if (roll < 24) base + "\ntoken " + (1 to 4).map(_ => f"${r.nextInt(1 << 30)}%08x").mkString + "\n" // hex
       else if (roll < 27) "qxzj wvkq jzxq plmw qqzz xjvk zzqx wjqk " * 20 // high surprisal soup
+      else if (roll < 29) base + "\nthis damn parser is crap\n" // toxicity lexicon hits
       else base
     FileRow(repo, path, commit, lang, content)
   }

@@ -38,24 +38,31 @@ class CodeQualitySpec extends SparkSpec {
   }
 
   test("content sha256 equality: pass-through rows unchanged, scrubbed rows equal oracle scrub") {
-    val got = piped.select($"repo", $"path", $"content", $"scrub_status").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getString(3))).toMap
-    var scrubbed = 0; var passthrough = 0
+    val got = piped.select($"repo", $"path", $"content", $"scrub_status", $"tox_status")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getString(3), r.getString(4))).toMap
+    var scrubbed = 0; var passthrough = 0; var toxed = 0
     (0L until N).foreach { id =>
       val row = CorpusFixture.gen(id, 42, N)
-      got.get((row.repo, row.path)).foreach { case (content, status) =>
+      got.get((row.repo, row.path)).foreach { case (content, piiStatus, toxStatus) =>
+        val piiExpect = CodeQualityCatalog.Naive.scrubPiiOnly(row.content)
         val expect = CodeQualityCatalog.Naive.scrub(row.content)
         assert(sha(content) == sha(expect), s"content mismatch for ${row.path}")
-        if (expect == row.content) {
+        if (piiExpect == row.content) {
           passthrough += 1
-          assert(status == "SpecialOperation: No Change")
+          assert(piiStatus == "SpecialOperation: No Change")
         } else {
           scrubbed += 1
-          assert(status == "SpecialOperation: Applied")
+          assert(piiStatus == "SpecialOperation: Applied")
         }
+        if (expect != piiExpect) {
+          toxed += 1
+          assert(toxStatus == "SpecialOperation: Applied")
+        } else assert(toxStatus == "SpecialOperation: No Change")
       }
     }
-    assert(scrubbed > 0 && passthrough > 0)
+    assert(scrubbed > 0 && passthrough > 0 && toxed > 0)
   }
 
   test("derived metric columns exist with expected types") {

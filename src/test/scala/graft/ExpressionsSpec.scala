@@ -110,6 +110,27 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.toSeq == Seq("en", "de", "fr", "es", "unknown"))
   }
 
+  test("lexicon-scrub kernel ≡ regexp word-boundary form (differential)") {
+    val tricky = Seq(
+      "this damn parser", "DAMN right", "a damn.", "damn", "x damn", "damn x",
+      "damnation is not a hit", "_damn underscore-boundary", "damn_",
+      "crap crap crap", "no hits here", "", "idiot,moron;stupid",
+      "damncrap fused", "9damn digit-boundary", "CRAP!", "tab\tdamn\tend")
+    val corpus = (0 until 400).map(i =>
+      graft.rules.CorpusFixture.gen(i.toLong, 7L, 400).content)
+    val df = (tricky ++ corpus).toDF("c")
+    val got = df.select(
+      CodeQuality.scrubToxicity($"c").as("k"),
+      CodeQuality.scrubToxicityColumns($"c").as("r")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"kernel='${r.getString(0)}' regex='${r.getString(1)}'"))
+    // interpreted path agrees too
+    val expr = graft.functions.LexiconScrubExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("the damn CRAP idiotic"),
+      CodeQuality.toxicityLexicon, "<TOX>")
+    assert(expr.eval(null).toString == "the <TOX> <TOX> idiotic")
+  }
+
   test("PII scrub removes emails, AWS keys, hex tokens; pass-through otherwise") {
     val r = Seq(
       "contact bob.smith+x@example.co.uk now",
