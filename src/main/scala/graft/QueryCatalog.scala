@@ -745,7 +745,7 @@ object QueryCatalog {
     Q("dedup_minhash",
       (s, dir) => graft.operators.Dedup.minHashDedup(
         dupDocs(s, dir), col("text"), col("doc_id"),
-        numHashes = 32, bands = 8, shingleSize = 5, jaccardThreshold = 0.8)
+        numHashes = 64, bands = 8, shingleSize = 5, jaccardThreshold = 0.8)
         .select("doc_id"),
       None), // MinHash/LSH not SQL-expressible → rows-only check
 

@@ -23,8 +23,12 @@ object Dedup {
     * bucket self-join quadratic; above the cap members are STAR-linked to
     * the bucket's min id instead (linear — identical-signature clusters
     * still collapse to one survivor, only transitive *near*-dup chains
-    * through a mega-bucket can lose recall). */
-  val DefaultBucketCap: Int = 1000
+    * through a mega-bucket can lose recall). Candidate volume is inherently
+    * ∝ the corpus's true similar-pair count: on a 4M-row adversarial
+    * corpus (tiny shared vocabulary → most pairs ≈0.5 Jaccard), r=4
+    * banding produced 1.75e9 candidate pairs vs 2e8 at r=8 — keep
+    * rowsPerBand ≥ 8 for thresholds near 0.8. */
+  val DefaultBucketCap: Int = 200
 
   /** Exact dedup keep-set: the smallest id per identical text.
     *
@@ -94,10 +98,16 @@ object Dedup {
     * fraction of equal minhashes) reaches `jaccardThreshold`. The larger id
     * of each confirmed pair is dropped (min-id survivor per cluster edge).
     *
+    * Banding sensitivity ≈ (1/bands)^(rowsPerBand⁻¹): the defaults
+    * (64 hashes, 8 bands → r=8) sit at ~0.77, matched to the 0.8 threshold —
+    * a 0.5-Jaccard pair collides in a band with p=0.5⁸≈0.4%, so candidate
+    * volume tracks true near-dups instead of exploding on merely-similar
+    * corpora (r=4 is 16× more collision-prone at sim 0.5).
+    *
     * @return surviving rows of `df` (original columns).
     */
   def minHashDedup(df: DataFrame, textCol: Column, idCol: Column,
-                   numHashes: Int = 64, bands: Int = 16,
+                   numHashes: Int = 64, bands: Int = 8,
                    shingleSize: Int = 5, jaccardThreshold: Double = 0.8,
                    maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
@@ -155,7 +165,7 @@ object Dedup {
     * sets confirms. Returns (doc_id_a, doc_id_b, jaccard ≥ threshold). */
   def ngramJaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
                         shingleSize: Int = 5, threshold: Double = 0.8,
-                        numHashes: Int = 64, bands: Int = 16,
+                        numHashes: Int = 64, bands: Int = 8,
                         maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     val rowsPerBand = numHashes / bands
     val shingleArr = array_distinct(transform(
