@@ -31,6 +31,29 @@ trait TableIO {
   def expireSnapshots(table: String, retain: Int): Unit
 }
 
+/** Bucketed catalog tables — the co-located-join lever: two tables bucketed
+  * by the same key and bucket count join WITHOUT any Exchange (each task
+  * reads matching bucket files from both sides), and sorted buckets also
+  * skip the sort. At 100 TB this turns every recurring entity⋈reference or
+  * entity⋈entity join on the bucket key into a scan-local merge — the
+  * shuffle is paid ONCE at layout time instead of per query.
+  * (Enforced by PlanQualitySpec: the bucketed join plan contains no
+  * Exchange.) */
+object BucketedTables {
+  /** Write `df` as a bucketed, per-bucket-sorted catalog table. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
+  /** Co-located equi-join of two same-bucketed tables on the bucket key. */
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
+                    on: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), on, joinType)
+}
+
 class ParquetSnapshotIO(spark: SparkSession, root: String) extends TableIO {
   private def tableDir(t: String) = Paths.get(root, t)
   private def manifest(t: String) = tableDir(t).resolve("_snapshots")

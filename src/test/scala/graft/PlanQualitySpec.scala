@@ -89,6 +89,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"histogram must not use a global window:\n$p")
   }
 
+  test("bucketed tables join without any Exchange (co-located join)") {
+    import spark.implicits._
+    val files = (0 until 2000).map(i => (s"repo${i % 40}", s"p$i", i)).toDF("repo", "path", "sz")
+    val owners = (0 until 40).map(i => (s"repo$i", s"team${i % 5}")).toDF("repo", "team")
+    io.BucketedTables.writeBucketed(files, "bt_files", 8, Seq("repo"))
+    io.BucketedTables.writeBucketed(owners, "bt_owners", 8, Seq("repo"))
+    // disable broadcast so the test proves bucketing (not broadcast) removed
+    // the shuffle
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = io.BucketedTables.colocatedJoin(spark, "bt_files", "bt_owners", Seq("repo"))
+      val p = planOf(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() == 2000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("minhash dedup: candidate join operates on signatures, not text") {
     import spark.implicits._
     val docs = Seq((1L, "abc"), (2L, "def")).toDF("doc_id", "text")
