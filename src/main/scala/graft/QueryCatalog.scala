@@ -762,6 +762,14 @@ object QueryCatalog {
         .select("doc_id_a", "doc_id_b"),
       None),
 
+    // winnowing containment (copied-passage detection; fingerprint sets not
+    // SQL-expressible → rows-only)
+    Q("dedup_winnow",
+      (s, dir) => graft.operators.Dedup.winnowContainmentPairs(
+        dupDocs(s, dir), col("text"), col("doc_id"), minContainment = 0.9)
+        .select("doc_id_a", "doc_id_b"),
+      None),
+
     // --------------------------------------------- similarity search
     Q("ann_topk",
       (s, dir) => graft.operators.Similarity.bruteForceTopK(

@@ -169,9 +169,94 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  * the MOSS algorithm): rolling k-gram hashes, rightmost-minimum selected
+  * per sliding window, output = sorted distinct selected hashes. Guarantee:
+  * any shared substring of length ≥ window+k-1 contributes at least one
+  * shared fingerprint — so fingerprint CONTAINMENT |A∩B|/|A| detects
+  * copied passages that whole-document resemblance (MinHash) misses.
+  * Text shorter than k fingerprints as a single whole-text hash;
+  * NULL → NULL. */
+case class WinnowFingerprintExpr(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  require(k >= 2 && window >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (s.length < k) out.add(HashKernels.fnv1a(s, 0, s.length))
+    else {
+      val n = s.length - k + 1
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) { hs(i) = HashKernels.fnv1a(s, i, k); i += 1 }
+      var w = 0
+      val last = math.max(n - window, 0)
+      while (w <= last) {
+        var best = w
+        var j = w + 1
+        val end = math.min(w + window, n)
+        while (j < end) { if (hs(j) <= hs(best)) best = j; j += 1 } // rightmost min
+        out.add(hs(best))
+        w += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Loop emitted as a private function — see [[MinHashExpr.doGenCode]]. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fname = ctx.freshName("winnowKernel")
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private org.apache.spark.sql.catalyst.util.GenericArrayData $fname(java.lang.String s) {
+            java.util.TreeSet<java.lang.Long> out = new java.util.TreeSet<java.lang.Long>();
+            if (s.length() < $k) {
+              long h = 0xCBF29CE484222325L;
+              for (int p = 0; p < s.length(); p++) { h ^= (long) s.charAt(p); h *= 0x100000001B3L; }
+              out.add(java.lang.Long.valueOf(h));
+            } else {
+              int n = s.length() - $k + 1;
+              long[] hs = new long[n];
+              for (int i = 0; i < n; i++) {
+                long h = 0xCBF29CE484222325L;
+                for (int p = i; p < i + $k; p++) { h ^= (long) s.charAt(p); h *= 0x100000001B3L; }
+                hs[i] = h;
+              }
+              int last = java.lang.Math.max(n - $window, 0);
+              for (int w = 0; w <= last; w++) {
+                int best = w;
+                int end = java.lang.Math.min(w + $window, n);
+                for (int j = w + 1; j < end; j++) { if (hs[j] <= hs[best]) best = j; }
+                out.add(java.lang.Long.valueOf(hs[best]));
+              }
+            }
+            long[] arr = new long[out.size()];
+            int i = 0;
+            for (java.util.Iterator<java.lang.Long> it = out.iterator(); it.hasNext(); )
+              arr[i++] = it.next().longValue();
+            return new org.apache.spark.sql.catalyst.util.GenericArrayData(arr);
+          }
+        """)
+      s"${ev.value} = $fn($c.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintExpr =
+    copy(child = newChild)
+}
+
 object HashSignatures {
   def minHash(c: Column, numHashes: Int, shingleSize: Int): Column =
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(c), numHashes, shingleSize))
   def simHash(c: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(c)))
+  def winnowFingerprints(c: Column, k: Int = 8, window: Int = 12): Column =
+    ColumnBridge.column(WinnowFingerprintExpr(ColumnBridge.expression(c), k, window))
 }

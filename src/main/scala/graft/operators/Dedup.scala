@@ -193,6 +193,36 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Winnowing-fingerprint containment pairs (MOSS-style): detects COPIED
+    * PASSAGES — a doc embedding another doc's text scores near-1 containment
+    * while its whole-document Jaccard may sit far below any minhash
+    * threshold. Fingerprints via [[graft.functions.WinnowFingerprintExpr]]
+    * (every shared substring of length ≥ window+k-1 shares a fingerprint);
+    * candidates = pairs sharing any fingerprint (frequency-capped, so
+    * corpus-wide boilerplate snippets star-link instead of going quadratic);
+    * verification = exact fingerprint-set containment
+    * |A∩B| / min(|A|,|B|) on the candidate set only.
+    * Returns (doc_id_a, doc_id_b, containment ≥ threshold). */
+  def winnowContainmentPairs(df: DataFrame, textCol: Column, idCol: Column,
+                             k: Int = 8, window: Int = 12,
+                             minContainment: Double = 0.5,
+                             maxBucketSize: Int = DefaultBucketCap): DataFrame = {
+    val fps = df.select(idCol.as("__id"),
+      HashSignatures.winnowFingerprints(textCol, k, window).as("__fp"))
+    // candidate generation carries (id, fingerprint) only; fingerprint SETS
+    // re-join by id for the containment verify of the (small) candidate set
+    val banded = fps.select(col("__id"), lit(0).as("__band"),
+      explode(col("__fp")).as("__bucket"))
+    cappedCandidates(banded, "doc_id_a", "doc_id_b", maxBucketSize)
+      .join(fps.select(col("__id").as("doc_id_a"), col("__fp").as("__fp_a")), Seq("doc_id_a"))
+      .join(fps.select(col("__id").as("doc_id_b"), col("__fp").as("__fp_b")), Seq("doc_id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("__fp_a"), col("__fp_b"))).cast("double")
+          / least(size(col("__fp_a")), size(col("__fp_b"))).cast("double"))
+      .where(col("containment") >= minContainment)
+      .select("doc_id_a", "doc_id_b", "containment")
+  }
+
   /** Embedding near-dup pairs by cosine ≥ threshold — exact all-pairs form
     * (self-join on id inequality), O(n²): the oracle/verification path for
     * [[embeddingNearDupPairsLsh]], and the correctness baseline in tests. */

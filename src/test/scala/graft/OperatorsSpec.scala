@@ -81,6 +81,34 @@ class OperatorsSpec extends SparkSpec {
       s"nearest neighbor of $i should be its copy"))
   }
 
+  test("winnowContainmentPairs catches copied passages that minhash resemblance misses") {
+    val r = new scala.util.Random(123)
+    def randText(n: Int): String =
+      (0 until n).map(_ => (1 to 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    val a = randText(80)
+    val b = randText(80) + " " + a // B embeds A verbatim: containment(A in B) ≈ 1
+    val c = randText(80)
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.winnowContainmentPairs(docs, $"text", $"doc_id",
+      minContainment = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got $pairs")
+    assert(pairs((1L, 2L)) >= 0.9)
+    // whole-document jaccard of (A, B) is ~0.5 — minhash at 0.8 keeps both
+    val kept = Dedup.minHashDedup(docs, $"text", $"doc_id").count()
+    assert(kept == 3)
+    // interpreted and codegen'd kernel agree
+    val expr = graft.functions.WinnowFingerprintExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(a), 8, 12)
+    val direct = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    val viaPlan = docs.where($"doc_id" === 1)
+      .select(graft.functions.HashSignatures.winnowFingerprints($"text", 8, 12))
+      .head().getSeq[Long](0)
+    assert(direct == viaPlan)
+  }
+
   test("exactDedupVerified agrees with exactDedup (fingerprint vs text-verified)") {
     val a = Dedup.exactDedupCounts(docs, $"text", $"doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -93,6 +93,15 @@ class PlanQualitySpec extends SparkSpec {
     import spark.implicits._
     val files = (0 until 2000).map(i => (s"repo${i % 40}", s"p$i", i)).toDF("repo", "path", "sz")
     val owners = (0 until 40).map(i => (s"repo$i", s"team${i % 5}")).toDF("repo", "team")
+    // a previous JVM's managed-table location survives while the in-memory
+    // catalog does not — clear both before (re)creating
+    Seq("bt_files", "bt_owners").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+    }
     io.BucketedTables.writeBucketed(files, "bt_files", 8, Seq("repo"))
     io.BucketedTables.writeBucketed(owners, "bt_owners", 8, Seq("repo"))
     // disable broadcast so the test proves bucketing (not broadcast) removed
