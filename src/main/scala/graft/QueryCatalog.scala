@@ -786,6 +786,17 @@ object QueryCatalog {
              |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 10) n)
              |WHERE rank <= 5""".stripMargin)),
 
+    // IVF scale path: sampled spherical k-means cells, nprobe probing
+    Q("ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.where(col("vec_id") >= 10)
+        val centroids = graft.operators.Similarity.trainIvfCentroids(corpus, k = 16)
+        graft.operators.Similarity.ivfTopK(
+          emb.where(col("vec_id") < 10), corpus, k = 5, centroids, nprobe = 4)
+      },
+      None), // recall approximate by design → rows-only check
+
     Q("ann_lsh",
       (s, dir) => graft.operators.Similarity.lshTopK(
         t(s, dir, "embeddings").where(col("vec_id") < 10),

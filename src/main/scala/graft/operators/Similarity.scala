@@ -51,6 +51,86 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(r.nextGaussian()))
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Train an IVF coarse quantizer: k-means (spherical — centroids
+    * L2-normalized, so nearest-centroid by dot product ≡ by cosine) over a
+    * driver-side SAMPLE of the corpus. Sampling is the standard practice at
+    * any scale (FAISS trains on ~10⁵-10⁶ samples for 10⁹-vector indexes):
+    * the corpus itself never leaves the executors — only `sampleSize` rows
+    * are collected. Deterministic: fixed seed, fixed iteration count,
+    * ties to the lower centroid index. */
+  def trainIvfCentroids(corpus: DataFrame, k: Int, sampleSize: Int = 10000,
+                        iters: Int = 10, seed: Long = 42L): Array[Array[Double]] = {
+    val sample = asDouble(corpus)
+      .select(col("__e"))
+      .orderBy(xxhash64(col("vec_id") + seed)) // deterministic pseudo-shuffle
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus sample")
+    val dim = sample.head.length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var centroids = Array.tabulate(math.min(k, sample.length))(i => normalize(sample(i)))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * centroids(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Cell ids of the `nprobe` nearest centroids (by dot product against the
+    * normalized centroids), as an array column — pure Columns, codegen'd. */
+  private def nearestCells(e: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    // (dot, cellId) pairs sorted descending by dot → first nprobe cell ids
+    val scored = transform(centLit, (c, i) =>
+      struct(aggregate(zip_with(e, c, (x, y) => x * y), lit(0.0), (a, v) => a + v).as("dot"),
+        i.as("cell")))
+    val top = slice(reverse(array_sort(scored)), 1, nprobe)
+    transform(top, s => s.getField("cell"))
+  }
+
+  /** IVF top-k: corpus rows live in their single nearest cell; each query
+    * probes its `nprobe` nearest cells and ranks exact cosine within the
+    * probed candidates. The corpus shuffles ONCE by cell id (at index-build
+    * time in production — here inline); queries explode ×nprobe only.
+    * Recall is approximate and rises with nprobe (nprobe = cells ≡ exact). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
+    val c = asDouble(corpus).select(col("vec_id").as("n_id"), col("__e").as("__ec"),
+      element_at(nearestCells(col("__e"), centroids, 1), 1).as("__cell"))
+    val q = asDouble(queries).select(col("vec_id").as("q_id"), col("__e").as("__eq"),
+      explode(nearestCells(col("__e"), centroids, nprobe)).as("__cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cos").desc, col("n_id"))
+    q.join(c, Seq("__cell"))
+      .withColumn("__cos", cosine(col("__eq"), col("__ec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
   /** Multi-table hyperplane signatures for near-dup candidate generation:
     * one row per (id, table) with the table's `planesPerTable`-bit signature
     * as the bucket key — the cosine-space analogue of MinHash banding. The

@@ -169,6 +169,27 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 $recall (single-table round-1 form was ~0.1)")
   }
 
+  test("ivfTopK: sampled k-means cells + nprobe probing give high recall@5") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+    val c = emb.where($"vec_id" >= 10)
+    val centroids = Similarity.trainIvfCentroids(c, k = 16)
+    assert(centroids.length == 16 && centroids.head.length == 64)
+    // determinism: same seed → identical centroids
+    val again = Similarity.trainIvfCentroids(c, k = 16)
+    assert(centroids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val exact = Similarity.bruteForceTopK(q, c, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(q, c, k = 5, centroids, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 $recall with nprobe=4/16 cells")
+    // probing every cell is exhaustive → exact
+    val full = Similarity.ivfTopK(q, c, k = 5, centroids, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+
   test("lshTopK finds the exact duplicate (same bucket by construction)") {
     val vecs = (0 until 64).map { i =>
       val v = (0 until 64).map(j => math.cos(i * 64 + j).toFloat)
