@@ -118,7 +118,7 @@ object Bench {
       .parquet("/tmp/graft_bench_pipeline_out")
     val pipeWriteSec = (System.nanoTime() - tW0) / 1e9
 
-    // ---- part 2: audit-on runner in the SAME warm session (best-of-2,
+    // ---- part 2: audit-on runner in the SAME warm session (best-of-3,
     // fresh workdir per rep so checkpoint/manifest writes are not reused)
     val auditSec =
       if (sys.env.getOrElse("SPARK_GRAFT_AUDIT_BENCH", "1") == "1") {

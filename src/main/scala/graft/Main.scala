@@ -58,13 +58,14 @@ object Main {
 
     rules.CodeQualityCatalog.registerOps() // bespoke ops available to catalogs
 
-    // ruleset-aware catalog load (≡ the Ruleset_Code expansion branch)
-    val bindings0 = opts.get("rulesets") match {
+    // ruleset-aware catalog load (≡ the Ruleset_Code expansion branch);
+    // expansion failures become FATAL pre-check audit rows via preErrors
+    val (bindings0, expansionErrors) = opts.get("rulesets") match {
       case Some(rsPath) =>
         val (expanded, errs) = CatalogIO.readExpanded(spark, req("catalog"), rsPath)
         errs.foreach(e => System.err.println(s"[graft] FATAL pre-check: $e"))
-        expanded
-      case None => CatalogIO.read(spark, req("catalog"))
+        (expanded, errs)
+      case None => (CatalogIO.read(spark, req("catalog")), Seq.empty[String])
     }
     // single-rule mode ≡ DQ.sExecuteStandAloneRule
     val bindings = opts.get("rule-code") match {
@@ -88,7 +89,8 @@ object Main {
         .fnGetParameterValue(params, "RowHistoryMode").getOrElse("violations"),
       asOfDate = opts.get("as-of"))
 
-    val result = new PipelineRunner(spark, cfg).run(input, bindings)
+    val result = new PipelineRunner(spark, cfg)
+      .run(input, bindings, preErrors = expansionErrors)
     result.output.write.mode("overwrite").parquet(req("output"))
 
     // S9 history retention driven by the parameters table

@@ -27,23 +27,24 @@ object Reports {
       .select("loadId", "parentLoadId", "process", "status",
         "startTime", "endTime", "durationSec")
     val masters = {
-      // iterative fixpoint like AuditMaintenance.flattenLoadTree, but kept
-      // here on the raw DataFrame (the tree parquet may hold many runs)
-      var cur = nodes.select(col("loadId"),
-        coalesce(col("parentLoadId"), col("loadId")).as("masterLoadId"))
-      var depth = 0
-      var converged = false
-      while (depth < 10 && !converged) {
-        val parents = nodes.select(col("loadId").as("p_id"), col("parentLoadId").as("p_parent"))
-        val next = cur.join(parents, cur("masterLoadId") === parents("p_id"), "left")
-          .select(col("loadId"),
-            coalesce(col("p_parent"), col("masterLoadId")).as("masterLoadId"))
-        converged = next.join(cur.withColumnRenamed("masterLoadId", "prev"), Seq("loadId"))
-          .where(col("masterLoadId") =!= col("prev")).isEmpty
-        cur = next
-        depth += 1
-      }
-      cur
+      // the load tree is manifest-sized (one node per materialization unit
+      // per run): resolve each node to its root on the DRIVER in one pass
+      // instead of an iterative DataFrame-join fixpoint (which re-evaluates
+      // a growing plan plus one convergence job per depth level)
+      val spark = loadTree.sparkSession
+      import spark.implicits._
+      val parentOf: Map[Long, Option[Long]] = nodes
+        .select(col("loadId"), col("parentLoadId"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      def root(id: Long, hops: Int = 0): Long =
+        parentOf.get(id).flatten match {
+          case Some(p) if hops < 10 => root(p, hops + 1) // bounded like the _10 view
+          case _ => id
+        }
+      parentOf.keys.toSeq.map(id => (id, root(id)))
+        .toDF("loadId", "masterLoadId")
     }
     val own = nodes.select(
       col("loadId"), col("parentLoadId"), col("process").as("loadProcess"),

@@ -69,8 +69,9 @@ object CatalogIO {
     * join branch every apply proc carries,
     * $P/DQ.sApplyDQRuleValueCorrect.sql:349-366 — a direct rule, when
     * present, wins over the ruleset, and an association with neither is the
-    * 'Error: No Rule or Ruleset defined.' fatal, here surfaced as
-    * [[CatalogValidator.EmptyRule]] via an empty expansion marker).
+    * 'Error: No Rule or Ruleset defined.' fatal — returned in the second
+    * element for the caller to pass to PipelineRunner.run(preErrors=...),
+    * which stamps it as a FATAL pre-check audit row).
     *
     * Expanded association codes are `code * 1000 + rank` (rank = 1-based
     * member position by `memberCode`) — deterministic, order-preserving
@@ -82,7 +83,12 @@ object CatalogIO {
     val errors = Seq.newBuilder[String]
     val out = rows.flatMap { r =>
       if (r.category != "Ruleset") Seq(r) // direct rule wins / plain binding
-      else bySet.get(r.rulesetCode.getOrElse("")) match {
+      else if (r.code <= 0 || r.code > 2000000) {
+        // code*1000 would overflow Int (or alias another association's band)
+        errors += s"association ${r.code}: ruleset binding codes must be in " +
+          "1..2000000 (expanded codes are code*1000+rank)"
+        Nil
+      } else bySet.get(r.rulesetCode.getOrElse("")) match {
         case Some(ms) if ms.nonEmpty =>
           ms.sortBy(_.memberCode).zipWithIndex.map { case (m, i) =>
             m.rule.copy(

@@ -39,6 +39,12 @@ object CatalogValidator {
     def message = s"FATAL: association $code has invalid execution sequence $seq (must be 1..11)"
   }
 
+  /** Malformed dateFrom/dateTo — FATAL for that association (bad catalog
+    * data must become an audit row, never crash the run). */
+  case class InvalidDateWindow(code: Int, value: String) extends CatalogError {
+    def message = s"FATAL: association $code has unparseable activation date '$value' (expected yyyy-MM-dd)"
+  }
+
   /** Association skipped because `asOf` is outside its [dateFrom, dateTo]
     * window — NOT an error: recorded as an Info audit row, siblings run. */
   case class OutOfWindow(code: Int, window: String) {
@@ -57,10 +63,19 @@ object CatalogValidator {
   def validate(bindings: Seq[RuleBinding], schema: StructType,
                refSchemas: Map[String, StructType] = Map.empty,
                asOf: java.time.LocalDate = java.time.LocalDate.now()): Validated = {
-    val outOfWindow = bindings.filter(b => b.active && !b.activeAt(asOf))
+    def badDate(s: String): Boolean =
+      try { java.time.LocalDate.parse(s); false }
+      catch { case _: java.time.format.DateTimeParseException => true }
+    val dateErrs = bindings.filter(_.active).flatMap { b =>
+      (b.dateFrom.toSeq ++ b.dateTo.toSeq).filter(badDate)
+        .map(v => InvalidDateWindow(b.code, v))
+    }
+    val badDateCodes = dateErrs.map(_.code).toSet
+    val outOfWindow = bindings
+      .filter(b => b.active && !badDateCodes(b.code) && !b.activeAt(asOf))
       .map(b => OutOfWindow(b.code,
         s"[${b.dateFrom.getOrElse("-")} .. ${b.dateTo.getOrElse("-")}] asOf=$asOf"))
-    val windowExcluded = outOfWindow.map(_.code).toSet
+    val windowExcluded = outOfWindow.map(_.code).toSet ++ badDateCodes
     val inputCols = schema.fieldNames.map(_.toLowerCase).toSet
 
     val dupCodes = bindings.groupBy(_.code).collect { case (c, bs) if bs.size > 1 => c }
@@ -146,6 +161,6 @@ object CatalogValidator {
     // Deterministic rule order: ORDER BY CAST(Code AS INT)
     // ($P/DQ.sGetEntityDQTasks.sql:73)
     val ok = bindings.filter(b => inScope(b) && !badCodes(b.code)).sortBy(_.code)
-    Validated(ok, dupErrs ++ errs, outOfWindow)
+    Validated(ok, dateErrs ++ dupErrs ++ errs, outOfWindow)
   }
 }

@@ -30,8 +30,12 @@ case class SummaryMeta(
     pctOfTotal: Boolean = false)
 
 /** One scalar audit metric: an aggregate over the projected tranche frame.
-  * These ride the tranche's single `observe()` pass — zero extra scans. */
-case class ScalarSummary(meta: SummaryMeta, agg: Column, kind: ScalarKind)
+  * These ride the tranche's single `observe()` pass — zero extra scans.
+  * @param totalOverride denominator for `pctOfTotal` metrics when the rule
+  *        is filter-scoped: the IN-FILTER row count (rides the same
+  *        observe()), not the whole frame's count. */
+case class ScalarSummary(meta: SummaryMeta, agg: Column, kind: ScalarKind,
+                         totalOverride: Option[Column] = None)
 
 /** A grouped audit job (groupBy profiles) — runs as its own Spark job over
   * the tranche checkpoint; only tiny summary rows are collected. */
@@ -131,7 +135,21 @@ object RuleCompiler {
       case s: RuleSpec.Convert      => compileConvert(b, s)
     }
     val filterReads = b.optionalFilter.map(refsOf).getOrElse(Set.empty)
-    base.copy(reads = base.reads ++ filterReads,
+    // filter-scoped percentage metrics divide by the IN-FILTER row count
+    // (the reference's @OuterOptionalFilterClause scopes both sides of the
+    // percentage), not the whole frame's observe total
+    val summaries = filterCol(b) match {
+      case Some(f) => base.scalarSummaries.map { ss =>
+        // ValueIntoMessage drafts report the row count as rowsAffected —
+        // also the in-filter count for scoped rules
+        if (ss.meta.pctOfTotal || ss.kind == ScalarKind.ValueIntoMessage)
+          ss.copy(totalOverride = Some(sum(when(f, 1L).otherwise(0L))))
+        else ss
+      }
+      case None => base.scalarSummaries
+    }
+    base.copy(scalarSummaries = summaries,
+      reads = base.reads ++ filterReads,
       writes = base.writes ++ base.newColumns.map(_._1),
       // a filter-scoped input aggregate also re-evaluates the filter columns
       // post-projection
@@ -631,13 +649,13 @@ object RuleCompiler {
           val counts = scopedDf
             .groupBy(coalesce(col(c).cast(StringType), lit("NULL")).as("__v"))
             .agg(count(lit(1)).as("__n"))
-          // total via a scalar aggregate broadcast-cross-joined onto the
-          // histogram — NOT an unpartitioned window, which would funnel every
-          // distinct value through one task at scale
-          val total = scopedDf.agg(count(lit(1)).as("__t"))
-          val totalRows = total.head().getLong(0)
-          val hist = counts.crossJoin(broadcast(total))
-            .withColumn("__pct", col("__n") * 100.0 / col("__t"))
+          // total via one scalar aggregate, embedded as a LITERAL — NOT an
+          // unpartitioned window (single-task funnel at scale) and not a
+          // cross-join (which would re-evaluate the aggregate subplan inside
+          // the collect job)
+          val totalRows = scopedDf.agg(count(lit(1)).as("__t")).head().getLong(0)
+          val hist = counts
+            .withColumn("__pct", col("__n") * 100.0 / lit(totalRows))
             // below-threshold values collapse into 'MiscMinorValues' (:1448-1463)
             .withColumn("__bucket", when(col("__pct") < threshold, lit("MiscMinorValues")).otherwise(col("__v")))
             .groupBy(col("__bucket")).agg(sum(col("__n")).as("__n"), sum(col("__pct")).as("__pct"))

@@ -47,14 +47,23 @@ object DomainRunner {
       catch {
         case t: Throwable =>
           // ≡ Audit.sRoutineErrorStamp: persist the diagnosis before moving
-          // on to siblings ($T/Audit.RoutineError.sql:9-17)
-          val err = RoutineError(
-            math.abs(s"$runId-${e.name}".hashCode.toLong),
-            s"Domain $domain entity ${e.name}",
-            Option(t.getMessage).getOrElse(t.getClass.getName),
-            t.getStackTrace.take(40).mkString("\n"),
-            new Timestamp(System.currentTimeMillis()))
-          Seq(err).toDS().write.mode("append").parquet(s"$workDir/audit/errors")
+          // on to siblings ($T/Audit.RoutineError.sql:9-17). The stamp write
+          // itself is guarded: the conditions that fail an entity run (bad
+          // session, full disk) can also fail the stamp, and a stamp failure
+          // must neither mask the original error nor stop the siblings.
+          try {
+            val err = RoutineError(
+              math.abs(s"$runId-${e.name}".hashCode.toLong),
+              s"Domain $domain entity ${e.name}",
+              Option(t.getMessage).getOrElse(t.getClass.getName),
+              t.getStackTrace.take(40).mkString("\n"),
+              new Timestamp(System.currentTimeMillis()))
+            Seq(err).toDS().write.mode("append").parquet(s"$workDir/audit/errors")
+          } catch {
+            case stampFailure: Throwable =>
+              System.err.println(s"[graft] error-audit stamp failed for " +
+                s"entity ${e.name}: $stampFailure")
+          }
           Left(t)
       })
     }.toMap

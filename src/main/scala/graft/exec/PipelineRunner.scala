@@ -74,9 +74,20 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
   private def segDir(id: Int) = s"${config.workDir}/seg$id"
   private val manifestPath = Paths.get(s"${config.workDir}/manifest.txt")
   private val auditDir = s"${config.workDir}/audit"
+  // audit partition directories are keyed by the RUN ID STRING, not its
+  // 31-bit hash: two distinct runIds sharing an audit dir must never
+  // overwrite each other's partitions on a hash collision (numeric loadIds
+  // inside the rows stay hash-derived — a collision there merely co-mingles
+  // ids, it cannot destroy data)
+  private val runIdSafe = config.runId.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** @param preErrors catalog-load failures detected BEFORE binding decode
+    *        (e.g. 'no rule or ruleset defined' from ruleset expansion) —
+    *        written as FATAL pre-check audit rows alongside validator
+    *        errors, matching the reference's RAISERROR + history stamp. */
   def run(input: DataFrame, bindings: Seq[RuleBinding],
-          refTables: Map[String, DataFrame] = Map.empty): RunResult = {
+          refTables: Map[String, DataFrame] = Map.empty,
+          preErrors: Seq[String] = Nil): RunResult = {
     val t0 = new Timestamp(System.currentTimeMillis())
     Files.createDirectories(Paths.get(config.workDir))
 
@@ -125,6 +136,10 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     val rootLoadId = math.abs(config.runId.hashCode.toLong)
     var current = partitioned
 
+    preErrors.foreach { msg =>
+      drafts += SummaryDraft(-1, -1, "CatalogValidation", "PreCheck",
+        Severity.Fatal.name, "", s"FATAL: $msg", 0L, None)
+    }
     validated.errors.foreach { e =>
       drafts += SummaryDraft(e.code, -1, "CatalogValidation", "PreCheck",
         Severity.Fatal.name, "", e.message, 0L, None)
@@ -162,7 +177,8 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
             .agg(count(lit(1)).as("rows"))
             .select(lit(unitLoadId).as("loadId"), lit(unitId).as("unit"),
               col("file"), col("rows"))
-            .write.mode("overwrite").parquet(s"$auditDir/lineage_files/unit=$unitId")
+            .write.mode("overwrite")
+            .parquet(s"$auditDir/lineage_files/run=$runIdSafe/unit=$unitId")
         }
         current = nextInput(ckpt, unit)
         val et = new Timestamp(System.currentTimeMillis())
@@ -190,11 +206,11 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     // replaces its own audit rows instead of appending duplicates (other
     // runIds keep their partitions — the history stays append-only per load)
     summaries.toDS().write.mode("overwrite")
-      .parquet(s"$auditDir/summaries/load=$rootLoadId")
+      .parquet(s"$auditDir/summaries/run=$runIdSafe")
     lineage.map(_.copy(loadId = rootLoadId)).toDS()
-      .write.mode("overwrite").parquet(s"$auditDir/lineage/load=$rootLoadId")
+      .write.mode("overwrite").parquet(s"$auditDir/lineage/run=$runIdSafe")
     loadNodes.toSeq.toDS().write.mode("overwrite")
-      .parquet(s"$auditDir/load_tree/load=$rootLoadId")
+      .parquet(s"$auditDir/load_tree/run=$runIdSafe")
     writeManifest(manifestLines.toSeq)
 
     RunResult(current, summaries, validated.errors, loadNodes.toSeq,
@@ -235,8 +251,10 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
         .map { case (ss, k) => (s"m${ss.meta.code}_$k", ss) }
       if (metrics.nonEmpty) {
         val obs = Observation(s"seg${seg.id}_st$i")
-        val aggCols = metrics.map { case (n, ss) => ss.agg.as(n) } :+
-          count(lit(1)).as("__total")
+        val aggCols = metrics.map { case (n, ss) => ss.agg.as(n) } ++
+          metrics.collect { case (n, ss) if ss.totalOverride.nonEmpty =>
+            ss.totalOverride.get.as(s"${n}__tot") // filter-scoped denominator
+          } :+ count(lit(1)).as("__total")
         df = df.observe(obs, aggCols.head, aggCols.tail: _*)
         observations += ((stage, obs, metrics))
       }
@@ -251,9 +269,12 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
 
     val scalarDrafts = observations.flatMap { case (_, obs, metrics) =>
       val vals = obs.get
-      val total = vals.get("__total").map(_.toString.toLong).getOrElse(0L)
+      val frameTotal = vals.get("__total").map(_.toString.toLong).getOrElse(0L)
       metrics.map { case (name, ss) =>
         val raw = vals.get(name).orNull
+        val total = if (ss.totalOverride.nonEmpty)
+          vals.get(s"${name}__tot").map(_.toString.toLong).getOrElse(0L)
+        else frameTotal
         resolveDraft(ss, raw, total)
       }
     }
@@ -325,7 +346,8 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     // write and the unit's manifest DONE line makes the resumed run replay
     // the unit, and the replay OVERWRITES the same path instead of appending
     // duplicate hit records (idempotent replays)
-    hits.write.mode("overwrite").parquet(s"$auditDir/row_hits/load=$loadId/seg=${seg.id}")
+    hits.write.mode("overwrite")
+      .parquet(s"$auditDir/row_hits/run=$runIdSafe/seg=${seg.id}")
   }
 
   private def writeManifest(lines: Seq[String]): Unit = {

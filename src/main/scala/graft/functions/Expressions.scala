@@ -177,10 +177,26 @@ case class LexiconScrubExpr(child: Expression, words: Seq[String],
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
 
-  @transient private lazy val wordArr: Array[String] = words.toArray
+  @transient private lazy val wordArr: Array[String] = words.map(_.toLowerCase).toArray
 
   private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** ASCII-only case fold — java regex (?i) WITHOUT UNICODE_CASE folds only
+    * ASCII, and String.regionMatches(true,…) folds full Unicode (matching
+    * e.g. U+017F 'ſ' to 's'); this compare mirrors the regex exactly. */
+  private def asciiLower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  private def wordAt(s: String, i: Int, word: String): Boolean = {
+    if (i + word.length > s.length) return false
+    var j = 0
+    while (j < word.length) {
+      if (asciiLower(s.charAt(i + j)) != word.charAt(j)) return false
+      j += 1
+    }
+    true
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
@@ -194,8 +210,7 @@ case class LexiconScrubExpr(child: Expression, words: Seq[String],
         var matched = -1
         while (w < wordArr.length && matched < 0) {
           val word = wordArr(w)
-          if (i + word.length <= s.length &&
-              s.regionMatches(true, i, word, 0, word.length) &&
+          if (wordAt(s, i, word) &&
               (i + word.length == s.length || !isWordChar(s.charAt(i + word.length))))
             matched = w
           w += 1
@@ -238,8 +253,15 @@ case class LexiconScrubExpr(child: Expression, words: Seq[String],
                 int matched = -1;
                 for (int w = 0; w < $wordsRef.length && matched < 0; w++) {
                   java.lang.String word = $wordsRef[w];
-                  if (i + word.length() <= s.length() &&
-                      s.regionMatches(true, i, word, 0, word.length())) {
+                  boolean hit = i + word.length() <= s.length();
+                  // ASCII-only case fold, mirroring java-regex (?i) without
+                  // UNICODE_CASE (regionMatches(true,..) would fold Unicode)
+                  for (int j = 0; hit && j < word.length(); j++) {
+                    char sc = s.charAt(i + j);
+                    if (sc >= 'A' && sc <= 'Z') sc = (char)(sc + 32);
+                    if (sc != word.charAt(j)) hit = false;
+                  }
+                  if (hit) {
                     if (i + word.length() == s.length()) { matched = w; }
                     else {
                       char nx = s.charAt(i + word.length());

@@ -81,6 +81,41 @@ class CatalogParitySpec extends SparkSpec {
     assert(!bindings.head.activeAt(java.time.LocalDate.parse("2021-01-01")))
   }
 
+  test("malformed activation date is a FATAL pre-check row, not a crash") {
+    val bindings = Seq(
+      RuleBinding(1, "t", 1, "txt",
+        RuleSpec.Harmonize(1, "Up", HarmonizeOp.ToUpper), outputColumn = Some("up"),
+        dateFrom = Some("01/01/2020")), // not ISO
+      RuleBinding(2, "t", 1, "txt",
+        RuleSpec.Harmonize(2, "Low", HarmonizeOp.ToLower), outputColumn = Some("low")))
+    val cfg = EngineConfig("t", Seq("id"), tmpDir("baddate"), runId = "bd1",
+      asOfDate = Some("2026-08-16"))
+    val res = new PipelineRunner(spark, cfg).run(df, bindings) // must not throw
+    assert(res.catalogErrors.exists(_.message.contains("unparseable activation date")))
+    assert(!res.output.columns.contains("up")) // bad binding excluded
+    assert(res.output.columns.contains("low")) // sibling ran
+  }
+
+  test("ruleset expansion failure becomes a FATAL pre-check audit row") {
+    val (rows, errs) = CatalogIO.expandRulesets(
+      Seq(CatalogIO.rulesetBinding(3, "t", 1, "txt", "nope")), Nil)
+    val cfg = EngineConfig("t", Seq("id"), tmpDir("rs-fatal"), runId = "rf1")
+    val res = new PipelineRunner(spark, cfg)
+      .run(df, rows.map(CatalogIO.fromRow), preErrors = errs)
+    val fatal = res.summaries.filter(s =>
+      s.checkName == "PreCheck" && s.dqMessage.contains("no rule or ruleset defined"))
+    assert(fatal.size == 1)
+    assert(fatal.head.severityName == "Fatal")
+  }
+
+  test("ruleset binding codes beyond the derivable band are rejected, not overflowed") {
+    val (rows, errs) = CatalogIO.expandRulesets(
+      Seq(CatalogIO.rulesetBinding(3000000, "t", 1, "txt", "s")),
+      Seq(CatalogIO.rulesetMember("s", 1, RuleSpec.Harmonize(1, "Up", HarmonizeOp.ToUpper))))
+    assert(rows.isEmpty)
+    assert(errs.exists(_.contains("1..2000000")))
+  }
+
   // ------------------------------------------------------------- parameters
   test("parameters table: fnGetParameterValue drives retention") {
     val dir = tmpDir("params")

@@ -121,6 +121,22 @@ class ProfilingRunnerSpec extends SparkSpec {
     assert(dist("DistF [Total]") == 4)      // k='c' excluded
     assert(dist("DistF [Populated]") == 4)  // the "" value sits on the excluded row
     assert(dist("DistF [Empty]") == 0)
+    // percentage denominators are the IN-FILTER count (4), not the frame (5):
+    // 4 populated of 4 in-filter rows = 100%, not 80%
+    val pct = by(33).map(s => s.checkName -> s.percentageValue).toMap
+    assert(pct("DistF [Populated]").contains(100.0), pct)
+    assert(pct("DistF [Empty]").contains(0.0))
+  }
+
+  test("filter-scoped expression percentage uses the in-filter denominator") {
+    val b = Seq(RuleBinding(41, "t", 1, "v",
+      RuleSpec.Predicate(41, "BigV", "> 25", RuleAction.Log, Severity.Info),
+      optionalFilter = Some("k <> 'c'"))) // in-filter rows: v=10,20,30,40
+    val cfg = EngineConfig("t", Seq("k", "numStr"), tmpDir("prof-pct"), runId = "pp1")
+    val r = new PipelineRunner(spark, cfg).run(df, b)
+    val s41 = r.summaries.find(_.ruleAssocCode == 41).get
+    assert(s41.rowsAffected == 2)                   // 30, 40
+    assert(s41.percentageValue.contains(50.0))      // 2 of 4 IN-FILTER rows
   }
 
   test("F1 date-format check flags leap/month-length violations") {
