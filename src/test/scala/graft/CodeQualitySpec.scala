@@ -106,6 +106,7 @@ class CodeQualitySpec extends SparkSpec {
       } else if (!l.startsWith("lineage")) kept.add(l)
     }
     java.nio.file.Files.write(mPath, kept)
+    val hitsBefore = spark.read.parquet(s"$dir/audit/row_hits").count()
     val r2 = new PipelineRunner(spark, cfg.copy(resume = true))
       .run(corpus, CodeQualityCatalog.bindings)
     val out2 = r2.output.orderBy("repo", "path").select("repo", "path").collect().toSeq
@@ -113,6 +114,8 @@ class CodeQualitySpec extends SparkSpec {
     assert(r2.loadTree.count(_.process.contains("[resumed]")) == 1)
     assert(r2.loadTree.count(n => n.parentLoadId.nonEmpty && !n.process.contains("[resumed]"))
       == nUnits - 1)
+    // the replayed unit OVERWRITES its row-hit partition — no duplicates
+    assert(spark.read.parquet(s"$dir/audit/row_hits").count() == hitsBefore)
   }
 
   test("resume replays only unfinished segments and yields identical output") {
