@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, GenerateUnsafeProjection}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions._
+
+/** Codegen-compile regression gate.
+  *
+  * Two custom-kernel codegen bugs have shipped so far — a huge-method JIT
+  * bailout (round 1) and janino-rejected Java generics (round 2,
+  * WinnowFingerprintExpr) — and both were invisible to the correctness
+  * oracles because Spark silently falls back to interpreted evaluation.
+  * This suite makes that failure mode fail the build instead:
+  *
+  *  1. every custom expression is force-compiled through
+  *     GenerateUnsafeProjection (janino compile errors THROW at this layer —
+  *     there is no interpreted fallback inside the generator itself), and the
+  *     compiled projection's output is checked against nullSafeEval; and
+  *  2. a plan-level query per kernel runs in a session with
+  *     `spark.sql.codegen.fallback=false`, so a whole-stage compile failure
+  *     aborts the query rather than quietly interpreting.
+  *
+  * A canary expression with deliberately janino-illegal generated code
+  * proves the gate actually trips.
+  */
+class CodegenGateSpec extends SparkSpec {
+
+  private val strIn = BoundReference(0, StringType, nullable = true)
+
+  /** Every custom scalar kernel in the repo, bound to a single string input. */
+  private def kernels: Seq[(String, Expression)] = Seq(
+    "TextStatsExpr" -> TextStatsExpr(strIn),
+    "BigramSurprisalExpr" -> BigramSurprisalExpr(strIn),
+    "LangIdExpr" -> LangIdExpr(strIn,
+      Seq("en", "de"), Seq(Seq(" the ", " and "), Seq(" der ", " und "))),
+    "LexiconScrubExpr" -> LexiconScrubExpr(strIn, Seq("badword", "worse"), "[*]"),
+    "MinHashExpr" -> MinHashExpr(strIn, numHashes = 16, shingleSize = 5),
+    "SimHashExpr" -> SimHashExpr(strIn),
+    "WinnowFingerprintExpr" -> WinnowFingerprintExpr(strIn, k = 8, window = 12)
+  )
+
+  private val sampleTexts = Seq(
+    "the quick brown fox jumps over the lazy dog and runs on",
+    "der schnelle braune fuchs springt und lacht und der hund",
+    "x", "", "badword in the worse middle badwordy not",
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    "def main(args): return [i*i for i in range(100)]  # autogen"
+  )
+
+  test("every custom kernel force-compiles (janino) and matches interpreted eval") {
+    kernels.foreach { case (name, expr) =>
+      // GenerateUnsafeProjection.generate compiles eagerly: a janino
+      // CompileException here FAILS this test, never falls back.
+      val proj = GenerateUnsafeProjection.generate(Seq(expr))
+      // Normalize UnsafeRow/GenericInternalRow/ArrayData to plain Scala
+      // values so the comparison is by value, not physical representation.
+      val toScala =
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(expr.dataType)
+      sampleTexts.foreach { s =>
+        val row = InternalRow(UTF8String.fromString(s))
+        val compiled = toScala(proj(row).get(0, expr.dataType))
+        val interpreted = toScala(expr.eval(row))
+        assert(compiled == interpreted,
+          s"$name: codegen != interpreted on '$s': $compiled vs $interpreted")
+      }
+      // null flows through as null in both paths
+      val nullRow = InternalRow(null)
+      assert(proj(nullRow).isNullAt(0) == (expr.eval(nullRow) == null),
+        s"$name: null handling differs between codegen and interpreted")
+    }
+  }
+
+  test("plan-level: kernels run whole-stage with codegen fallback disabled") {
+    // Own SQLConf (shared SparkContext): a whole-stage janino failure here
+    // throws instead of logging "falling back to interpreter mode".
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    strict.conf.set("spark.sql.codegen.wholeStage", "true")
+    import strict.implicits._
+    val df = sampleTexts.toDF("text")
+    val out = df.select(
+      NgramScore.textStats($"text").as("stats"),
+      NgramScore.bigramLogPerplexity($"text").as("ppl"),
+      NgramScore.langId($"text", Seq("en", "de"),
+        Seq(Seq(" the ", " and "), Seq(" der ", " und "))).as("lang"),
+      NgramScore.lexiconScrub($"text", Seq("badword", "worse"), "[*]").as("scrubbed"),
+      HashSignatures.minHash($"text", 16, 5).as("mh"),
+      HashSignatures.simHash($"text").as("sh"),
+      HashSignatures.winnowFingerprints($"text").as("wf")
+    ).collect()
+    assert(out.length == sampleTexts.length)
+    assert(out.forall(r => !r.isNullAt(6) && r.getSeq[Long](6).nonEmpty))
+  }
+
+  test("canary: the gate trips on janino-illegal generated code") {
+    // Same bug class as round 2's WinnowFingerprintExpr: Java generics in
+    // generated code. If this ever stops throwing, the gate is broken.
+    val broken = BrokenGenericsExpr(strIn)
+    val e = intercept[Exception] {
+      GenerateUnsafeProjection.generate(Seq(broken))
+    }
+    val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(msg.toLowerCase.contains("compil"), s"unexpected failure: $msg")
+  }
+}
+
+/** Deliberately emits generics in generated Java — janino must reject it. */
+case class BrokenGenericsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any = 0L
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        java.util.ArrayList<java.lang.Long> xs = new java.util.ArrayList<java.lang.Long>();
+        xs.add(java.lang.Long.valueOf(1L));
+        ${ev.value} = xs.get(0).longValue();
+      """
+    })
+  override protected def withNewChildInternal(newChild: Expression): BrokenGenericsExpr =
+    copy(child = newChild)
+}
