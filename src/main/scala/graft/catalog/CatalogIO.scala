@@ -81,6 +81,9 @@ object CatalogIO {
                      members: Seq[RulesetMember]): (Seq[CatalogRow], Seq[String]) = {
     val bySet = members.groupBy(_.rulesetCode)
     val errors = Seq.newBuilder[String]
+    // derived codes must not alias a direct binding's code — the validator
+    // would otherwise FATAL both rows as duplicates with a misleading message
+    val directCodes = rows.iterator.filter(_.category != "Ruleset").map(_.code).toSet
     val out = rows.flatMap { r =>
       if (r.category != "Ruleset") Seq(r) // direct rule wins / plain binding
       else if (r.code <= 0 || r.code > 2000000) {
@@ -89,8 +92,19 @@ object CatalogIO {
           "1..2000000 (expanded codes are code*1000+rank)"
         Nil
       } else bySet.get(r.rulesetCode.getOrElse("")) match {
+        case Some(ms) if ms.size > 999 =>
+          // member 1000+ would spill into association code+1's band
+          errors += s"association ${r.code}: ruleset " +
+            s"'${r.rulesetCode.getOrElse("")}' has ${ms.size} members; max " +
+            "999 per ruleset (expanded codes are code*1000+rank)"
+          Nil
         case Some(ms) if ms.nonEmpty =>
+          val clashes = (1 to ms.size).map(r.code * 1000 + _).filter(directCodes)
+          if (clashes.nonEmpty)
+            errors += s"association ${r.code}: expanded member codes " +
+              s"${clashes.mkString(", ")} collide with direct binding codes"
           ms.sortBy(_.memberCode).zipWithIndex.map { case (m, i) =>
+
             m.rule.copy(
               code = r.code * 1000 + i + 1,
               entity = r.entity, sequence = r.sequence,

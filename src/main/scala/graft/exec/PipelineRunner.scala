@@ -78,8 +78,18 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
   // 31-bit hash: two distinct runIds sharing an audit dir must never
   // overwrite each other's partitions on a hash collision (numeric loadIds
   // inside the rows stay hash-derived — a collision there merely co-mingles
-  // ids, it cannot destroy data)
-  private val runIdSafe = config.runId.replaceAll("[^A-Za-z0-9._-]", "_")
+  // ids, it cannot destroy data). Sanitization alone is not injective
+  // ("run:1" and "run/1" both map to "run_1"), so a digest of the RAW id is
+  // appended whenever sanitization changed anything.
+  private val runIdSafe = {
+    val sanitized = config.runId.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (sanitized == config.runId) sanitized
+    else {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(config.runId.getBytes("UTF-8"))
+      sanitized + "-" + d.take(4).map("%02x".format(_)).mkString
+    }
+  }
 
   /** @param preErrors catalog-load failures detected BEFORE binding decode
     *        (e.g. 'no rule or ruleset defined' from ruleset expansion) —

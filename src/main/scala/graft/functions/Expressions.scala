@@ -174,6 +174,11 @@ case class BigramSurprisalExpr(child: Expression) extends UnaryExpression {
   * oracle-checked (scrub_toxicity). */
 case class LexiconScrubExpr(child: Expression, words: Seq[String],
                             replacement: String) extends UnaryExpression {
+  // an empty lexicon word matches at every boundary and advances the scan by
+  // zero — infinite loop in both eval paths; reject at construction (the
+  // kernel is public and fed from configurable lexicons)
+  require(words.nonEmpty && words.forall(_.nonEmpty),
+    "lexicon must be non-empty and contain no empty words")
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
 

@@ -108,6 +108,26 @@ class CatalogParitySpec extends SparkSpec {
     assert(fatal.head.severityName == "Fatal")
   }
 
+  test("ruleset with >999 members is rejected (member 1000 would alias code+1's band)") {
+    val members = (1 to 1000).map(i =>
+      CatalogIO.rulesetMember("big", i, RuleSpec.Harmonize(i, s"m$i", HarmonizeOp.ToUpper)))
+    val (rows, errs) = CatalogIO.expandRulesets(
+      Seq(CatalogIO.rulesetBinding(5, "t", 1, "txt", "big")), members)
+    assert(rows.isEmpty)
+    assert(errs.exists(_.contains("max 999")))
+  }
+
+  test("derived member codes colliding with a direct binding's code is an error") {
+    val direct = CatalogIO.toRow(RuleBinding(7002, "t", 1, "txt",
+      RuleSpec.Harmonize(1, "Direct", HarmonizeOp.ToLower)))
+    val members = Seq(
+      CatalogIO.rulesetMember("s", 1, RuleSpec.Harmonize(1, "A", HarmonizeOp.ToUpper)),
+      CatalogIO.rulesetMember("s", 2, RuleSpec.Harmonize(2, "B", HarmonizeOp.RemoveSpaces)))
+    val (_, errs) = CatalogIO.expandRulesets(
+      Seq(direct, CatalogIO.rulesetBinding(7, "t", 2, "txt", "s")), members)
+    assert(errs.exists(e => e.contains("7002") && e.contains("collide")))
+  }
+
   test("ruleset binding codes beyond the derivable band are rejected, not overflowed") {
     val (rows, errs) = CatalogIO.expandRulesets(
       Seq(CatalogIO.rulesetBinding(3000000, "t", 1, "txt", "s")),
@@ -131,6 +151,21 @@ class CatalogParitySpec extends SparkSpec {
     val kept = graft.audit.AuditMaintenance.retainHistoricalLoads(audit, retain)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(kept == Set((1, 102L), (1, 101L), (2, 100L))) // newest 2 per rule
+  }
+
+  // ---------------------------------------------------------- run-id hygiene
+  test("distinct runIds that sanitize identically get distinct audit partitions") {
+    val wd = tmpDir("runid-collide")
+    val binding = Seq(RuleBinding(1, "t", 1, "txt",
+      RuleSpec.Profile(1, "Rows", ProfileKind.RowCount, Severity.Info)))
+    // "run:1" and "run/1" both sanitize to "run_1"
+    new PipelineRunner(spark, EngineConfig("t", Seq("id"), wd, runId = "run:1"))
+      .run(df, binding)
+    new PipelineRunner(spark, EngineConfig("t", Seq("id"), wd, runId = "run/1"))
+      .run(df, binding)
+    val runs = spark.read.parquet(s"$wd/audit/summaries")
+      .select("run").distinct().collect().map(_.getString(0)).toSet
+    assert(runs.size == 2, s"expected 2 distinct run partitions, got $runs")
   }
 
   // ------------------------------------------------------------ error audit

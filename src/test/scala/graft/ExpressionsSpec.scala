@@ -131,6 +131,16 @@ class ExpressionsSpec extends SparkSpec {
     assert(expr.eval(null).toString == "the <TOX> <TOX> idiotic")
   }
 
+  test("lexicon-scrub rejects empty lexicons and empty words (would loop forever)") {
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    intercept[IllegalArgumentException] {
+      graft.functions.LexiconScrubExpr(lit, Nil, "<TOX>")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.LexiconScrubExpr(lit, Seq("ok", ""), "<TOX>")
+    }
+  }
+
   test("PII scrub removes emails, AWS keys, hex tokens; pass-through otherwise") {
     val r = Seq(
       "contact bob.smith+x@example.co.uk now",
