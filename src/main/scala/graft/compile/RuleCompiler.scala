@@ -98,11 +98,17 @@ object RuleCompiler {
     * with the Catalyst SQL parser (Spark 4's `Column` no longer exposes its
     * expression publicly). */
   private[graft] def refsOf(sql: String): Set[String] =
-    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(TsqlDialect.rewrite(sql))
       .collect { case a: UnresolvedAttribute => a.name }.toSet
 
+  /** Parse a catalog FRAGMENT (expression / filter / join logic): verbatim
+    * reference T-SQL fragments are rewritten to Spark SQL first
+    * ([[TsqlDialect]] — a no-op on fragments already in Spark SQL). */
+  private[graft] def fexpr(sql: String): Column = expr(TsqlDialect.rewrite(sql))
+
   private def filterCol(b: RuleBinding): Option[Column] =
-    b.optionalFilter.map(f => expr(f))
+    b.optionalFilter.map(fexpr)
 
   /** Scope a rewrite to the binding's OptionalFilterClause: outside the
     * filter the output keeps the pre-image and the status stays NULL —
@@ -231,11 +237,14 @@ object RuleCompiler {
 
   // ---------------------------------------------------------------- E1-E3
   /** Expression rules ($P/DQ.sApplyDQRuleExpression.sql). The predicate
-    * fragment is Spark SQL here (dialect boundary, SURVEY.md §7.5). */
+    * fragment is Spark SQL or verbatim reference T-SQL — [[TsqlDialect]]
+    * rewrites the latter (LEN/ISNULL/GETDATE/CONVERT/[brackets]) before
+    * `expr()` parses it (dialect boundary, SURVEY.md §7.5). */
   private def compilePredicate(b: RuleBinding, s: RuleSpec.Predicate): CompiledRule = {
+    val frag = TsqlDialect.rewrite(s.expression)
     val fullSql =
-      if (b.evaluationColumn == RuleBinding.IgnoreColumn) s"(${s.expression})"
-      else s"(`${b.evaluationColumn}` ${s.expression})" // prefix form (:387-398)
+      if (b.evaluationColumn == RuleBinding.IgnoreColumn) s"($frag)"
+      else s"(`${b.evaluationColumn}` $frag)" // prefix form (:387-398)
     val predRaw = expr(fullSql)
     val pred = scopedPred(b, predRaw)
     val reads = refsOf(fullSql) // fragment alone may not parse (e.g. "> 10")
@@ -428,8 +437,8 @@ object RuleCompiler {
           .select(refDf.columns.map(c => col(c).as(pfx + c)) :+ lit(1).as(m): _*)
         // dialect: entity columns bare or 'dq.'-prefixed; ref columns 'ref.'-prefixed
         def rw(sql: String): String = sql.replace("ref.", pfx).replace("dq.", "")
-        val cond = expr(rw(joinLogic))
-        val cmp = expr(rw(comparison))
+        val cond = fexpr(rw(joinLogic))
+        val cmp = fexpr(rw(comparison))
         val joinFn: DataFrame => DataFrame = d => d.join(prepped, cond, "left_outer")
         val statusExpr =
           when(col(m).isNull, lit("No Join Possible"))             // (:899-915)
@@ -456,7 +465,7 @@ object RuleCompiler {
         def rw(sql: String): String = sql.replace("ref.", pfx).replace("dq.", "")
         val joinRefCols = (refsOf(rw(joinLogic)).filter(_.startsWith(pfx)).map(_.stripPrefix(pfx)) + refKeyCol).toSeq
         val prepped = refDf.select(joinRefCols.distinct.map(c => col(c).as(pfx + c)): _*).distinct()
-        val cond = expr(rw(joinLogic))
+        val cond = fexpr(rw(joinLogic))
         val joinFn: DataFrame => DataFrame = d => d.join(prepped, cond, "left_outer")
         val refKey = col(pfx + refKeyCol)
         val statusExpr =
@@ -510,7 +519,7 @@ object RuleCompiler {
 
       case DuplicatesCount(pk) => // P2 (:507-663)
         val job = GroupedJob { df =>
-          val scopedDf = b.optionalFilter.map(f => df.filter(expr(f))).getOrElse(df)
+          val scopedDf = b.optionalFilter.map(f => df.filter(fexpr(f))).getOrElse(df)
           val grouped = scopedDf.groupBy(pk.map(col): _*).agg(count(lit(1)).as("__n"))
           val row = grouped.agg(
             sum(when(col("__n") > 1, 1L).otherwise(0L)).as("groups"),
@@ -600,7 +609,7 @@ object RuleCompiler {
           lineage = s"min/max length over ${allCols.mkString(",")}")
 
       case RowCount => // P6 (:1142-1185)
-        val one = b.optionalFilter.map(f => when(expr(f), 1L).otherwise(0L)).getOrElse(lit(1L))
+        val one = b.optionalFilter.map(f => when(fexpr(f), 1L).otherwise(0L)).getOrElse(lit(1L))
         CompiledRule(b,
           scalarSummaries = Seq(ScalarSummary(
             meta(s.ruleName, "*", "Table Row Count"), sum(one), ScalarKind.CountAffected)),
@@ -623,7 +632,7 @@ object RuleCompiler {
         }
         val grouped = allCols.map { c =>
           GroupedJob { df =>
-            val scopedDf = b.optionalFilter.map(f => df.filter(expr(f))).getOrElse(df)
+            val scopedDf = b.optionalFilter.map(f => df.filter(fexpr(f))).getOrElse(df)
             val g = scopedDf.groupBy(col(c)).agg(count(lit(1)).as("__n"))
             val row = g.agg(
               sum(when(col("__n") > 1, 1L).otherwise(0L)).as("dup"),   // HAVING COUNT(*)>1 (:1336-1343)
@@ -645,7 +654,7 @@ object RuleCompiler {
       case ColumnValueDistribution(threshold) => // P8 (:1433-1481)
         val c = b.evaluationColumn
         val job = GroupedJob { df =>
-          val scopedDf = b.optionalFilter.map(f => df.filter(expr(f))).getOrElse(df)
+          val scopedDf = b.optionalFilter.map(f => df.filter(fexpr(f))).getOrElse(df)
           val counts = scopedDf
             .groupBy(coalesce(col(c).cast(StringType), lit("NULL")).as("__v"))
             .agg(count(lit(1)).as("__n"))

@@ -1,0 +1,149 @@
+package graft.compile
+
+/** T-SQL → Spark-SQL rewrite for rule-catalog FRAGMENTS (the raw member
+  * values of $MDS DQRuleExpression.Expression / OptionalFilter /
+  * AttributeComparisons, which the reference splices verbatim into dynamic
+  * T-SQL — $P/DQ.sApplyDQRuleExpression.sql:387-398). The repo's engine
+  * parses fragments with Spark's `expr()`; this shim lets verbatim seeded
+  * reference fragments run unedited.
+  *
+  * Safety invariant (why it can run on EVERY fragment, including ones
+  * already written in Spark SQL): each rewritten construct is invalid or
+  * unresolvable in Spark SQL —
+  *   - `LEN(`, `GETDATE(`, `CHARINDEX(`, `REPLICATE(`, `CONVERT(` are not
+  *     Spark functions;
+  *   - `[bracket]` identifier quoting is a parse error in Spark;
+  *   - `ISNULL(a, b)` (two args) fails resolution in Spark, whose `isnull`
+  *     is the 1-arg null test — the 1-arg form is therefore left UNTOUCHED.
+  * A fragment that already parses as Spark SQL passes through byte-identical
+  * (no-op rewrites never fire), so the shim cannot change the meaning of an
+  * existing catalog. `<>` needs no rewrite (Spark accepts it); T-SQL string
+  * `+` concatenation is NOT translated (untypable without a schema — use
+  * `||` or `concat`).
+  *
+  * Semantic notes:
+  *   - `LEN(x)` → `length(rtrim(x))`: T-SQL LEN excludes trailing blanks.
+  *   - `CHARINDEX(sub, str[, start])` → `locate(...)`: same argument order,
+  *     1-based, 0 when absent — exact match.
+  *   - `CONVERT(type, expr[, style])` → `cast(expr AS type)` with the T-SQL
+  *     type mapped (VARCHAR→STRING, DATETIME→TIMESTAMP, …); a date `style`
+  *     argument is dropped — locale-styled date parsing belongs to the
+  *     transformation rules (T4-T7), not ad-hoc fragments.
+  * All rewrites recurse into argument lists; string literals (with T-SQL ''
+  * escaping) are never touched.
+  */
+object TsqlDialect {
+
+  def rewrite(sql: String): String = {
+    val out = new StringBuilder(sql.length + 16)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // string literal, '' escapes
+        val end = literalEnd(sql, i)
+        out.append(sql.substring(i, end))
+        i = end
+      } else if (c == '[') { // T-SQL bracket-quoted identifier
+        val close = sql.indexOf(']', i)
+        if (close < 0) { out.append(c); i += 1 }
+        else { out.append('`').append(sql.substring(i + 1, close)).append('`'); i = close + 1 }
+      } else if (Character.isLetter(c) || c == '_') {
+        val end = identEnd(sql, i)
+        val ident = sql.substring(i, end)
+        val afterIdent = skipWs(sql, end)
+        if (afterIdent < sql.length && sql.charAt(afterIdent) == '(' &&
+            Rewritable.contains(ident.toUpperCase)) {
+          val (args, close) = splitArgs(sql, afterIdent)
+          val rewritten = args.map(a => rewrite(a.trim))
+          out.append(applyFn(ident, rewritten, sql.substring(i, close + 1)))
+          i = close + 1
+        } else { out.append(ident); i = end }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private val Rewritable = Set("LEN", "ISNULL", "GETDATE", "CHARINDEX",
+    "REPLICATE", "CONVERT")
+
+  private def applyFn(name: String, args: Seq[String], original: String): String =
+    (name.toUpperCase, args) match {
+      case ("LEN", Seq(x)) => s"length(rtrim($x))"
+      case ("ISNULL", Seq(a, b)) => s"coalesce($a, $b)"
+      case ("ISNULL", _) => original // 1-arg form IS Spark's null test — keep
+      case ("GETDATE", Seq()) | ("GETDATE", Seq("")) => "current_timestamp()"
+      case ("CHARINDEX", as) if as.size == 2 || as.size == 3 =>
+        s"locate(${as.mkString(", ")})"
+      case ("REPLICATE", Seq(x, n)) => s"repeat($x, $n)"
+      case ("CONVERT", tpe +: x +: _) if x.nonEmpty => // style arg dropped
+        s"cast($x AS ${mapType(tpe)})"
+      case _ => original // arity we don't understand — leave for expr() to report
+    }
+
+  /** T-SQL type name → Spark type name (sizes kept where Spark has them). */
+  private def mapType(t: String): String = {
+    val up = t.trim.toUpperCase
+    val base = up.takeWhile(ch => Character.isLetter(ch) || ch == '_')
+    base match {
+      case "VARCHAR" | "NVARCHAR" | "CHAR" | "NCHAR" | "TEXT" | "NTEXT" |
+           "SYSNAME" | "UNIQUEIDENTIFIER" => "STRING"
+      case "DATETIME" | "DATETIME2" | "SMALLDATETIME" => "TIMESTAMP"
+      case "BIT" => "BOOLEAN"
+      case "TINYINT" | "SMALLINT" => "SMALLINT"
+      case "MONEY" | "SMALLMONEY" => "DECIMAL(19,4)"
+      case "REAL" => "FLOAT"
+      case "NUMERIC" => "DECIMAL" + up.dropWhile(_ != '(') // keep (p,s)
+      case "DECIMAL" => up
+      case _ => up // INT, BIGINT, FLOAT, DATE, ... already Spark types
+    }
+  }
+
+  /** End index (exclusive) of a '...' literal starting at `start`. */
+  private def literalEnd(s: String, start: Int): Int = {
+    var i = start + 1
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2 // '' escape
+        else return i + 1
+      } else i += 1
+    }
+    i
+  }
+
+  private def identEnd(s: String, start: Int): Int = {
+    var i = start
+    while (i < s.length && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '_')) i += 1
+    i
+  }
+
+  private def skipWs(s: String, start: Int): Int = {
+    var i = start
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    i
+  }
+
+  /** Split the parenthesized arg list opening at `open` into top-level args;
+    * returns (args, index of the closing paren). Tracks nested parens and
+    * string literals. */
+  private def splitArgs(s: String, open: Int): (Seq[String], Int) = {
+    val args = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 1
+    var i = open + 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\'') { val e = literalEnd(s, i); cur.append(s.substring(i, e)); i = e }
+      else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        if (depth == 0) ()
+        else if (c == ',' && depth == 1) { args += cur.toString; cur.clear() }
+        else cur.append(c)
+        i += 1
+      }
+    }
+    if (cur.nonEmpty || s.substring(open + 1, math.max(open + 1, i - 1)).trim.nonEmpty)
+      args += cur.toString
+    (args.result(), i - 1)
+  }
+}

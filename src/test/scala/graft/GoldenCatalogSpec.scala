@@ -204,6 +204,36 @@ class GoldenCatalogSpec extends SparkSpec {
     assert(titles(4) == "Null Evaluation Value")
   }
 
+  test("verbatim seeded T-SQL fragments run unedited (dialect shim)") {
+    // the shapes a reference rule author writes into
+    // $MDS DQRuleExpression.Expression / OptionalFilterClause — T-SQL
+    // functions, bracket identifiers, <> — passed through verbatim
+    val bindings = Seq(
+      // IGNORE-column predicate in raw T-SQL: LEN + bracket identifier
+      RuleBinding(81, "person", 1, RuleBinding.IgnoreColumn,
+        RuleSpec.Predicate(80, "LongName", "LEN([FirstName]) > 3",
+          RuleAction.Flag, Severity.Info),
+        statusColumn = Some("LongNameFlag")),
+      // prefix-form fragment with ISNULL and <>
+      RuleBinding(82, "person", 1, "Title",
+        RuleSpec.Predicate(81, "TitleNotMr", "<> ISNULL(NULL, 'Mr')",
+          RuleAction.Log, Severity.Info)),
+      // T-SQL OptionalFilter scopes a drop rule
+      RuleBinding(83, "person", 2, RuleBinding.IgnoreColumn,
+        RuleSpec.Predicate(82, "DropDrWithFilter", "Title = 'Dr'",
+          RuleAction.Drop, Severity.Fatal),
+        optionalFilter = Some("LEN([FirstName]) = 4")))
+    val res = run(person, "person_tsql", bindings, Seq("PersonId"))
+    val out = res.output.select("PersonId", "LongNameFlag").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    // LEN ignores trailing blanks: "Ken"(3) no-hit, "Rosa"(4) hit, "Greg"(4) hit
+    assert(out(1) == null && out(2) != null)
+    // Greg (Dr, LEN=4) dropped by the filtered rule; Ann (LEN=3) outside filter
+    assert(!out.contains(3) && out.contains(4))
+    // the <> ISNULL log rule counted Sra + Dr (Ken is 'Mr'; null Title no-hit)
+    assert(res.summaries.find(_.ruleAssocCode == 82).get.rowsAffected == 2)
+  }
+
   test("golden catalog round-trips through the stored-table form") {
     val all = goldenProduct ++ goldenSales ++ goldenWork ++ goldenPerson
     val dir = tmpDir("golden-cat")

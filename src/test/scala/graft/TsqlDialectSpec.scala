@@ -1,0 +1,60 @@
+package graft
+
+import graft.compile.TsqlDialect.rewrite
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** T-SQL fragment shim: verbatim reference catalog fragments must parse and
+  * evaluate; fragments already in Spark SQL must pass through unchanged. */
+class TsqlDialectSpec extends AnyFunSuite {
+
+  test("LEN maps to length(rtrim(..)) — T-SQL LEN ignores trailing blanks") {
+    assert(rewrite("LEN(Title) > 10") == "length(rtrim(Title)) > 10")
+    assert(rewrite("len( x ) = 3") == "length(rtrim(x)) = 3")
+  }
+
+  test("2-arg ISNULL maps to coalesce; 1-arg (Spark's null test) is preserved") {
+    assert(rewrite("ISNULL(a, 'x') <> 'bad'") == "coalesce(a, 'x') <> 'bad'")
+    assert(rewrite("isnull(a)") == "isnull(a)")
+  }
+
+  test("GETDATE, CHARINDEX, REPLICATE") {
+    assert(rewrite("d < GETDATE()") == "d < current_timestamp()")
+    assert(rewrite("CHARINDEX('x', col) > 0") == "locate('x', col) > 0")
+    assert(rewrite("CHARINDEX('x', col, 5) > 0") == "locate('x', col, 5) > 0")
+    assert(rewrite("REPLICATE('ab', 3)") == "repeat('ab', 3)")
+  }
+
+  test("CONVERT maps types and drops the style argument") {
+    assert(rewrite("CONVERT(VARCHAR(10), n)") == "cast(n AS STRING)")
+    assert(rewrite("CONVERT(INT, s)") == "cast(s AS INT)")
+    assert(rewrite("CONVERT(DATETIME, s, 103)") == "cast(s AS TIMESTAMP)")
+    assert(rewrite("CONVERT(DECIMAL(18,2), x)") == "cast(x AS DECIMAL(18,2))")
+    assert(rewrite("CONVERT(MONEY, x)") == "cast(x AS DECIMAL(19,4))")
+  }
+
+  test("bracket identifiers become backticks; rewrites recurse and nest") {
+    assert(rewrite("[Product Name] IS NOT NULL") == "`Product Name` IS NOT NULL")
+    assert(rewrite("LEN(ISNULL([a b], '')) > 2") ==
+      "length(rtrim(coalesce(`a b`, ''))) > 2")
+  }
+
+  test("string literals are never rewritten (including '' escapes)") {
+    assert(rewrite("x = 'LEN(y) isn''t [code]'") == "x = 'LEN(y) isn''t [code]'")
+  }
+
+  test("Spark-SQL fragments pass through byte-identical (no-op safety)") {
+    Seq(
+      "length(trim(x)) > 5 AND coalesce(a, b) <> 'z'",
+      "try_cast(v AS INT) IS NULL OR v RLIKE '^[0-9]+$'",
+      "substring(s, 2, 3) = 'abc'",
+      "isnull(maybe_null_col)"
+    ).foreach(f => assert(rewrite(f) == f, f))
+  }
+
+  test("rewrite is idempotent") {
+    val frags = Seq("LEN([Title]) > 10", "ISNULL(a, b) = c",
+      "CONVERT(VARCHAR, GETDATE(), 103)")
+    frags.foreach { f => val once = rewrite(f); assert(rewrite(once) == once, f) }
+  }
+}
