@@ -762,6 +762,30 @@ object QueryCatalog {
         .select("doc_id_a", "doc_id_b"),
       None),
 
+    // exact (non-LSH) form: complete pair set via a shingle inverted index —
+    // SQL-expressible, so this one carries the hard DuckDB oracle the
+    // banded production path above cannot (its at-threshold recall < 1)
+    Q("dedup_ngram_exact",
+      (s, dir) => graft.operators.Dedup.ngramJaccardPairsExact(
+        dupDocs(s, dir), col("text"), col("doc_id"),
+        shingleSize = 5, threshold = 0.8),
+      Some(s"""WITH dd AS ($dupDocsSql),
+              |idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 100001) AS t(i)),
+              |sets AS (
+              |  SELECT DISTINCT doc_id, substring(text, i, 5) AS sh
+              |  FROM dd JOIN idx ON i <= greatest(length(text)-4, 1)
+              |),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+              |          FROM sets a JOIN sets b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT da AS doc_id_a, db AS doc_id_b,
+              |       CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = da
+              |JOIN sizes sb ON sb.doc_id = db
+              |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8""".stripMargin)),
+
     // winnowing containment (copied-passage detection; fingerprint sets not
     // SQL-expressible → rows-only)
     Q("dedup_winnow",

@@ -193,6 +193,35 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard pairs via a shingle inverted index — NO LSH
+    * prefilter: every doc pair sharing a shingle is counted, so the result
+    * is the complete ≥-threshold pair set. This is the ORACLE/verification
+    * path for [[ngramJaccardPairs]] (which trades ~(1/bands)^(1/r) recall
+    * at-threshold for bounded candidates): the shingle self-join is
+    * Σ_s n_s² over shingle frequencies — fine for verification corpora,
+    * quadratic in boilerplate frequency at production scale, where the
+    * LSH+capped path is the one to run. */
+  def ngramJaccardPairsExact(df: DataFrame, textCol: Column, idCol: Column,
+                             shingleSize: Int = 5,
+                             threshold: Double = 0.8): DataFrame = {
+    val sets = df.select(idCol.as("__id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), greatest(length(textCol) - shingleSize, lit(0))),
+        i => textCol.substr(i + lit(1), lit(shingleSize))))).as("__sh"))
+    val sizes = sets.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val a = sets.select(col("__id").as("doc_id_a"), col("__sh"))
+    val b = sets.select(col("__id").as("doc_id_b"), col("__sh"))
+    val inter = a.join(b, Seq("__sh")).where(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("__c"))
+    inter
+      .join(sizes.select(col("__id").as("doc_id_a"), col("__n").as("__na")), Seq("doc_id_a"))
+      .join(sizes.select(col("__id").as("doc_id_b"), col("__n").as("__nb")), Seq("doc_id_b"))
+      .withColumn("jaccard", col("__c").cast("double")
+        / (col("__na") + col("__nb") - col("__c")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
   /** Winnowing-fingerprint containment pairs (MOSS-style): detects COPIED
     * PASSAGES — a doc embedding another doc's text scores near-1 containment
     * while its whole-document Jaccard may sit far below any minhash

@@ -190,6 +190,24 @@ class OperatorsSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("ngram-Jaccard: LSH-prefiltered pairs ⊆ exact inverted-index pairs, same jaccard") {
+    val docs = (0 until 120).map { i =>
+      val base = s"the quick brown fox $i jumps over the lazy dog number $i again and again"
+      (i.toLong, if (i % 10 == 0) base + " tail" else base)
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = pairs(graft.operators.Dedup.ngramJaccardPairsExact(
+      docs, col("text"), col("doc_id"), threshold = 0.6))
+    val lsh = pairs(graft.operators.Dedup.ngramJaccardPairs(
+      docs, col("text"), col("doc_id"), threshold = 0.6))
+    assert(exact.nonEmpty)
+    lsh.foreach { case (k, j) =>
+      assert(exact.contains(k), s"LSH pair $k missing from exact set")
+      assert(exact(k) == j, s"jaccard mismatch on $k: exact=${exact(k)} lsh=$j")
+    }
+  }
+
   test("lshTopK finds the exact duplicate (same bucket by construction)") {
     val vecs = (0 until 64).map { i =>
       val v = (0 until 64).map(j => math.cos(i * 64 + j).toFloat)
