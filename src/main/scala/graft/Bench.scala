@@ -83,8 +83,8 @@ object Bench {
         "ref_table", "ref_integrity",
         "vc_value_correct", "scrub_pii", "text_langid", "text_quality",
         "text_fingerprint", "dedup_exact", "dedup_minhash", "dedup_simhash",
-        "dedup_winnow", "ann_topk", "dedup_embed_lsh", "prof_dup_flag",
-        "prof_col_dist")
+        "dedup_winnow", "ann_topk", "dedup_embed_lsh", "dedup_embed_lsh_hi",
+        "prof_dup_flag", "prof_col_dist")
     val queries = headline.flatMap { name =>
       QueryCatalog.byName.get(name).map { q =>
         // best-of-2: first run pays JIT + codegen compile (~10x at sf0.1);

@@ -54,6 +54,21 @@ object QueryCatalog {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
+  /** embeddings unioned with deterministically perturbed copies of every
+    * 20th vector (±5% per-dimension scaling → cosine ≈ 0.999): planted
+    * near-dups for PRODUCTION-threshold (θ ≥ 0.9) embedding dedup — the
+    * natural table's max pairwise cosine is ~0.51, which would make a
+    * θ=0.9 query vacuous. */
+  private def dupVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.select(col("vec_id"), col("embedding"))
+      .unionAll(e.where(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(x * (1.0d + 0.05d * " +
+          "sin(cast(vec_id as double) + cast(i as double))) as float))")
+          .as("embedding")))
+  }
+
   // =====================================================================
   val all: Seq[Q] = Seq(
 
@@ -837,6 +852,17 @@ object QueryCatalog {
     Q("dedup_embed_lsh",
       (s, dir) => graft.operators.Dedup.embeddingNearDupPairsLsh(
         t(s, dir, "embeddings"), threshold = 0.45, numTables = 8)
+        .select("vec_id_a", "vec_id_b"),
+      None), // LSH recall approximate by design → rows-only check
+
+    // production-threshold form: planted near-dups (the natural corpus has
+    // none above cosine ~0.51), 8 planes/table so at-θ=0.9 per-pair recall
+    // is 1-(1-p⁸)¹⁶ ≈ 0.996 (p = 1-acos(0.9)/π ≈ 0.856) while random pairs
+    // (cos ≤ 0.5) collide per-table with p ≤ 0.666⁸ ≈ 4% — candidate volume
+    // tracks true near-dups instead of the all-pairs envelope
+    Q("dedup_embed_lsh_hi",
+      (s, dir) => graft.operators.Dedup.embeddingNearDupPairsLsh(
+        dupVecs(s, dir), threshold = 0.9, numTables = 16, planesPerTable = 8)
         .select("vec_id_a", "vec_id_b"),
       None), // LSH recall approximate by design → rows-only check
 

@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Vector kernels for the embedding operators (ANN, near-dup LSH). The
+  * Column-combinator forms (`aggregate(zip_with(...))` per dot product)
+  * allocate a zipped array and run a lambda per element, per plane — at
+  * 16 tables × 8 planes that is 128 allocating passes over every corpus
+  * vector, which dominated the θ=0.9 embedding-dedup scan. These kernels
+  * are single-pass, allocation-free, and codegen'd (generics-free Java —
+  * see CodegenGateSpec).
+  */
+
+/** Cosine similarity of two `array<double>` columns. Bit-identical to
+  * `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` with element-order summation
+  * (the shape the DuckDB oracle reproduces). Mirrors the HOF form's edge
+  * semantics: NULL when the lengths differ or any element is NULL. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val n = xa.numElements()
+    if (n != xb.numElements()) return null
+    var dot = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
+      val x = xa.getDouble(i); val y = xb.getDouble(i)
+      dot += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val fname = ctx.freshName("cosineKernel")
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private double $fname(org.apache.spark.sql.catalyst.util.ArrayData xa,
+                                org.apache.spark.sql.catalyst.util.ArrayData xb) {
+            int n = xa.numElements();
+            if (n != xb.numElements()) return Double.NaN; // caller nulls via guard
+            double dot = 0.0, aa = 0.0, bb = 0.0;
+            for (int i = 0; i < n; i++) {
+              double x = xa.getDouble(i), y = xb.getDouble(i);
+              dot += x * y; aa += x * x; bb += y * y;
+            }
+            return dot / (java.lang.Math.sqrt(aa) * java.lang.Math.sqrt(bb));
+          }
+        """)
+      // null-out on length mismatch or any null element (HOF-form parity)
+      val hasNull = ctx.freshName("hasNull")
+      val idx = ctx.freshName("cosI")
+      s"""
+        boolean $hasNull = $a.numElements() != $b.numElements();
+        for (int $idx = 0; !$hasNull && $idx < $a.numElements(); $idx++) {
+          if ($a.isNullAt($idx) || $b.isNullAt($idx)) $hasNull = true;
+        }
+        if ($hasNull) { ${ev.isNull} = true; }
+        else { ${ev.value} = $fn($a, $b); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All `numTables` hyperplane signatures of a vector in ONE pass:
+  * `array<bigint>` of length numTables, entry t = bitmask of
+  * sign(v · plane_{t,p}) for p < planesPerTable. Plane layout is
+  * [table][plane][dim], flattened — identical ordering (and therefore
+  * identical signatures) to the per-plane Column form it replaces.
+  * A vector whose length ≠ dim signatures as all-zeros (the HOF form's
+  * null-propagation collapsed to 0 per bit); NULL vector → NULL. */
+case class HyperplaneSigsExpr(child: Expression, planesFlat: Array[Double],
+                              numTables: Int, planesPerTable: Int, dim: Int)
+    extends UnaryExpression {
+  require(planesFlat.length == numTables * planesPerTable * dim)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val sigs = new Array[Long](numTables)
+    if (e.numElements() == dim) {
+      val v = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { v(j) = e.getDouble(j); j += 1 }
+      var t = 0
+      while (t < numTables) {
+        var sig = 0L
+        var p = 0
+        while (p < planesPerTable) {
+          val base = (t * planesPerTable + p) * dim
+          var d = 0.0
+          var k = 0
+          while (k < dim) { d += planesFlat(base + k) * v(k); k += 1 }
+          if (d > 0.0) sig |= (1L << p)
+          p += 1
+        }
+        sigs(t) = sig
+        t += 1
+      }
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hpPlanes", planesFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val fname = ctx.freshName("hyperplaneSigs")
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private org.apache.spark.sql.catalyst.util.GenericArrayData $fname(
+              org.apache.spark.sql.catalyst.util.ArrayData e) {
+            long[] sigs = new long[$numTables];
+            if (e.numElements() == $dim) {
+              double[] v = new double[$dim];
+              for (int j = 0; j < $dim; j++) v[j] = e.getDouble(j);
+              for (int t = 0; t < $numTables; t++) {
+                long sig = 0L;
+                for (int p = 0; p < $planesPerTable; p++) {
+                  int base = (t * $planesPerTable + p) * $dim;
+                  double d = 0.0;
+                  for (int k = 0; k < $dim; k++) d += $planesRef[base + k] * v[k];
+                  if (d > 0.0) sig |= (1L << p);
+                }
+                sigs[t] = sig;
+              }
+            }
+            return new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs);
+          }
+        """)
+      s"${ev.value} = $fn($c);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigsExpr =
+    copy(child = newChild)
+}
+
+object VectorKernels {
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hyperplaneSigs(vec: Column, planesFlat: Array[Double],
+                     numTables: Int, planesPerTable: Int, dim: Int): Column =
+    ColumnBridge.column(HyperplaneSigsExpr(ColumnBridge.expression(vec),
+      planesFlat, numTables, planesPerTable, dim))
+}

