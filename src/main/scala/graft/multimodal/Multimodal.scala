@@ -37,7 +37,13 @@ object Multimodal {
 
   /** ========== STUB: the codec boundary. ==========
     * Deterministic fake decode — replace with a real codec in production.
-    * Kept pure (bytes → values) so tests are exact. */
+    * Kept pure (bytes → values) so tests are exact.
+    *
+    * DROP-IN CONTRACT: MultimodalStreamingSpec's "golden … vector" tests pin
+    * fixed input bytes to exact expected features/RMS/thumbnail digests.
+    * A real codec replaces this object, runs the same golden inputs, and the
+    * literals are updated from its reference output — every operator around
+    * the boundary (pooling, windowing, frame timing) is verified unchanged. */
   object StubCodec {
     /** ??? in spirit: a real impl would decode pixels; the fake derives a
       * deterministic byte stream from the payload so downstream geometry

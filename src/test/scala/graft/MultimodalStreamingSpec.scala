@@ -19,6 +19,52 @@ class MultimodalStreamingSpec extends SparkSpec {
     f1.zip(f2).foreach { case (a, b) => assert(a.features.sameElements(b.features)) }
   }
 
+  // ---- golden codec-contract vectors -----------------------------------
+  // Fixed input bytes → exact expected outputs, committed as literals. This
+  // is the CONTRACT a real codec implementation must be verified against
+  // when it replaces StubCodec: run the same inputs through the real decode
+  // and update these literals from its reference output — the operator
+  // geometry (pooling, windowing, sampling) around the codec is unchanged.
+  private val goldenBytes = Array.tabulate(32)(i => (i * 7 + 3).toByte)
+
+  test("golden image vector: 16x12 bytes → exact 4x4 mean-pool features") {
+    val row = Multimodal.MediaRow(1L,
+      Multimodal.MediaMeta("image", 16, 12, 0, 0, "stub-img"), goldenBytes)
+    val feats = Multimodal.imageFeatures(Seq(row).toDS(), grid = 4)
+      .collect().head.features
+    val expected = Array(
+      129.58333f, 146.33333f, 137.33333f, 112.166664f,
+      166.0f, 150.08333f, 131.66667f, 118.833336f,
+      125.666664f, 116.416664f, 145.91667f, 127.25f,
+      157.75f, 181.08333f, 116.916664f, 90.0f)
+    assert(feats.sameElements(expected),
+      s"got ${feats.mkString(",")}")
+    // the decode plane itself (first bytes) — pins the codec, not just pooling
+    assert(Multimodal.StubCodec.decodeImage(goldenBytes, 16, 12).take(8).toSeq ==
+      Seq[Byte](40, -18, -39, 94, 98, -21, 118, 92))
+  }
+
+  test("golden audio vector: 16kHz/128ms → exact per-window RMS") {
+    val row = Multimodal.MediaRow(2L,
+      Multimodal.MediaMeta("audio", 0, 0, 16000, 128, "stub-pcm"), goldenBytes)
+    val rms = Multimodal.audioWindows(Seq(row).toDS(), windowSamples = 1024)
+      .collect().sortBy(_.windowIdx).map(_.rms).toSeq
+    assert(rms == Seq(18958.06523820856, 19240.905588364378))
+    assert(Multimodal.StubCodec.decodeAudio(goldenBytes, 4).toSeq ==
+      Seq[Short](-30808, 27460, -7204, -26149))
+  }
+
+  test("golden video vector: 3s/1s sampling → 3 frames, pinned thumbnails") {
+    val row = Multimodal.MediaRow(3L,
+      Multimodal.MediaMeta("video", 64, 64, 0, 3000, "stub-vid"), goldenBytes)
+    val frames = Multimodal.sampleFrames(Seq(row).toDS(), everyMs = 1000)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(f => (f.frameIdx, f.tsMs)).toSeq == Seq((0, 0), (1, 1000), (2, 2000)))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(frames.head.thumb).take(8).map("%02x".format(_)).mkString
+    assert(sha == "3d880cd5803d4922")
+  }
+
   test("image resize produces exact target geometry") {
     val r = Multimodal.resizeImages(media, 16, 12).collect()
     assert(r.nonEmpty)
