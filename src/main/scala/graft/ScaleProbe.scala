@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe for the candidate-bound dedup operators (BASELINE.md's
+  * probe table): runs winnowing-containment and embedding-LSH near-dup at a
+  * requested row count and reports per-stage timings + candidate/pair
+  * volumes. Looking for NONLINEAR CLIFFS, not absolute speed — each volume
+  * should scale ≈ linearly with rows when the operator's caps are doing
+  * their job.
+  *
+  * Probe corpora are REALISTIC-collision by design: per-doc-unique token
+  * streams with planted structure (every 20th doc embeds a passage of /
+  * perturbs the vector of a partner), because the 40-word-vocab bench
+  * fixture makes nearly every doc pair a true near-dup — on such data any
+  * correct containment algorithm is Ω(n²), which measures the corpus, not
+  * the engine.
+  *
+  *   SPARK_GRAFT_PROBE_ROWS=16000000 sbt -batch 'runMain graft.ScaleProbe'
+  */
+object ScaleProbe {
+
+  /** Unique-content docs (~160 chars); every 20th doc (id ≥ 20) embeds a
+    * 15-token passage of doc id-10 → planted containment pairs at
+    * containment ≈ 0.7-0.8. Deterministic. */
+  def containmentCorpus(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    def tokens(id: Long, from: Int, count: Int): String =
+      (from until from + count).map { i =>
+        // full avalanche mix (murmur3 finalizer): a LINEAR combination of
+        // (id, i) leaves systematic token collisions at fixed id deltas,
+        // which the 4M probe run surfaced as a superlinear candidate cliff
+        var h = id * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+        h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+        h ^= h >>> 33
+        s"w${(h & 0x7FFFFFFFFFFFFFFFL) % 1000000000000L}"
+      }.mkString(" ")
+    spark.range(0, n, 1, 256).map { id =>
+      val own = tokens(id, 0, 20)
+      val text =
+        if (id % 20 == 0 && id >= 20) own + " " + tokens(id - 10, 0, 15) // planted
+        else own
+      (id, text)
+    }.toDF("doc_id", "text")
+  }
+
+  /** Unique pseudo-random unit-ish vectors; every 20th id is a ±5%
+    * perturbed copy of id-10 (cosine ≈ 0.999) → planted near-dups. */
+  def vectorCorpus(spark: SparkSession, n: Long, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    def vec(id: Long): Array[Float] = {
+      val r = new java.util.Random(id * 0x9E3779B97F4A7C15L + 7L)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    spark.range(0, n, 1, 256).map { id =>
+      val v =
+        if (id % 20 == 0 && id >= 20) {
+          val base = vec(id - 10)
+          base.indices.map(i =>
+            (base(i) * (1.0 + 0.05 * math.sin((id - 10).toDouble + i))).toFloat).toArray
+        } else vec(id)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def time[T](tag: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val out = f
+    println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROWS", "16000000").toLong
+    val ops = sys.env.getOrElse("SPARK_GRAFT_PROBE_OPS", "winnow,embed").split(",").toSet
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "256")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"[probe] rows=$rows ops=$ops")
+
+    // materialize probe corpora to parquet: file-based size statistics give
+    // the planner the truth (a range.map source estimates tiny → Spark
+    // static-plans a BroadcastHashJoin of a corpus-sized relation and dies
+    // collecting it to the driver; reading parquet is also the
+    // production-realistic input shape)
+    def materialize(df: DataFrame, dir: String): DataFrame = {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+        df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+
+    if (ops("winnow")) {
+      val docs = materialize(containmentCorpus(spark, rows),
+        s"/tmp/graft_probe_docs_$rows")
+      // window scales the fingerprint density (~2·len/(window+1) per doc):
+      // window=40 → ~8 fps per 160-char doc → exploded relation ≈ 8n rows.
+      // The detection guarantee (any shared substring ≥ window+k-1 = 47
+      // chars shares a fingerprint) still catches the ~120-char planted
+      // passages with containment ≈ 0.75
+      val pairs = time(s"winnow containment ($rows rows, planted ~${rows / 20})") {
+        operators.Dedup.winnowContainmentPairs(docs, col("text"), col("doc_id"),
+            k = 8, window = 40, minContainment = 0.5)
+          .agg(count(lit(1)), sum(when(col("doc_id_a") === col("doc_id_b") - 10, 1L).otherwise(0L)))
+          .head()
+      }
+      println(s"[probe] winnow pairs=${pairs.getLong(0)} planted-hits=${pairs.getLong(1)}")
+    }
+
+    if (ops("embed")) {
+      val vecs = materialize(vectorCorpus(spark, rows),
+        s"/tmp/graft_probe_vecs_$rows")
+      // planes = log2(n) → mean bucket load ~1 per table, so random-pair
+      // candidate volume stays ≈ linear (Σ n_b(n_b-1)/2 ≈ n/2 per table).
+      // 16 tables give planted-dup recall ≈ 1.0 at the dup cosine (~0.999,
+      // p^planes ≈ 0.71 per table); AT-THRESHOLD (θ=0.9 exactly) recall at
+      // this sizing is low — tables is the linear-cost knob to buy it back
+      // (Similarity.lshParams sizes conservatively for that case)
+      val planes = math.min(60, math.max(4,
+        math.ceil(math.log(rows.toDouble) / math.log(2.0)).toInt))
+      val tables = 16
+      println(s"[probe] embed LSH planes=$planes tables=$tables")
+      val pairs = time(s"embed near-dup LSH ($rows rows, planted ~${rows / 20})") {
+        operators.Dedup.embeddingNearDupPairsLsh(vecs, threshold = 0.9,
+            numTables = tables, planesPerTable = planes)
+          .agg(count(lit(1)), sum(when(col("vec_id_a") === col("vec_id_b") - 10, 1L).otherwise(0L)))
+          .head()
+      }
+      println(s"[probe] embed pairs=${pairs.getLong(0)} planted-hits=${pairs.getLong(1)}")
+    }
+    spark.stop()
+  }
+}

@@ -44,6 +44,24 @@ object Similarity {
       .select("q_id", "n_id", "rank")
   }
 
+  /** planes/tables sizing for LSH near-dup at corpus size `n` and cosine
+    * threshold `theta`: planes chosen so the mean per-table bucket load
+    * n/2^planes ≈ `targetBucket` (buckets stay under the frequency cap —
+    * with too few planes every bucket saturates and star-links), then
+    * tables grown until per-pair recall 1-(1-p^planes)^tables ≥
+    * `targetRecall` with p = 1-acos(θ)/π. Table count is the linear cost
+    * knob (signature compute + candidate rows ∝ tables); plane count is
+    * the log₂(n) knob. */
+  def lshParams(n: Long, theta: Double, targetRecall: Double = 0.95,
+                targetBucket: Int = 100): (Int, Int) = {
+    val planes = math.min(60, math.max(4,
+      math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(theta) / math.Pi
+    val pb = math.pow(p, planes)
+    val tables = math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toInt)
+    (planes, tables)
+  }
+
   /** Deterministic random hyperplanes (seeded), as a literal array of
     * arrays — broadcast inside the plan. */
   private def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

@@ -157,6 +157,18 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("lshParams sizing: bucket load ~targetBucket, recall math honored") {
+    val (planes, tables) = Similarity.lshParams(16000000L, theta = 0.9,
+      targetRecall = 0.95, targetBucket = 100)
+    assert(planes == 18, s"16M/100 → ceil(log2(160k)) = 18, got $planes")
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val recall = 1.0 - math.pow(1.0 - math.pow(p, planes), tables)
+    assert(recall >= 0.95, s"recall $recall with $tables tables")
+    // tiny corpora floor at 4 planes, 1+ tables
+    val (p2, t2) = Similarity.lshParams(10L, theta = 0.9)
+    assert(p2 == 4 && t2 >= 1)
+  }
+
   test("embeddingNearDupPairsLsh at production θ=0.9: planted near-dups, recall ≥ 0.95") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     // plant near-dups exactly as QueryCatalog.dupVecs does (cosine ≈ 0.999)
