@@ -143,7 +143,17 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     // 5. execute segments
     val drafts = mutable.ArrayBuffer[SummaryDraft]()
     val loadNodes = mutable.ArrayBuffer[LoadNode]()
-    val rootLoadId = math.abs(config.runId.hashCode.toLong)
+    // 44-bit FNV-1a of the FULL runId string: the audit DIRECTORY key is the
+    // (injective) sanitized string, but this numeric id appears inside
+    // summary/load-tree rows — 31-bit String.hashCode collided two distinct
+    // runIds at birthday-problem rates (~1 in 65k pairs); 44 bits keeps
+    // unitLoadId = rootLoadId*1000+unit inside a Long with ~1e-7 collision
+    // odds across 100k runs
+    val rootLoadId = {
+      var h = 0xCBF29CE484222325L
+      config.runId.foreach { c => h ^= c.toLong; h *= 0x100000001B3L }
+      (h ^ (h >>> 44)) & ((1L << 44) - 1)
+    }
     var current = partitioned
 
     preErrors.foreach { msg =>
