@@ -99,14 +99,17 @@ object ScaleProbe {
     if (ops("winnow")) {
       val docs = materialize(containmentCorpus(spark, rows),
         s"/tmp/graft_probe_docs_$rows")
-      // window scales the fingerprint density (~2·len/(window+1) per doc):
-      // window=40 → ~8 fps per 160-char doc → exploded relation ≈ 8n rows.
-      // The detection guarantee (any shared substring ≥ window+k-1 = 47
-      // chars shares a fingerprint) still catches the ~120-char planted
-      // passages with containment ≈ 0.75
-      val pairs = time(s"winnow containment ($rows rows, planted ~${rows / 20})") {
+      // window scales the fingerprint density (~2·len/(window+1) per doc) —
+      // the volume knob for the candidate pipeline, whose cumulative shuffle
+      // footprint is ~5× the exploded (id, fingerprint) relation: window=40
+      // (~13 fps/doc) ran 16M rows out of this box's 75GB disk; window=80
+      // (~6 fps/doc) fits. The detection guarantee weakens accordingly (any
+      // shared substring ≥ window+k-1 chars shares a fingerprint) but still
+      // catches the ~195-char planted passages
+      val window = sys.env.getOrElse("SPARK_GRAFT_PROBE_WINDOW", "40").toInt
+      val pairs = time(s"winnow containment ($rows rows, window=$window, planted ~${rows / 20})") {
         operators.Dedup.winnowContainmentPairs(docs, col("text"), col("doc_id"),
-            k = 8, window = 40, minContainment = 0.5)
+            k = 8, window = window, minContainment = 0.5)
           .agg(count(lit(1)), sum(when(col("doc_id_a") === col("doc_id_b") - 10, 1L).otherwise(0L)))
           .head()
       }
