@@ -864,7 +864,24 @@ object QueryCatalog {
       (s, dir) => graft.operators.Dedup.embeddingNearDupPairsLsh(
         dupVecs(s, dir), threshold = 0.9, numTables = 16, planesPerTable = 8)
         .select("vec_id_a", "vec_id_b"),
-      None), // LSH recall approximate by design → rows-only check
+      // Hash-exact oracle IS valid here despite LSH candidacy being
+      // probabilistic: every true pair in this fixture sits at cosine
+      // ≈ 0.999 (per-plane p ≈ 0.996, per-table p⁸ ≈ 0.964, miss over 16
+      // tables ≈ 0.036¹⁶ ≈ 6e-24) and the hyperplanes are seed-fixed, so
+      // the verified output deterministically equals the exact
+      // cosine ≥ 0.9 set — the n² exact join below. DuckDB lambda index
+      // `i` is 1-based (Spark transform's is 0-based) hence (i - 1).
+      Some("""WITH dupvecs AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000 AS vec_id,
+             |    list_transform(embedding, (x, i) -> CAST(x * (1.0 + 0.05 *
+             |      sin(CAST(vec_id AS DOUBLE) + (i - 1))) AS FLOAT)) AS embedding
+             |  FROM embeddings WHERE vec_id % 20 = 0)
+             |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+             |FROM dupvecs a JOIN dupvecs b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                             CAST(b.embedding AS DOUBLE[])) >= 0.9""".stripMargin)),
 
     Q("dedup_embed_cosine",
       // threshold 0.45 because the synthetic embeddings' max pairwise cosine

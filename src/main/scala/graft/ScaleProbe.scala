@@ -72,6 +72,19 @@ object ScaleProbe {
     out
   }
 
+  /** Pre-verify candidate-pair volume of a banded (id, band, bucket)
+    * relation under the frequency cap — one groupBy pass, no join. This is
+    * the quantity that must stay ≈ linear in rows for the operator to
+    * survive scale-up; wall time on a single box additionally folds in
+    * spill onset, which a cluster with per-node-bounded partitions never
+    * sees. */
+  private def candidateVolume(banded: DataFrame, cap: Int): Long =
+    banded.groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") <= cap, col("n") * (col("n") - 1) / 2)
+        .otherwise(col("n") - 1)).cast("long"))
+      .head().getLong(0)
+
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROWS", "16000000").toLong
     val ops = sys.env.getOrElse("SPARK_GRAFT_PROBE_OPS", "winnow,embed").split(",").toSet
@@ -107,6 +120,13 @@ object ScaleProbe {
       // shared substring ≥ window+k-1 chars shares a fingerprint) but still
       // catches the ~195-char planted passages
       val window = sys.env.getOrElse("SPARK_GRAFT_PROBE_WINDOW", "40").toInt
+      val bandedW = docs.select(col("doc_id").as("__id"), lit(0).as("__band"),
+        explode(graft.functions.HashSignatures.winnowFingerprints(
+          col("text"), 8, window)).as("__bucket"))
+      val candW = time(s"winnow candidate volume ($rows rows, window=$window)") {
+        candidateVolume(bandedW, operators.Dedup.DefaultBucketCap)
+      }
+      println(f"[probe] winnow candidates=$candW (${candW.toDouble / rows}%.2f per row)")
       val pairs = time(s"winnow containment ($rows rows, window=$window, planted ~${rows / 20})") {
         operators.Dedup.winnowContainmentPairs(docs, col("text"), col("doc_id"),
             k = 8, window = window, minContainment = 0.5)
@@ -129,6 +149,14 @@ object ScaleProbe {
         math.ceil(math.log(rows.toDouble) / math.log(2.0)).toInt))
       val tables = 16
       println(s"[probe] embed LSH planes=$planes tables=$tables")
+      val bandedE = operators.Similarity.bandedSignatures(
+        vecs.select(col("vec_id").as("__id"),
+          expr("transform(embedding, x -> cast(x as double))").as("__e")),
+        "__id", "__e", tables, planes, 64, 42L)
+      val candE = time(s"embed candidate volume ($rows rows)") {
+        candidateVolume(bandedE, operators.Dedup.DefaultBucketCap)
+      }
+      println(f"[probe] embed candidates=$candE (${candE.toDouble / rows}%.2f per row)")
       val pairs = time(s"embed near-dup LSH ($rows rows, planted ~${rows / 20})") {
         operators.Dedup.embeddingNearDupPairsLsh(vecs, threshold = 0.9,
             numTables = tables, planesPerTable = planes)

@@ -154,7 +154,7 @@ object Similarity {
     * as the bucket key — the cosine-space analogue of MinHash banding. The
     * output carries ONLY (__id, __band, __bucket); vectors re-join by id
     * for verification. */
-  private[operators] def bandedSignatures(vecs: DataFrame, idCol: String, vecCol: String,
+  private[graft] def bandedSignatures(vecs: DataFrame, idCol: String, vecCol: String,
                                           numTables: Int, planesPerTable: Int,
                                           dim: Int, seed: Long): DataFrame = {
     // all tables' signatures in ONE codegen'd pass over the vector
