@@ -623,6 +623,44 @@ object QueryCatalog {
              |  LATERAL (SELECT UNNEST(generate_series(1, len(string_split(c_name, '#')))) AS i) u""".stripMargin)),
 
     // ------------------------------------- training-data ops: text analysis
+    // Distributed KN-LM training pass: corpus-wide character-bigram counts
+    // via BigramCountsAgg (one 38²-cell partial per partition crosses the
+    // wire). Output = observed (sym_a, sym_b, count) cells — hash-exact
+    // longs, independently recomputed by DuckDB from raw text. The KN
+    // smoothing on top of these counts is unit-tested (NgramLMSpec:
+    // probability-sum invariant + seed-model reproduction).
+    Q("lm_bigram_counts",
+      (s, dir) => t(s, dir, "documents")
+        .agg(graft.functions.NgramLM.bigramCounts(col("text")).as("c"))
+        .select(posexplode(col("c")).as(Seq("idx", "cnt")))
+        .where(col("cnt") > 0)
+        .select(expr("CAST(idx DIV 38 AS BIGINT)").as("sym_a"),
+          expr("CAST(idx % 38 AS BIGINT)").as("sym_b"),
+          col("cnt")),
+      // sym classing mirrors LangModel.sym: fold A-Z only (not full lower()),
+      // digits → 26..35, ws → 36, other → 37. Text is ASCII-only in the
+      // fixture (verified), so Java-char vs code-point indexing agree.
+      Some("""WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 1001) AS t(i)),
+             |pairs AS (
+             |  SELECT substring(text, i, 1) AS ca, substring(text, i + 1, 1) AS cb
+             |  FROM documents JOIN idx ON i <= length(text) - 1),
+             |sym AS (
+             |  SELECT
+             |    CASE WHEN ca >= 'a' AND ca <= 'z' THEN ascii(ca) - 97
+             |         WHEN ca >= 'A' AND ca <= 'Z' THEN ascii(ca) - 65
+             |         WHEN ca >= '0' AND ca <= '9' THEN 26 + ascii(ca) - 48
+             |         WHEN ca = ' ' OR ca = chr(9) OR ca = chr(10) OR ca = chr(13) THEN 36
+             |         ELSE 37 END AS sym_a,
+             |    CASE WHEN cb >= 'a' AND cb <= 'z' THEN ascii(cb) - 97
+             |         WHEN cb >= 'A' AND cb <= 'Z' THEN ascii(cb) - 65
+             |         WHEN cb >= '0' AND cb <= '9' THEN 26 + ascii(cb) - 48
+             |         WHEN cb = ' ' OR cb = chr(9) OR cb = chr(10) OR cb = chr(13) THEN 36
+             |         ELSE 37 END AS sym_b
+             |  FROM pairs)
+             |SELECT CAST(sym_a AS BIGINT) AS sym_a, CAST(sym_b AS BIGINT) AS sym_b,
+             |       count(*) AS cnt
+             |FROM sym GROUP BY 1, 2""".stripMargin)),
+
     Q("text_tokens",
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),

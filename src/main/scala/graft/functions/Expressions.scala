@@ -98,10 +98,17 @@ object TextStatsExpr {
     StructField("n_tokens", IntegerType, nullable = false)))
 }
 
-/** Mean character-bigram surprisal (negative log-probability) under the
-  * compiled-in [[LangModel]] — the perplexity-scoring kernel. Empty or
-  * single-char input scores 0.0. */
-case class BigramSurprisalExpr(child: Expression) extends UnaryExpression {
+/** Mean character-bigram surprisal (negative log-probability) under a
+  * KN-smoothed bigram model — the perplexity-scoring kernel. Defaults to
+  * the compiled-in [[LangModel.logProb]] seed model; [[NgramLM.train]]
+  * produces in-domain models to pass instead (the array is 38×38 doubles —
+  * it rides the serialized expression to executors). Empty or single-char
+  * input scores 0.0. */
+case class BigramSurprisalExpr(child: Expression,
+                               model: Array[Double] = LangModel.logProb)
+  extends UnaryExpression {
+  require(model.length == LangModel.NumSymbols * LangModel.NumSymbols,
+    s"model must be a flat ${LangModel.NumSymbols}^2 log-prob table")
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
@@ -109,7 +116,7 @@ case class BigramSurprisalExpr(child: Expression) extends UnaryExpression {
     val s = input.asInstanceOf[UTF8String].toString
     if (s.length < 2) 0.0
     else {
-      val lp = LangModel.logProb
+      val lp = model
       var acc = 0.0
       var prev = LangModel.sym(s.charAt(0))
       var i = 1
@@ -126,7 +133,7 @@ case class BigramSurprisalExpr(child: Expression) extends UnaryExpression {
   /** Emitted as a private function — see [[TextStatsExpr.doGenCode]]'s
     * huge-method rationale. */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val model = ctx.addReferenceObj("bigramModel", LangModel.logProb, "double[]")
+    val modelRef = ctx.addReferenceObj("bigramModel", model, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
       val fname = ctx.freshName("bigramSurprisalKernel")
       val symName = ctx.freshName("bigramSym")
@@ -149,7 +156,7 @@ case class BigramSurprisalExpr(child: Expression) extends UnaryExpression {
             int prev = $sym(s.charAt(0));
             for (int i = 1; i < s.length(); i++) {
               int cur = $sym(s.charAt(i));
-              acc += $model[prev * ${LangModel.NumSymbols} + cur];
+              acc += $modelRef[prev * ${LangModel.NumSymbols} + cur];
               prev = cur;
             }
             return -acc / (s.length() - 1);

@@ -37,26 +37,38 @@ object LangModel {
      "where group by order limit join left right inner outer count sum min max avg " +
      "0123456789 127 255 1024 2048 4096 x y z i j k n m foo bar baz qux ") * 2
 
-  /** log P(c2 | c1) with absolute discounting (d = 0.75) and a uniform
-    * backoff distribution — the standard interpolated KN shape at bigram
-    * order with a closed (small) alphabet. */
-  val logProb: Array[Double] = {
-    val counts = Array.ofDim[Int](NumSymbols, NumSymbols)
-    val ctx = Array.ofDim[Int](NumSymbols)
+  /** Driver-side bigram counting of one string into a flat
+    * NumSymbols² matrix (row = context symbol). The distributed
+    * equivalent over a corpus column is [[BigramCountsAgg]]. */
+  def countBigrams(s: String, into: Array[Long] = null): Array[Long] = {
+    val counts = if (into != null) into else new Array[Long](NumSymbols * NumSymbols)
     var i = 0
-    while (i < seedCorpus.length - 1) {
-      val a = sym(seedCorpus.charAt(i)); val b = sym(seedCorpus.charAt(i + 1))
-      counts(a)(b) += 1; ctx(a) += 1
+    while (i < s.length - 1) {
+      counts(sym(s.charAt(i)) * NumSymbols + sym(s.charAt(i + 1))) += 1L
       i += 1
     }
-    // continuation counts for the lower-order (unigram) KN distribution
-    val contCount = Array.ofDim[Int](NumSymbols)
+    counts
+  }
+
+  /** KN-smoothed log P(c2 | c1) table from a flat NumSymbols² bigram count
+    * matrix: absolute discounting (d = 0.75) interpolated with a smoothed
+    * CONTINUATION distribution (how many contexts a symbol follows, not how
+    * often) — the standard interpolated Kneser-Ney shape at bigram order
+    * with a closed (small) alphabet. Deterministic: same counts → same
+    * model, on driver and executors alike. */
+  def fromCounts(counts: Array[Long]): Array[Double] = {
+    require(counts.length == NumSymbols * NumSymbols,
+      s"expected flat ${NumSymbols}x$NumSymbols count matrix, got ${counts.length}")
+    val ctx = new Array[Long](NumSymbols)
+    val contCount = new Array[Int](NumSymbols)
     var totalCont = 0
     var a = 0
     while (a < NumSymbols) {
       var b = 0
       while (b < NumSymbols) {
-        if (counts(a)(b) > 0) { contCount(b) += 1; totalCont += 1 }
+        val c = counts(a * NumSymbols + b)
+        ctx(a) += c
+        if (c > 0) { contCount(b) += 1; totalCont += 1 }
         b += 1
       }
       a += 1
@@ -65,14 +77,19 @@ object LangModel {
     val out = new Array[Double](NumSymbols * NumSymbols)
     a = 0
     while (a < NumSymbols) {
-      val n1plus = counts(a).count(_ > 0)
+      var n1plus = 0
       var b = 0
+      while (b < NumSymbols) {
+        if (counts(a * NumSymbols + b) > 0) n1plus += 1
+        b += 1
+      }
+      b = 0
       while (b < NumSymbols) {
         val pCont = (contCount(b) + 0.5) / (totalCont + 0.5 * NumSymbols) // smoothed continuation
         val p =
-          if (ctx(a) == 0) pCont
+          if (ctx(a) == 0L) pCont
           else {
-            val disc = math.max(counts(a)(b) - d, 0.0) / ctx(a)
+            val disc = math.max(counts(a * NumSymbols + b) - d, 0.0) / ctx(a)
             val lambda = d * n1plus / ctx(a)
             disc + lambda * pCont
           }
@@ -83,4 +100,9 @@ object LangModel {
     }
     out
   }
+
+  /** The compiled-in default model: seed-corpus counts → [[fromCounts]]. */
+  val logProb: Array[Double] = fromCounts(countBigrams(seedCorpus))
+
+  private[graft] def seedCorpusForTest: String = seedCorpus
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distributed character-bigram count aggregate: each partition accumulates
+  * one flat NumSymbols² long matrix (per-row bigrams — no cross-row
+  * continuation, matching per-document scoring), partials merge
+  * element-wise, and ONE 1 444-cell vector per partition crosses the wire —
+  * the map-side-combined shape for model fitting over a 10^12-row corpus
+  * (shuffle volume is O(partitions), independent of rows).
+  *
+  * The reference has no trainable-model analogue (its rules are static
+  * T-SQL expressions, $REF 0 Database Deployment/500_Functions); this backs
+  * the north-star "Kneser-Ney-style n-gram perplexity scoring" with an
+  * in-domain fit path instead of only the compiled-in seed model.
+  */
+case class BigramCountsAgg(child: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  private val cells = LangModel.NumSymbols * LangModel.NumSymbols
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](cells)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) LangModel.countBigrams(v.asInstanceOf[UTF8String].toString, buffer)
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < cells) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(cells * 8)
+    var i = 0
+    while (i < cells) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](cells)
+    var i = 0
+    while (i < cells) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): BigramCountsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BigramCountsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BigramCountsAgg =
+    copy(child = newChild)
+}
+
+/** Trainable Kneser-Ney bigram language model over a corpus column. */
+object NgramLM {
+
+  /** Aggregate Column: flat NumSymbols² bigram counts of `content` across
+    * all rows (see [[BigramCountsAgg]] for the distribution shape). */
+  def bigramCounts(content: Column): Column =
+    ColumnBridge.column(
+      BigramCountsAgg(ColumnBridge.expression(content)).toAggregateExpression())
+
+  /** Fit a KN-smoothed bigram model on a corpus in ONE distributed pass:
+    * partial count matrices combine map-side, the driver smooths the final
+    * 38×38 counts ([[LangModel.fromCounts]]). The returned model is plain
+    * `Array[Double]` — small enough to ride the serialized scoring
+    * expression to executors (the same broadcast-small-state shape as the
+    * rule catalog). */
+  def train(df: DataFrame, content: Column): Array[Double] = {
+    val row = df.agg(bigramCounts(content).as("c")).head()
+    LangModel.fromCounts(row.getSeq[Long](0).toArray)
+  }
+
+  /** Mean bigram surprisal of `content` under an explicitly trained model
+    * (from [[train]]); [[NgramScore.bigramLogPerplexity]] is the same
+    * kernel bound to the compiled-in seed model. */
+  def surprisal(content: Column, model: Array[Double]): Column =
+    ColumnBridge.column(
+      BigramSurprisalExpr(ColumnBridge.expression(content), model))
+}

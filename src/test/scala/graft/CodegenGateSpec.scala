@@ -35,6 +35,8 @@ class CodegenGateSpec extends SparkSpec {
   private def kernels: Seq[(String, Expression)] = Seq(
     "TextStatsExpr" -> TextStatsExpr(strIn),
     "BigramSurprisalExpr" -> BigramSurprisalExpr(strIn),
+    "BigramSurprisalExpr(trained)" -> BigramSurprisalExpr(strIn,
+      LangModel.fromCounts(LangModel.countBigrams("for while return def la la"))),
     "LangIdExpr" -> LangIdExpr(strIn,
       Seq("en", "de"), Seq(Seq(" the ", " and "), Seq(" der ", " und "))),
     "LexiconScrubExpr" -> LexiconScrubExpr(strIn, Seq("badword", "worse"), "[*]"),

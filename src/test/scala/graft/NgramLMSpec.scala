@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{LangModel, NgramLM, NgramScore}
+
+/** Trainable Kneser-Ney bigram LM: distributed count aggregate, smoothing
+  * invariants, and in-domain vs out-of-domain scoring behavior. */
+class NgramLMSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val codeish = Seq(
+    "def main(args): return sum(x * x for x in range(100))",
+    "val out = rows.filter(r => r.isValid).map(_.score).sum",
+    "public static void main(String[] args) { System.exit(0); }",
+    "for (int i = 0; i < n; i++) { acc += data[i]; }",
+    "select user_id, count(1) from events group by user_id")
+
+  test("fromCounts: every context row is a probability distribution") {
+    val counts = LangModel.countBigrams(codeish.mkString(" "))
+    val lp = LangModel.fromCounts(counts)
+    for (a <- 0 until LangModel.NumSymbols) {
+      val rowSum = (0 until LangModel.NumSymbols)
+        .map(b => math.exp(lp(a * LangModel.NumSymbols + b))).sum
+      assert(math.abs(rowSum - 1.0) < 1e-9,
+        s"context $a sums to $rowSum (zero-count contexts back off to the continuation dist)")
+    }
+  }
+
+  test("fromCounts on the seed corpus reproduces the compiled-in model exactly") {
+    val viaCounts = LangModel.fromCounts(
+      LangModel.countBigrams(LangModel.seedCorpusForTest))
+    assert(viaCounts.sameElements(LangModel.logProb))
+  }
+
+  test("distributed bigram counts equal the driver-side per-row sum") {
+    val df = codeish.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "content")
+      .repartition(3) // force real partial-aggregate merging
+    val distributed = df.agg(NgramLM.bigramCounts(col("content")).as("c"))
+      .head().getSeq[Long](0).toArray
+    val local = new Array[Long](LangModel.NumSymbols * LangModel.NumSymbols)
+    codeish.foreach(t => LangModel.countBigrams(t, local)) // per-row: no cross-row bigrams
+    assert(distributed.sameElements(local))
+  }
+
+  test("distributed counts skip null rows and count empty strings as zero") {
+    val df = Seq(Some("ab"), None, Some(""), Some("ba"))
+      .toDF("content")
+    val c = df.agg(NgramLM.bigramCounts(col("content")).as("c"))
+      .head().getSeq[Long](0).toArray
+    assert(c.sum == 2L) // "ab" and "ba" contribute one bigram each
+  }
+
+  test("trained in-domain model scores its domain lower than the seed model scores it") {
+    val df = codeish.toDF("content")
+    val model = NgramLM.train(df, col("content"))
+    val scored = df.select(
+      NgramLM.surprisal(col("content"), model).as("trained"),
+      NgramScore.bigramLogPerplexity(col("content")).as("seed"))
+      .agg(avg(col("trained")).as("t"), avg(col("seed")).as("s")).head()
+    assert(scored.getDouble(0) < scored.getDouble(1),
+      s"in-domain fit should beat the seed model: trained=${scored.getDouble(0)} seed=${scored.getDouble(1)}")
+  }
+
+  test("surprisal with the default model equals bigramLogPerplexity") {
+    val df = (codeish :+ "" :+ "x").toDF("content")
+    val diff = df.select(
+      abs(NgramLM.surprisal(col("content"), LangModel.logProb)
+        - NgramScore.bigramLogPerplexity(col("content"))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("trained scoring separates in-domain text from alphabet soup") {
+    val junk = Seq("qxzj vbnm wqxz kjhg zxqw pqzx", "zzzz qqqq xxxx jjjj vvvv")
+    val model = NgramLM.train(codeish.toDF("content"), col("content"))
+    val scoreOf = (rows: Seq[String]) => rows.toDF("content")
+      .select(NgramLM.surprisal(col("content"), model).as("s"))
+      .agg(avg(col("s"))).head().getDouble(0)
+    assert(scoreOf(codeish) + 0.5 < scoreOf(junk),
+      "junk should score at least half a nat higher under the in-domain model")
+  }
+}
