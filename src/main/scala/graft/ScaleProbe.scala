@@ -78,12 +78,22 @@ object ScaleProbe {
     * survive scale-up; wall time on a single box additionally folds in
     * spill onset, which a cluster with per-node-bounded partitions never
     * sees. */
-  private def candidateVolume(banded: DataFrame, cap: Int): Long =
-    banded.groupBy(col("__band"), col("__bucket"))
+  private def candidateVolume(banded: DataFrame, cap: Int,
+                              dropAbove: Long = Long.MaxValue): Long = {
+    val sizes = banded.groupBy(col("__band"), col("__bucket"))
       .agg(count(lit(1)).as("n"))
-      .agg(sum(when(col("n") <= cap, col("n") * (col("n") - 1) / 2)
-        .otherwise(col("n") - 1)).cast("long"))
-      .head().getLong(0)
+    // log2 bucket-size histogram: the shape that explains candidate volume
+    // (mid-size buckets contribute n²/2 each up to the cap)
+    val hist = sizes.groupBy(floor(log2(col("n"))).cast("long").as("log2n"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("n") <= cap, col("n") * (col("n") - 1) / 2)
+          .when(col("n") <= dropAbove, col("n") - 1)
+          .otherwise(0L)).cast("long").as("cands"))
+      .orderBy(col("log2n")).collect()
+    hist.foreach(r => println(
+      s"[probe]   bucket-size 2^${r.getLong(0)}: ${r.getLong(1)} buckets, ${r.getLong(2)} candidates"))
+    hist.map(_.getLong(2)).sum
+  }
 
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROWS", "16000000").toLong
@@ -123,13 +133,16 @@ object ScaleProbe {
       val bandedW = docs.select(col("doc_id").as("__id"), lit(0).as("__band"),
         explode(graft.functions.HashSignatures.winnowFingerprints(
           col("text"), 8, window)).as("__bucket"))
-      val candW = time(s"winnow candidate volume ($rows rows, window=$window)") {
-        candidateVolume(bandedW, operators.Dedup.DefaultBucketCap)
+      val maxDf = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAXDF", Long.MaxValue.toString).toLong
+      val effCap = math.min(operators.Dedup.DefaultBucketCap.toLong, maxDf).toInt
+      val candW = time(s"winnow candidate volume ($rows rows, window=$window, maxDf=$maxDf)") {
+        candidateVolume(bandedW, effCap, maxDf)
       }
       println(f"[probe] winnow candidates=$candW (${candW.toDouble / rows}%.2f per row)")
-      val pairs = time(s"winnow containment ($rows rows, window=$window, planted ~${rows / 20})") {
+      val pairs = time(s"winnow containment ($rows rows, window=$window, maxDf=$maxDf, planted ~${rows / 20})") {
         operators.Dedup.winnowContainmentPairs(docs, col("text"), col("doc_id"),
-            k = 8, window = window, minContainment = 0.5)
+            k = 8, window = window, minContainment = 0.5,
+            maxFingerprintDocFreq = maxDf)
           .agg(count(lit(1)), sum(when(col("doc_id_a") === col("doc_id_b") - 10, 1L).otherwise(0L)))
           .head()
       }
@@ -145,8 +158,18 @@ object ScaleProbe {
       // p^planes ≈ 0.71 per table); AT-THRESHOLD (θ=0.9 exactly) recall at
       // this sizing is low — tables is the linear-cost knob to buy it back
       // (Similarity.lshParams sizes conservatively for that case)
+      // planes = log2(n) + margin: log2(n) alone holds MEAN bucket load at
+      // ~1, but pair enumeration is Σ n_b(n_b-1)/2 — dominated by the load
+      // distribution's tail, which the 4M/16M histograms showed growing
+      // (24.5→37.6 candidates/row, 601M pairs at 16M = disk death on this
+      // box). Each extra plane halves every bucket's expected load (4×
+      // fewer pairs); true near-dups (cos ≥ 0.99, p ≥ 0.9955/plane) still
+      // collide per-table with p ≥ 0.88 at log2(16M)+4 = 28 planes, so
+      // 16-table recall stays ≈ 1 - 1e-14. Margin via
+      // SPARK_GRAFT_PROBE_PLANES_EXTRA (default 4).
+      val extra = sys.env.getOrElse("SPARK_GRAFT_PROBE_PLANES_EXTRA", "4").toInt
       val planes = math.min(60, math.max(4,
-        math.ceil(math.log(rows.toDouble) / math.log(2.0)).toInt))
+        math.ceil(math.log(rows.toDouble) / math.log(2.0)).toInt + extra))
       val tables = 16
       println(s"[probe] embed LSH planes=$planes tables=$tables")
       val bandedE = operators.Similarity.bandedSignatures(

@@ -16,14 +16,28 @@ import org.apache.spark.sql.types._
   * see CodegenGateSpec).
   */
 
-/** Cosine similarity of two `array<double>` columns. Bit-identical to
-  * `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` with element-order summation
-  * (the shape the DuckDB oracle reproduces). Mirrors the HOF form's edge
-  * semantics: NULL when the lengths differ or any element is NULL. */
+/** Cosine similarity of two `array<double>` or `array<float>` columns
+  * (either side, independently). Float elements widen to double EXACTLY, so
+  * results are bit-identical to pre-casting the array — which lets callers
+  * shuffle raw float vectors through candidate-verify joins (half the
+  * bytes of a pre-cast `array<double>`; at 10^8-candidate volumes the
+  * verify shuffle is the dominant disk footprint) while keeping oracle
+  * parity. Bit-identical to `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))`
+  * with element-order summation (the shape the DuckDB oracle reproduces).
+  * Mirrors the HOF form's edge semantics: NULL when the lengths differ or
+  * any element is NULL. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  // lazy: children are unresolved at construction time (dataType throws)
+  private lazy val leftFloat = isFloat(left)
+  private lazy val rightFloat = isFloat(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
@@ -34,7 +48,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (xa.isNullAt(i) || xb.isNullAt(i)) return null
-      val x = xa.getDouble(i); val y = xb.getDouble(i)
+      val x = if (leftFloat) xa.getFloat(i).toDouble else xa.getDouble(i)
+      val y = if (rightFloat) xb.getFloat(i).toDouble else xb.getDouble(i)
       dot += x * y; aa += x * x; bb += y * y
       i += 1
     }
@@ -44,6 +59,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val fname = ctx.freshName("cosineKernel")
+      val getA = if (leftFloat) "(double) xa.getFloat(i)" else "xa.getDouble(i)"
+      val getB = if (rightFloat) "(double) xb.getFloat(i)" else "xb.getDouble(i)"
       val fn = ctx.addNewFunction(fname,
         s"""
           private double $fname(org.apache.spark.sql.catalyst.util.ArrayData xa,
@@ -52,7 +69,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
             if (n != xb.numElements()) return Double.NaN; // caller nulls via guard
             double dot = 0.0, aa = 0.0, bb = 0.0;
             for (int i = 0; i < n; i++) {
-              double x = xa.getDouble(i), y = xb.getDouble(i);
+              double x = $getA, y = $getB;
               dot += x * y; aa += x * x; bb += y * y;
             }
             return dot / (java.lang.Math.sqrt(aa) * java.lang.Math.sqrt(bb));

@@ -71,11 +71,21 @@ object Dedup {
 
   /** Candidate pairs from an exploded (`__id`, `__band`, `__bucket`)
     * relation, frequency-capped: buckets with ≤ cap members produce
-    * all-pairs; oversized buckets star-link every member to the bucket's
-    * min id (O(n) instead of O(n²) — a 10k-identical-docs bucket yields
-    * 9 999 pairs, not ~50M). Output columns are (idA, idB), idA < idB. */
+    * all-pairs; buckets of (cap, dropAbove] members star-link every member
+    * to the bucket's min id (O(n) instead of O(n²) — a 10k-identical-docs
+    * bucket yields 9 999 pairs, not ~50M); buckets above `dropAbove` are
+    * DROPPED from candidate generation entirely. Dropping is the
+    * stop-fingerprint move for signature schemes whose buckets key on a
+    * single shared feature (winnowing): a feature present in more documents
+    * than `dropAbove` is corpus boilerplate, and a pair whose ONLY shared
+    * bucket is boilerplate has no real overlap for the verify step to
+    * confirm — while star-linking such a bucket spews n junk candidates.
+    * Identical-signature schemes (MinHash bands, SimHash blocks) keep the
+    * default dropAbove = ∞: there a mega-bucket means near-certain dups and
+    * star-links collapse the cluster. Output columns (idA, idB), idA < idB. */
   private[graft] def cappedCandidates(banded: DataFrame, idA: String, idB: String,
-                                      cap: Int): DataFrame = {
+                                      cap: Int,
+                                      dropAbove: Long = Long.MaxValue): DataFrame = {
     val stats = banded.groupBy(col("__band"), col("__bucket"))
       .agg(count(lit(1)).as("__bn"), min(col("__id")).as("__bmin"))
     val withStats = banded.join(stats, Seq("__band", "__bucket")) // co-partitioned on the same keys
@@ -86,7 +96,7 @@ object Dedup {
       .where(col(idA) < col(idB))
       .select(idA, idB)
     val bigPairs = withStats
-      .where(col("__bn") > cap && col("__id") =!= col("__bmin"))
+      .where(col("__bn") > cap && col("__bn") <= dropAbove && col("__id") =!= col("__bmin"))
       .select(col("__bmin").as(idA), col("__id").as(idB))
     smallPairs.unionAll(bigPairs).dropDuplicates(idA, idB)
   }
@@ -235,14 +245,25 @@ object Dedup {
   def winnowContainmentPairs(df: DataFrame, textCol: Column, idCol: Column,
                              k: Int = 8, window: Int = 12,
                              minContainment: Double = 0.5,
-                             maxBucketSize: Int = DefaultBucketCap): DataFrame = {
+                             maxBucketSize: Int = DefaultBucketCap,
+                             maxFingerprintDocFreq: Long = Long.MaxValue): DataFrame = {
     val fps = df.select(idCol.as("__id"),
       HashSignatures.winnowFingerprints(textCol, k, window).as("__fp"))
     // candidate generation carries (id, fingerprint) only; fingerprint SETS
-    // re-join by id for the containment verify of the (small) candidate set
+    // re-join by id for the containment verify of the (small) candidate set.
+    // maxFingerprintDocFreq is the MOSS "ignore fingerprints that occur in
+    // too many documents" knob (Schleimer et al. §5, the MOSS deployment
+    // note): a fingerprint shared by more docs than this is corpus
+    // boilerplate whose buckets generate quadratic junk candidates that the
+    // containment verify then discards — a true copied passage shares
+    // MANY fingerprints, so candidacy survives rare-fingerprint buckets.
+    // Verification containment is computed on the FULL fingerprint sets
+    // either way (only candidacy is pruned, not evidence).
     val banded = fps.select(col("__id"), lit(0).as("__band"),
       explode(col("__fp")).as("__bucket"))
-    cappedCandidates(banded, "doc_id_a", "doc_id_b", maxBucketSize)
+    val effCap = math.min(maxBucketSize.toLong, maxFingerprintDocFreq).toInt
+    cappedCandidates(banded, "doc_id_a", "doc_id_b", effCap,
+        dropAbove = maxFingerprintDocFreq)
       .join(fps.select(col("__id").as("doc_id_a"), col("__fp").as("__fp_a")), Seq("doc_id_a"))
       .join(fps.select(col("__id").as("doc_id_b"), col("__fp").as("__fp_b")), Seq("doc_id_b"))
       .withColumn("containment",
@@ -259,10 +280,11 @@ object Dedup {
     * (self-join on id inequality), O(n²): the oracle/verification path for
     * [[embeddingNearDupPairsLsh]], and the correctness baseline in tests. */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double): DataFrame = {
-    val withD = df.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("__e"))
-    val a = withD.select(col("vec_id").as("vec_id_a"), col("__e").as("__ea"))
-    val b = withD.select(col("vec_id").as("vec_id_b"), col("__e").as("__eb"))
+    // raw (float) vectors ride the join — CosineSimExpr widens elements
+    // per-access, bit-identically to pre-casting, at half the shuffle bytes
+    val vecs = df.select(col("vec_id"), col("embedding").as("__e"))
+    val a = vecs.select(col("vec_id").as("vec_id_a"), col("__e").as("__ea"))
+    val b = vecs.select(col("vec_id").as("vec_id_b"), col("__e").as("__eb"))
     a.join(b, col("vec_id_a") < col("vec_id_b"))
       .withColumn("cosine", Similarity.cosine(col("__ea"), col("__eb")))
       .where(col("cosine") >= threshold)
@@ -281,10 +303,17 @@ object Dedup {
                                numTables: Int = 16, planesPerTable: Int = 4,
                                dim: Int = 64, seed: Long = 42L,
                                maxBucketSize: Int = DefaultBucketCap): DataFrame = {
-    val vecs = df.select(col("vec_id").as("__id"),
+    // signatures compute from a scan-side double projection (no shuffle);
+    // the candidate-verify joins carry the RAW (float) vectors — half the
+    // shuffle bytes of a pre-cast array<double>, and at 10^8-candidate
+    // volume the verify shuffle is the operator's dominant disk footprint.
+    // CosineSimExpr widens float elements per-access, bit-identical to
+    // pre-casting (float→double is exact), so oracle parity holds.
+    val sigSrc = df.select(col("vec_id").as("__id"),
       expr("transform(embedding, x -> cast(x as double))").as("__e"))
-    val banded = Similarity.bandedSignatures(vecs, "__id", "__e",
+    val banded = Similarity.bandedSignatures(sigSrc, "__id", "__e",
       numTables, planesPerTable, dim, seed)
+    val vecs = df.select(col("vec_id").as("__id"), col("embedding").as("__e"))
     cappedCandidates(banded, "vec_id_a", "vec_id_b", maxBucketSize)
       .join(vecs.select(col("__id").as("vec_id_a"), col("__e").as("__ea")), Seq("vec_id_a"))
       .join(vecs.select(col("__id").as("vec_id_b"), col("__e").as("__eb")), Seq("vec_id_b"))
