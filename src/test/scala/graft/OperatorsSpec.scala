@@ -109,6 +109,40 @@ class OperatorsSpec extends SparkSpec {
     assert(direct == viaPlan)
   }
 
+  test("winnow stop-fingerprint pruning drops boilerplate-only candidacy, keeps rare-gram pairs") {
+    val r = new scala.util.Random(7)
+    def randText(n: Int): String =
+      (0 until n).map(_ => (1 to 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    // every doc carries the same license-header boilerplate; docs 1&2 also
+    // share a RARE copied passage
+    val boiler = "copyright holders grant permission to use this file freely"
+    val passage = randText(40)
+    val docs = ((1L, passage + " " + boiler + " " + randText(40)) +:
+      (2L, passage + " " + boiler + " " + randText(40)) +:
+      (3L to 30L).map(i => (i, boiler + " " + randText(80)))).toDF("doc_id", "text")
+    // boilerplate fingerprints have df≈30 > 8 → dropped from candidacy;
+    // the passage's fingerprints have df=2 → pair (1,2) still proposed,
+    // and verified containment uses the FULL sets either way
+    val pruned = Dedup.winnowContainmentPairs(docs, $"text", $"doc_id",
+        minContainment = 0.4, maxFingerprintDocFreq = 8L)
+      .select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.contains((1L, 2L)), s"rare-gram pair lost: $pruned")
+    // boilerplate-only pairs (any pair not involving the passage) are gone
+    assert(pruned.forall { case (a, b) => a == 1L && b == 2L },
+      s"boilerplate-only candidacy survived pruning: $pruned")
+    // unpruned, the same corpus proposes (and may confirm) boilerplate pairs
+    // only when containment actually reaches the bar — the knob changes
+    // CANDIDACY volume, not verified semantics for surviving pairs
+    val unpruned = Dedup.winnowContainmentPairs(docs, $"text", $"doc_id",
+        minContainment = 0.4)
+      .select("doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unpruned.contains((1L, 2L)))
+    assert(pruned.subsetOf(unpruned), "pruning must never add pairs")
+  }
+
   test("exactDedupVerified agrees with exactDedup (fingerprint vs text-verified)") {
     val a = Dedup.exactDedupCounts(docs, $"text", $"doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
