@@ -111,6 +111,10 @@ case class BigramSurprisalExpr(child: Expression,
     s"model must be a flat ${LangModel.NumSymbols}^2 log-prob table")
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // keep the model array (identity-hash toString) out of plan dumps: print
+  // a stable tag instead, so committed PLANS.md text doesn't churn per run
+  override def stringArgs: Iterator[Any] = Iterator(child,
+    if (model eq LangModel.logProb) "seedLM" else "trainedLM")
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString

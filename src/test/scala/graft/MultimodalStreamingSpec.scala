@@ -152,4 +152,34 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(last("r2") == (1L, 0L))
     } finally q.stop()
   }
+
+  test("streaming: dedupByKey keeps one row per key in-window and drops sub-watermark lates") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, String)]
+    val deduped = StreamingRules.dedupByKey(
+      stream.toDF().toDF("ts", "key", "payload"),
+      tsCol = "ts", watermark = "5 minutes", "key", "ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      // duplicate (key, ts) within a batch and across batches → one survivor
+      stream.addData(Seq((t0, "a", "v1"), (t0, "a", "v1dup"), (t0, "b", "v2")))
+      q.processAllAvailable()
+      stream.addData(Seq((t0, "a", "v1again")))
+      q.processAllAvailable()
+      // advance the watermark far past t0, then replay the t0 duplicate:
+      // its dedup state was evicted AND the record is below the watermark —
+      // Structured Streaming drops it instead of re-emitting
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+      stream.addData(Seq((t1, "c", "v3")))
+      q.processAllAvailable()
+      stream.addData(Seq((t0, "a", "late-replay")))
+      q.processAllAvailable()
+      val byKey = spark.table("dedup_stream").groupBy("key")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byKey == Map("a" -> 1L, "b" -> 1L, "c" -> 1L), s"got $byKey")
+    } finally q.stop()
+  }
 }
