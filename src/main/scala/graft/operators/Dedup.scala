@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashSignatures
@@ -86,16 +87,31 @@ object Dedup {
   private[graft] def cappedCandidates(banded: DataFrame, idA: String, idB: String,
                                       cap: Int,
                                       dropAbove: Long = Long.MaxValue): DataFrame = {
-    val stats = banded.groupBy(col("__band"), col("__bucket"))
-      .agg(count(lit(1)).as("__bn"), min(col("__id")).as("__bmin"))
-    val withStats = banded.join(stats, Seq("__band", "__bucket")) // co-partitioned on the same keys
-    val small = withStats.where(col("__bn") <= cap)
-    val a = small.select(col("__band"), col("__bucket"), col("__id").as(idA))
-    val b = small.select(col("__band"), col("__bucket"), col("__id").as(idB))
-    val smallPairs = a.join(b, Seq("__band", "__bucket"))
-      .where(col(idA) < col(idB))
-      .select(idA, idB)
-    val bigPairs = withStats
+    // SINGLE-SHUFFLE candidate generation. The previous form (bucket-stats
+    // aggregate + banded⋈stats join + a⋈b self-join) re-evaluated the
+    // banded relation — and with it the signature kernel and the source
+    // scan — in every branch (the sf0.1 minhash plan showed the scan 4-6×).
+    // Here the banded relation is exchanged ONCE on (band, bucket); two
+    // stacked windows over that partitioning (one sort) attach the bucket
+    // size, min id, and — only for sub-cap buckets, via the `when` guard
+    // inside collect_list, so a degenerate mega-bucket collects NOTHING —
+    // the bucket's member list; pairs then fall out as pure projections:
+    //   n ≤ cap        → explode(filter(ids, x -> x > id)): all C(n,2)
+    //                    ordered pairs, no self-join
+    //   cap < n ≤ drop → star-links (bmin, id) straight off the row
+    //   n > dropAbove  → dropped (stop-fingerprint move, see scaladoc)
+    // Per-row list duplication is bounded by cap (≤ 200 longs), and
+    // WindowExec spills per-bucket buffers, so mega-buckets stay safe.
+    val w = Window.partitionBy(col("__band"), col("__bucket"))
+    val enriched = banded
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col("__id")).over(w))
+      .withColumn("__ids", collect_list(when(col("__bn") <= cap, col("__id"))).over(w))
+    val smallPairs = enriched
+      .where(col("__bn") <= cap)
+      .select(col("__id").as(idA),
+        explode(filter(col("__ids"), x => x > col("__id"))).as(idB))
+    val bigPairs = enriched
       .where(col("__bn") > cap && col("__bn") <= dropAbove && col("__id") =!= col("__bmin"))
       .select(col("__bmin").as(idA), col("__id").as(idB))
     smallPairs.unionAll(bigPairs).dropDuplicates(idA, idB)
