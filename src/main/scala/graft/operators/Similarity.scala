@@ -44,14 +44,20 @@ object Similarity {
       .select("q_id", "n_id", "rank")
   }
 
-  /** planes/tables sizing for LSH near-dup at corpus size `n` and cosine
-    * threshold `theta`: planes chosen so the mean per-table bucket load
-    * n/2^planes ≈ `targetBucket` (buckets stay under the frequency cap —
-    * with too few planes every bucket saturates and star-links), then
-    * tables grown until per-pair recall 1-(1-p^planes)^tables ≥
-    * `targetRecall` with p = 1-acos(θ)/π. Table count is the linear cost
-    * knob (signature compute + candidate rows ∝ tables); plane count is
-    * the log₂(n) knob. */
+  /** planes/tables sizing for LSH at corpus size `n` and cosine threshold
+    * `theta`: planes chosen so the mean per-table bucket load n/2^planes ≈
+    * `targetBucket`, then tables grown until per-pair recall
+    * 1-(1-p^planes)^tables ≥ `targetRecall` with p = 1-acos(θ)/π. Table
+    * count is the linear cost knob (signature compute + candidate rows ∝
+    * tables); plane count is the log₂(n) knob.
+    *
+    * Pick `targetBucket` by operator: for TOP-K probing a bucket must hold
+    * plausible neighbors (the default 100 is FAISS-ish); for PAIR
+    * ENUMERATION (near-dup dedup) pair volume is Σ n_b(n_b-1)/2 —
+    * tail-dominated, so size for load ≪ 1: the 16M-row probe (BASELINE.md)
+    * measured targetBucket = 1/16 (planes = log₂ n + 4) cutting candidate
+    * volume 8× vs load-1 sizing at zero measured recall loss for true dups
+    * (cos ≥ 0.99). */
   def lshParams(n: Long, theta: Double, targetRecall: Double = 0.95,
                 targetBucket: Int = 100): (Int, Int) = {
     val planes = math.min(60, math.max(4,

@@ -126,4 +126,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(!joinSection.contains("text#") ||
       p.indexOf("LeftAnti") > 0, s"text must not flow through the LSH join:\n$p")
   }
+
+  test("LSH candidate generation is single-shuffle and join-free") {
+    import spark.implicits._
+    // plan-shape lock for the round-3 rewrite: the banded relation is
+    // exchanged ONCE (stacked windows attach bucket stats + member lists;
+    // pairs are projections), plus exactly the dropDuplicates exchange —
+    // the former stats-join + self-join shape re-evaluated the source scan
+    // (and its signature kernel) in every branch
+    val banded = Seq((1L, 0, 10L), (2L, 0, 10L), (3L, 0, 11L))
+      .toDF("__id", "__band", "__bucket")
+    val cands = operators.Dedup.cappedCandidates(banded, "a", "b", cap = 200)
+    assert(cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // the FINAL adaptive plan: the small-pairs and star-link branches both
+    // shuffle the banded relation on (band, bucket) with canonically
+    // identical children, so AQE materializes ONE exchange and the second
+    // branch reads it as ReusedExchange — the source is scanned once and
+    // no join appears anywhere
+    val p = cands.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"candidate generation must be join-free:\n$p")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def stages(n: SparkPlan): Seq[ShuffleQueryStageExec] = {
+      val self = n match { case s: ShuffleQueryStageExec => Seq(s); case _ => Nil }
+      val kids = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan) // incl. Spark 4's ResultQueryStageExec
+        case other => other.children
+      }
+      self ++ kids.flatMap(stages)
+    }
+    val bandedStages = stages(cands.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "__band"))
+    val materialized = bandedStages.count(_.plan.isInstanceOf[ShuffleExchangeExec])
+    val reused = bandedStages.count(_.plan.isInstanceOf[ReusedExchangeExec])
+    assert(materialized == 1 && reused >= 1,
+      s"banded relation must shuffle once and be reused ($materialized materialized, $reused reused):\n$p")
+  }
 }
