@@ -130,18 +130,22 @@ object ScaleProbe {
       // shared substring ≥ window+k-1 chars shares a fingerprint) but still
       // catches the ~195-char planted passages
       val window = sys.env.getOrElse("SPARK_GRAFT_PROBE_WINDOW", "40").toInt
+      val maxDf = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAXDF", Long.MaxValue.toString).toLong
+      // k sizes the gram space (~alphabet^k distinct k-grams): on corpora
+      // whose gram space saturates (this one's digit tokens), larger k
+      // restores recall under frequency pruning by making collisions rare
+      val kGram = sys.env.getOrElse("SPARK_GRAFT_PROBE_K", "8").toInt
       val bandedW = docs.select(col("doc_id").as("__id"), lit(0).as("__band"),
         explode(graft.functions.HashSignatures.winnowFingerprints(
-          col("text"), 8, window)).as("__bucket"))
-      val maxDf = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAXDF", Long.MaxValue.toString).toLong
+          col("text"), kGram, window)).as("__bucket"))
       val effCap = math.min(operators.Dedup.DefaultBucketCap.toLong, maxDf).toInt
-      val candW = time(s"winnow candidate volume ($rows rows, window=$window, maxDf=$maxDf)") {
+      val candW = time(s"winnow candidate volume ($rows rows, k=$kGram, window=$window, maxDf=$maxDf)") {
         candidateVolume(bandedW, effCap, maxDf)
       }
       println(f"[probe] winnow candidates=$candW (${candW.toDouble / rows}%.2f per row)")
-      val pairs = time(s"winnow containment ($rows rows, window=$window, maxDf=$maxDf, planted ~${rows / 20})") {
+      val pairs = time(s"winnow containment ($rows rows, k=$kGram, window=$window, maxDf=$maxDf, planted ~${rows / 20})") {
         operators.Dedup.winnowContainmentPairs(docs, col("text"), col("doc_id"),
-            k = 8, window = window, minContainment = 0.5,
+            k = kGram, window = window, minContainment = 0.5,
             maxFingerprintDocFreq = maxDf)
           .agg(count(lit(1)), sum(when(col("doc_id_a") === col("doc_id_b") - 10, 1L).otherwise(0L)))
           .head()
