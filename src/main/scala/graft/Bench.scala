@@ -76,6 +76,11 @@ object Bench {
     * it (VERDICT r2: a sub-band reading on a noisy host is ambiguous without
     * the ceiling measured in the same session). */
   private def cpuCeiling(n: Int): Double = {
+    // blackhole sink: every thread's hash result lands in a shared atomic
+    // the caller asserts on — without an observable side effect C2 could
+    // prove the counted loop dead and eliminate it, leaving the "ceiling"
+    // measuring thread start/join noise (the JMH-blackhole rule)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
     def burn(threads: Int): Double = {
       val totalIters = 6.4e9.toLong
       val per = totalIters / threads
@@ -84,15 +89,16 @@ object Bench {
         while (i < per) { h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; i += 1 }
         h
       }
-      work() // warm JIT on the calling thread
+      sink.addAndGet(work()) // warm JIT on the calling thread
       val t0 = System.nanoTime()
-      val ts = (1 to threads).map(_ => new Thread(() => { work(): Unit }))
+      val ts = (1 to threads).map(_ => new Thread(() => { sink.addAndGet(work()): Unit }))
       ts.foreach(_.start()); ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
     burn(n * 4); burn(n) // warm both shapes
     val t4N = burn(n * 4)
     val tN = burn(n)
+    require(sink.get() != 0L) // observable use of every work() result
     (tN / t4N) / 4.0
   }
 
@@ -218,12 +224,17 @@ object Bench {
         planSecs += (System.nanoTime() - tPlan0) / 1e9
         require(plan.collectLeaves().nonEmpty &&
           !plan.toString.contains("Exchange"), s"scaling plan must be shuffle-free:\n$plan")
-        def once(): Long = plan.execute().mapPartitions { it =>
+        // returns (kept rows, xor-of-crc) — the checksum is load-bearing:
+        // identical input must yield an identical checksum every iteration,
+        // which catches a rep that silently skipped work (the reuse traps
+        // above) as loudly as one that corrupted it
+        def once(): (Long, Long) = plan.execute().mapPartitions { it =>
           var n = 0L; var s = 0L
           while (it.hasNext) { val r = it.next(); if (!r.isNullAt(0)) s ^= r.getLong(0); n += 1 }
-          Iterator.single(n)
-        }.collect().sum // fresh RDD chain, no exchange → full recompute per call
-        val warm = once() // codegen compile + JIT + page-cache warm-up
+          Iterator.single((n, s))
+        }.collect().foldLeft((0L, 0L)) { case ((n, s), (pn, ps)) => (n + pn, s ^ ps) }
+        // fresh RDD chain, no exchange → full recompute per call
+        val (warm, chk0) = once() // codegen compile + JIT + page-cache warm-up
         // output = kept rows only (the job includes the keep/drop filter);
         // throughput still divides by benchRows — every input file is scanned
         require(warm > 0 && warm <= benchRows, s"scaling job consumed $warm rows of $benchRows")
@@ -231,7 +242,11 @@ object Bench {
         (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           var it = 0
-          while (it < iters) { once(); it += 1 }
+          while (it < iters) {
+            val (n, s) = once()
+            require(n == warm && s == chk0, s"rep diverged: $n rows chk $s vs $warm/$chk0")
+            it += 1
+          }
           (System.nanoTime() - t0) / 1e9 / iters
         }
       }

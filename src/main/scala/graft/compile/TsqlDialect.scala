@@ -43,6 +43,13 @@ object TsqlDialect {
         val end = literalEnd(sql, i)
         out.append(sql.substring(i, end))
         i = end
+      } else if (c == '`') { // Spark backtick-quoted identifier: opaque span
+        // (a Spark-SQL fragment may quote names containing '[' or '\'' —
+        // rewriting inside the span would corrupt a valid fragment and
+        // break the pass-through-byte-identical invariant)
+        val end = backtickEnd(sql, i)
+        out.append(sql.substring(i, end))
+        i = end
       } else if (c == '[') { // T-SQL bracket-quoted identifier
         val close = sql.indexOf(']', i)
         if (close < 0) { out.append(c); i += 1 }
@@ -110,6 +117,19 @@ object TsqlDialect {
     i
   }
 
+  /** End index (exclusive) of a `...` quoted identifier starting at `start`
+    * (Spark escapes a backtick inside as ``). */
+  private def backtickEnd(s: String, start: Int): Int = {
+    var i = start + 1
+    while (i < s.length) {
+      if (s.charAt(i) == '`') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '`') i += 2 // `` escape
+        else return i + 1
+      } else i += 1
+    }
+    i
+  }
+
   private def identEnd(s: String, start: Int): Int = {
     var i = start
     while (i < s.length && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '_')) i += 1
@@ -133,6 +153,7 @@ object TsqlDialect {
     while (i < s.length && depth > 0) {
       val c = s.charAt(i)
       if (c == '\'') { val e = literalEnd(s, i); cur.append(s.substring(i, e)); i = e }
+      else if (c == '`') { val e = backtickEnd(s, i); cur.append(s.substring(i, e)); i = e }
       else {
         if (c == '(') depth += 1
         else if (c == ')') depth -= 1

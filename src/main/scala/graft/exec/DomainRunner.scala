@@ -53,7 +53,7 @@ object DomainRunner {
           // must neither mask the original error nor stop the siblings.
           try {
             val err = RoutineError(
-              math.abs(s"$runId-${e.name}".hashCode.toLong),
+              LoadIds.of(s"$runId-${e.name}"),
               s"Domain $domain entity ${e.name}",
               Option(t.getMessage).getOrElse(t.getClass.getName),
               t.getStackTrace.take(40).mkString("\n"),
@@ -70,7 +70,7 @@ object DomainRunner {
     val tEnd = new Timestamp(System.currentTimeMillis())
     val status =
       if (results.values.forall(_.isRight)) LoadStatus.Success else LoadStatus.Failure
-    val master = LoadNode(math.abs(runId.hashCode.toLong), None,
+    val master = LoadNode(LoadIds.of(runId), None,
       s"Domain $domain (${entities.size} entities)", status, t0, Some(tEnd),
       Some((tEnd.getTime - t0.getTime) / 1000.0))
     DomainResult(domain, master, results)

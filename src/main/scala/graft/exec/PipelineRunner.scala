@@ -59,6 +59,22 @@ case class RunResult(
     lineage: Seq[RuleLineage],
     planDescription: String)
 
+/** Numeric audit load-ids from run identifiers — 44-bit FNV-1a of the FULL
+  * string. The audit DIRECTORY key is the (injective) sanitized string, but
+  * these numeric ids appear inside summary/load-tree/error rows — 31-bit
+  * `String.hashCode` collided two distinct runIds at birthday-problem rates
+  * (~1 in 65k pairs); 44 bits keeps `unitLoadId = rootLoadId*1000+unit`
+  * inside a Long with ~1e-7 collision odds across 100k runs. Shared by
+  * every audit writer (PipelineRunner roots, DomainRunner masters, error
+  * stamps) so one run maps to ONE id scheme. */
+private[graft] object LoadIds {
+  def of(runId: String): Long = {
+    var h = 0xCBF29CE484222325L
+    runId.foreach { c => h ^= c.toLong; h *= 0x100000001B3L }
+    (h ^ (h >>> 44)) & ((1L << 44) - 1)
+  }
+}
+
 /** Executes a planned rule pipeline — the Spark-native equivalent of
   * `ISPAC:DataQualityEngine.dtsx`'s tranche/entity/rule loops (SURVEY.md §3).
   *
@@ -143,17 +159,7 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     // 5. execute segments
     val drafts = mutable.ArrayBuffer[SummaryDraft]()
     val loadNodes = mutable.ArrayBuffer[LoadNode]()
-    // 44-bit FNV-1a of the FULL runId string: the audit DIRECTORY key is the
-    // (injective) sanitized string, but this numeric id appears inside
-    // summary/load-tree rows — 31-bit String.hashCode collided two distinct
-    // runIds at birthday-problem rates (~1 in 65k pairs); 44 bits keeps
-    // unitLoadId = rootLoadId*1000+unit inside a Long with ~1e-7 collision
-    // odds across 100k runs
-    val rootLoadId = {
-      var h = 0xCBF29CE484222325L
-      config.runId.foreach { c => h ^= c.toLong; h *= 0x100000001B3L }
-      (h ^ (h >>> 44)) & ((1L << 44) - 1)
-    }
+    val rootLoadId = LoadIds.of(config.runId)
     var current = partitioned
 
     preErrors.foreach { msg =>

@@ -38,6 +38,15 @@ case class CosineSimExpr(left: Expression, right: Expression)
   // lazy: children are unresolved at construction time (dataType throws)
   private lazy val leftFloat = isFloat(left)
   private lazy val rightFloat = isFloat(right)
+  // element-null checks only when the schema admits null elements — parquet
+  // embeddings are containsNull=false, and this kernel runs per candidate
+  // pair on the verify hot path, so an unconditional pre-scan would be a
+  // second full pass over every vector for nothing
+  private def mayHaveNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  private lazy val checkNulls = mayHaveNullElems(left) || mayHaveNullElems(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
@@ -47,7 +56,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
     var dot = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
-      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
+      if (checkNulls && (xa.isNullAt(i) || xb.isNullAt(i))) return null
       val x = if (leftFloat) xa.getFloat(i).toDouble else xa.getDouble(i)
       val y = if (rightFloat) xb.getFloat(i).toDouble else xb.getDouble(i)
       dot += x * y; aa += x * x; bb += y * y
@@ -75,14 +84,21 @@ case class CosineSimExpr(left: Expression, right: Expression)
             return dot / (java.lang.Math.sqrt(aa) * java.lang.Math.sqrt(bb));
           }
         """)
-      // null-out on length mismatch or any null element (HOF-form parity)
+      // null-out on length mismatch or any null element (HOF-form parity);
+      // the element scan is emitted ONLY when the schema admits null elems
       val hasNull = ctx.freshName("hasNull")
       val idx = ctx.freshName("cosI")
-      s"""
-        boolean $hasNull = $a.numElements() != $b.numElements();
-        for (int $idx = 0; !$hasNull && $idx < $a.numElements(); $idx++) {
+      val nName = ctx.freshName("cosN")
+      val elemScan =
+        if (checkNulls)
+          s"""
+        for (int $idx = 0; !$hasNull && $idx < $nName; $idx++) {
           if ($a.isNullAt($idx) || $b.isNullAt($idx)) $hasNull = true;
-        }
+        }"""
+        else ""
+      s"""
+        int $nName = $a.numElements();
+        boolean $hasNull = $nName != $b.numElements();$elemScan
         if ($hasNull) { ${ev.isNull} = true; }
         else { ${ev.value} = $fn($a, $b); }
       """
@@ -109,7 +125,13 @@ case class HyperplaneSigsExpr(child: Expression, planesFlat: Array[Double],
   override def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]
     val sigs = new Array[Long](numTables)
-    if (e.numElements() == dim) {
+    // a NULL element collapses to the all-zero signature, like a length
+    // mismatch — parity with the replaced HOF form, whose per-plane dot
+    // products went NULL and zeroed every bit
+    var ok = e.numElements() == dim
+    var j0 = 0
+    while (ok && j0 < dim) { if (e.isNullAt(j0)) ok = false; j0 += 1 }
+    if (ok) {
       val v = new Array[Double](dim)
       var j = 0
       while (j < dim) { v(j) = e.getDouble(j); j += 1 }
@@ -141,7 +163,11 @@ case class HyperplaneSigsExpr(child: Expression, planesFlat: Array[Double],
           private org.apache.spark.sql.catalyst.util.GenericArrayData $fname(
               org.apache.spark.sql.catalyst.util.ArrayData e) {
             long[] sigs = new long[$numTables];
-            if (e.numElements() == $dim) {
+            boolean ok = e.numElements() == $dim;
+            for (int j0 = 0; ok && j0 < $dim; j0++) {
+              if (e.isNullAt(j0)) ok = false;
+            }
+            if (ok) {
               double[] v = new double[$dim];
               for (int j = 0; j < $dim; j++) v[j] = e.getDouble(j);
               for (int t = 0; t < $numTables; t++) {

@@ -55,11 +55,12 @@ object Similarity {
     * plausible neighbors (the default 100 is FAISS-ish); for PAIR
     * ENUMERATION (near-dup dedup) pair volume is Σ n_b(n_b-1)/2 —
     * tail-dominated, so size for load ≪ 1: the 16M-row probe (BASELINE.md)
-    * measured targetBucket = 1/16 (planes = log₂ n + 4) cutting candidate
+    * measured targetBucket = 1.0/16 (planes = log₂ n + 4) cutting candidate
     * volume 8× vs load-1 sizing at zero measured recall loss for true dups
     * (cos ≥ 0.99). */
   def lshParams(n: Long, theta: Double, targetRecall: Double = 0.95,
-                targetBucket: Int = 100): (Int, Int) = {
+                targetBucket: Double = 100.0): (Int, Int) = {
+    require(targetBucket > 0.0, "targetBucket must be positive (may be fractional, e.g. 1.0/16)")
     val planes = math.min(60, math.max(4,
       math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt))
     val p = 1.0 - math.acos(theta) / math.Pi

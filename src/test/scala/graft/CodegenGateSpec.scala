@@ -92,14 +92,16 @@ class CodegenGateSpec extends SparkSpec {
       Array.fill(8)(0.0),
       Array.fill(5)(1.0) // wrong dim — exercises the mismatch paths
     )
+    val gVecs = vecs.map(v => new org.apache.spark.sql.catalyst.util.GenericArrayData(v)) :+
+      // null element — the HOF-parity edge: cosine → NULL, signatures → zeros
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](1.0, null, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
     exprs.foreach { case (name, expr) =>
       val proj = GenerateUnsafeProjection.generate(Seq(expr))
       val toScala =
         org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(expr.dataType)
-      for (a <- vecs; b <- vecs) {
-        val row = InternalRow(
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(b))
+      for (a <- gVecs; b <- gVecs) {
+        val row = InternalRow(a, b)
         val out = proj(row)
         val compiled = if (out.isNullAt(0)) null else toScala(out.get(0, expr.dataType))
         val interpreted = toScala(expr.eval(row))
@@ -110,6 +112,15 @@ class CodegenGateSpec extends SparkSpec {
         assert(same, s"$name: $compiled vs $interpreted")
       }
     }
+    // semantic pins for the null-element edge (not just compiled≡interpreted)
+    val nullVec = gVecs.last
+    assert(CosineSimExpr(vecIn, vecIn2).eval(InternalRow(nullVec, nullVec)) == null,
+      "cosine over a null element must be NULL (HOF parity)")
+    val sigs = HyperplaneSigsExpr(vecIn, planesFlat, numTables = 2, planesPerTable = 4, dim = 8)
+      .eval(InternalRow(nullVec, nullVec))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(sigs.forall(_ == 0L),
+      "a null element must collapse every table's signature to 0 (HOF parity)")
   }
 
   test("plan-level: kernels run whole-stage with codegen fallback disabled") {

@@ -48,7 +48,11 @@ class TsqlDialectSpec extends AnyFunSuite {
       "length(trim(x)) > 5 AND coalesce(a, b) <> 'z'",
       "try_cast(v AS INT) IS NULL OR v RLIKE '^[0-9]+$'",
       "substring(s, 2, 3) = 'abc'",
-      "isnull(maybe_null_col)"
+      "isnull(maybe_null_col)",
+      // backtick-quoted identifiers are opaque spans: a Spark name may
+      // legally contain '[' or '\'' and must not be rewritten inside
+      "`arr[0]` > 1",
+      "`weird``name[x]` = 2 AND coalesce(`it's[here]`, 0) > 0"
     ).foreach(f => assert(rewrite(f) == f, f))
   }
 
