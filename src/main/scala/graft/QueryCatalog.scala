@@ -661,6 +661,44 @@ object QueryCatalog {
              |       count(*) AS cnt
              |FROM sym GROUP BY 1, 2""".stripMargin)),
 
+    // Trigram sibling of lm_bigram_counts: same one-pass distributed shape,
+    // 38³-cell partials; DuckDB recomputes independently from raw text.
+    Q("lm_trigram_counts",
+      (s, dir) => t(s, dir, "documents")
+        .agg(graft.functions.NgramLM.trigramCounts(col("text")).as("c"))
+        .select(posexplode(col("c")).as(Seq("idx", "cnt")))
+        .where(col("cnt") > 0)
+        .select(expr("CAST(idx DIV 1444 AS BIGINT)").as("sym_a"),
+          expr("CAST((idx DIV 38) % 38 AS BIGINT)").as("sym_b"),
+          expr("CAST(idx % 38 AS BIGINT)").as("sym_c"),
+          col("cnt")),
+      Some("""WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 1001) AS t(i)),
+             |tri AS (
+             |  SELECT substring(text, i, 1) AS ca, substring(text, i + 1, 1) AS cb,
+             |         substring(text, i + 2, 1) AS cc
+             |  FROM documents JOIN idx ON i <= length(text) - 2),
+             |sym AS (
+             |  SELECT
+             |    CASE WHEN ca >= 'a' AND ca <= 'z' THEN ascii(ca) - 97
+             |         WHEN ca >= 'A' AND ca <= 'Z' THEN ascii(ca) - 65
+             |         WHEN ca >= '0' AND ca <= '9' THEN 26 + ascii(ca) - 48
+             |         WHEN ca = ' ' OR ca = chr(9) OR ca = chr(10) OR ca = chr(13) THEN 36
+             |         ELSE 37 END AS sym_a,
+             |    CASE WHEN cb >= 'a' AND cb <= 'z' THEN ascii(cb) - 97
+             |         WHEN cb >= 'A' AND cb <= 'Z' THEN ascii(cb) - 65
+             |         WHEN cb >= '0' AND cb <= '9' THEN 26 + ascii(cb) - 48
+             |         WHEN cb = ' ' OR cb = chr(9) OR cb = chr(10) OR cb = chr(13) THEN 36
+             |         ELSE 37 END AS sym_b,
+             |    CASE WHEN cc >= 'a' AND cc <= 'z' THEN ascii(cc) - 97
+             |         WHEN cc >= 'A' AND cc <= 'Z' THEN ascii(cc) - 65
+             |         WHEN cc >= '0' AND cc <= '9' THEN 26 + ascii(cc) - 48
+             |         WHEN cc = ' ' OR cc = chr(9) OR cc = chr(10) OR cc = chr(13) THEN 36
+             |         ELSE 37 END AS sym_c
+             |  FROM tri)
+             |SELECT CAST(sym_a AS BIGINT) AS sym_a, CAST(sym_b AS BIGINT) AS sym_b,
+             |       CAST(sym_c AS BIGINT) AS sym_c, count(*) AS cnt
+             |FROM sym GROUP BY 1, 2, 3""".stripMargin)),
+
     Q("text_tokens",
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),

@@ -174,6 +174,78 @@ case class BigramSurprisalExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Mean character-TRIGRAM surprisal under an interpolated-KN trigram model
+  * ([[LangModel.fromTrigramCounts]] / [[NgramLM.trainTrigram]]): mean of
+  * -log P(c | a,b) over positions 2..n-1. Shorter-than-3 input scores 0.0.
+  * The 38³-double table rides the serialized expression (~439 KB — constant
+  * in corpus size). */
+case class TrigramSurprisalExpr(child: Expression, model: Array[Double])
+  extends UnaryExpression {
+  require(model.length == LangModel.NumSymbols * LangModel.NumSymbols * LangModel.NumSymbols,
+    s"model must be a flat ${LangModel.NumSymbols}^3 log-prob table")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def stringArgs: Iterator[Any] = Iterator(child, "trainedLM3")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < 3) 0.0
+    else {
+      val V = LangModel.NumSymbols
+      var acc = 0.0
+      var a = LangModel.sym(s.charAt(0))
+      var b = LangModel.sym(s.charAt(1))
+      var i = 2
+      while (i < s.length) {
+        val c = LangModel.sym(s.charAt(i))
+        acc += model((a * V + b) * V + c)
+        a = b; b = c
+        i += 1
+      }
+      -acc / (s.length - 2)
+    }
+  }
+
+  /** Loop emitted as a named private function (huge-method JIT rationale —
+    * see [[TextStatsExpr.doGenCode]]); generics-free Java (janino). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("trigramModel", model, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val fname = ctx.freshName("trigramSurprisalKernel")
+      val symName = ctx.freshName("trigramSym")
+      val sym = ctx.addNewFunction(symName,
+        s"""
+          private int $symName(char ch) {
+            if (ch >= 'A' && ch <= 'Z') ch = (char)(ch + 32);
+            if (ch >= 'a' && ch <= 'z') return ch - 'a';
+            if (ch >= '0' && ch <= '9') return 26 + (ch - '0');
+            if (ch == ' ' || ch == '\\t' || ch == '\\n' || ch == '\\r') return 36;
+            return 37;
+          }
+        """)
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private double $fname(java.lang.String s) {
+            if (s.length() < 3) return 0.0;
+            double acc = 0.0;
+            int a = $sym(s.charAt(0));
+            int b = $sym(s.charAt(1));
+            for (int i = 2; i < s.length(); i++) {
+              int c = $sym(s.charAt(i));
+              acc += $modelRef[(a * ${LangModel.NumSymbols} + b) * ${LangModel.NumSymbols} + c];
+              a = b; b = c;
+            }
+            return -acc / (s.length() - 2);
+          }
+        """)
+      s"${ev.value} = $fn($c.toString());"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramSurprisalExpr =
+    copy(child = newChild)
+}
+
 /** Single-pass case-insensitive whole-word lexicon replacement — the
   * toxicity-scrub kernel. Semantics are exactly
   * `regexp_replace(s, "(?i)\\b(w1|w2|...)\\b", replacement)` for ASCII

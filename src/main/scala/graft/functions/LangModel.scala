@@ -50,6 +50,20 @@ object LangModel {
     counts
   }
 
+  /** Driver-side trigram counting: flat NumSymbols³ matrix indexed
+    * `(a·V + b)·V + c`. Distributed equivalent: [[TrigramCountsAgg]]. */
+  def countTrigrams(s: String, into: Array[Long] = null): Array[Long] = {
+    val counts =
+      if (into != null) into else new Array[Long](NumSymbols * NumSymbols * NumSymbols)
+    var i = 0
+    while (i < s.length - 2) {
+      counts((sym(s.charAt(i)) * NumSymbols + sym(s.charAt(i + 1))) * NumSymbols
+        + sym(s.charAt(i + 2))) += 1L
+      i += 1
+    }
+    counts
+  }
+
   /** KN-smoothed log P(c2 | c1) table from a flat NumSymbols² bigram count
     * matrix: absolute discounting (d = 0.75) interpolated with a smoothed
     * CONTINUATION distribution (how many contexts a symbol follows, not how
@@ -95,6 +109,90 @@ object LangModel {
           }
         out(a * NumSymbols + b) = math.log(p)
         b += 1
+      }
+      a += 1
+    }
+    out
+  }
+
+  /** Interpolated Kneser-Ney TRIGRAM log P(c | a,b) table from a flat
+    * NumSymbols³ trigram count matrix: absolute discounting (d = 0.75) at
+    * the trigram level, backing off to a CONTINUATION-count bigram
+    * distribution (how many distinct left-contexts each (b,c) follows),
+    * itself discounted and backed off to the smoothed continuation unigram
+    * — the standard interpolated modified-KN shape (Chen & Goodman 1999)
+    * at a closed alphabet. Zero-count contexts fall straight through to
+    * the lower order. Returns flat [a][b][c], log-space. */
+  def fromTrigramCounts(c3: Array[Long]): Array[Double] = {
+    val V = NumSymbols
+    require(c3.length == V * V * V,
+      s"expected flat $V^3 trigram count matrix, got ${c3.length}")
+    val d = 0.75
+    // trigram level: ctx2(a,b) totals + N1+(a,b,·) distinct-successor counts
+    val ctx2 = new Array[Long](V * V)
+    val succ3 = new Array[Int](V * V)
+    // bigram continuation level: cont2(b,c) = #{a : c3(a,b,c) > 0}
+    val cont2 = new Array[Int](V * V)
+    var a = 0
+    while (a < V) {
+      var b = 0
+      while (b < V) {
+        var c = 0
+        while (c < V) {
+          val n = c3((a * V + b) * V + c)
+          if (n > 0) { succ3(a * V + b) += 1; cont2(b * V + c) += 1 }
+          ctx2(a * V + b) += n
+          c += 1
+        }
+        b += 1
+      }
+      a += 1
+    }
+    // continuation-bigram context totals + distinct-successor counts, and
+    // unigram continuation counts over the continuation-bigram table
+    val ctxCont2 = new Array[Long](V)
+    val succCont2 = new Array[Int](V)
+    val contU = new Array[Int](V)
+    var totalContU = 0
+    var b = 0
+    while (b < V) {
+      var c = 0
+      while (c < V) {
+        val n = cont2(b * V + c)
+        ctxCont2(b) += n
+        if (n > 0) { succCont2(b) += 1; contU(c) += 1; totalContU += 1 }
+        c += 1
+      }
+      b += 1
+    }
+    @inline def pContU(c: Int): Double =
+      (contU(c) + 0.5) / (totalContU + 0.5 * V)
+    @inline def pKn2(bb: Int, cc: Int): Double =
+      if (ctxCont2(bb) == 0L) pContU(cc)
+      else {
+        val disc = math.max(cont2(bb * V + cc) - d, 0.0) / ctxCont2(bb)
+        val lambda = d * succCont2(bb) / ctxCont2(bb)
+        disc + lambda * pContU(cc)
+      }
+    val out = new Array[Double](V * V * V)
+    a = 0
+    while (a < V) {
+      var bb = 0
+      while (bb < V) {
+        val ab = a * V + bb
+        var cc = 0
+        while (cc < V) {
+          val p =
+            if (ctx2(ab) == 0L) pKn2(bb, cc)
+            else {
+              val disc = math.max(c3(ab * V + cc) - d, 0.0) / ctx2(ab)
+              val lambda = d * succ3(ab) / ctx2(ab)
+              disc + lambda * pKn2(bb, cc)
+            }
+          out(ab * V + cc) = math.log(p)
+          cc += 1
+        }
+        bb += 1
       }
       a += 1
     }

@@ -24,18 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * the north-star "Kneser-Ney-style n-gram perplexity scoring" with an
   * in-domain fit path instead of only the compiled-in seed model.
   */
-case class BigramCountsAgg(child: Expression,
-                           mutableAggBufferOffset: Int = 0,
-                           inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
-
-  private val cells = LangModel.NumSymbols * LangModel.NumSymbols
+abstract class NgramCountsAggBase extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+  def child: Expression
+  protected def cells: Int
+  protected def accumulate(s: String, buf: Array[Long]): Unit
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](cells)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) LangModel.countBigrams(v.asInstanceOf[UTF8String].toString, buffer)
+    if (v != null) accumulate(v.asInstanceOf[UTF8String].toString, buffer)
     buffer
   }
 
@@ -64,11 +63,35 @@ case class BigramCountsAgg(child: Expression,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
+}
+
+case class BigramCountsAgg(child: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0) extends NgramCountsAggBase {
+  protected val cells: Int = LangModel.NumSymbols * LangModel.NumSymbols
+  protected def accumulate(s: String, buf: Array[Long]): Unit =
+    LangModel.countBigrams(s, buf): Unit
   override def withNewMutableAggBufferOffset(newOffset: Int): BigramCountsAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): BigramCountsAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BigramCountsAgg =
+    copy(child = newChild)
+}
+
+/** Trigram variant: one flat 38³ (≈439 KB) matrix per partition buffer —
+  * still O(partitions) shuffle bytes at any corpus size. */
+case class TrigramCountsAgg(child: Expression,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0) extends NgramCountsAggBase {
+  protected val cells: Int = LangModel.NumSymbols * LangModel.NumSymbols * LangModel.NumSymbols
+  protected def accumulate(s: String, buf: Array[Long]): Unit =
+    LangModel.countTrigrams(s, buf): Unit
+  override def withNewMutableAggBufferOffset(newOffset: Int): TrigramCountsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TrigramCountsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TrigramCountsAgg =
     copy(child = newChild)
 }
 
@@ -98,4 +121,23 @@ object NgramLM {
   def surprisal(content: Column, model: Array[Double]): Column =
     ColumnBridge.column(
       BigramSurprisalExpr(ColumnBridge.expression(content), model))
+
+  /** Aggregate Column: flat NumSymbols³ trigram counts across all rows. */
+  def trigramCounts(content: Column): Column =
+    ColumnBridge.column(
+      TrigramCountsAgg(ColumnBridge.expression(content)).toAggregateExpression())
+
+  /** Fit an interpolated-KN TRIGRAM model (backoff: trigram → continuation
+    * bigram → smoothed continuation unigram) in one distributed pass. The
+    * 38³-double table (~439 KB) still rides the serialized scoring
+    * expression — broadcast-small at executor count, not corpus size. */
+  def trainTrigram(df: DataFrame, content: Column): Array[Double] = {
+    val row = df.agg(trigramCounts(content).as("c")).head()
+    LangModel.fromTrigramCounts(row.getSeq[Long](0).toArray)
+  }
+
+  /** Mean trigram surprisal of `content` under a [[trainTrigram]] model. */
+  def surprisal3(content: Column, model: Array[Double]): Column =
+    ColumnBridge.column(
+      TrigramSurprisalExpr(ColumnBridge.expression(content), model))
 }

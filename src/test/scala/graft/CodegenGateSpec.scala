@@ -37,6 +37,8 @@ class CodegenGateSpec extends SparkSpec {
     "BigramSurprisalExpr" -> BigramSurprisalExpr(strIn),
     "BigramSurprisalExpr(trained)" -> BigramSurprisalExpr(strIn,
       LangModel.fromCounts(LangModel.countBigrams("for while return def la la"))),
+    "TrigramSurprisalExpr" -> TrigramSurprisalExpr(strIn,
+      LangModel.fromTrigramCounts(LangModel.countTrigrams("for while return def la la"))),
     "LangIdExpr" -> LangIdExpr(strIn,
       Seq("en", "de"), Seq(Seq(" the ", " and "), Seq(" der ", " und "))),
     "LexiconScrubExpr" -> LexiconScrubExpr(strIn, Seq("badword", "worse"), "[*]"),

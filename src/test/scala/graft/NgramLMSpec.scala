@@ -72,6 +72,52 @@ class NgramLMSpec extends SparkSpec {
     assert(diff == 0.0)
   }
 
+  test("trigram fromCounts: every (a,b) context is a probability distribution") {
+    val V = LangModel.NumSymbols
+    val lp = LangModel.fromTrigramCounts(
+      LangModel.countTrigrams(codeish.mkString(" ")))
+    // spot-check a spread of contexts, including guaranteed-unseen ones
+    for (a <- Seq(0, 4, 17, 26, 36, 37); b <- Seq(0, 9, 25, 30, 36, 37)) {
+      val rowSum = (0 until V).map(c => math.exp(lp((a * V + b) * V + c))).sum
+      assert(math.abs(rowSum - 1.0) < 1e-9, s"context ($a,$b) sums to $rowSum")
+    }
+  }
+
+  test("distributed trigram counts equal the driver-side per-row sum") {
+    val df = codeish.toDF("content").repartition(3)
+    val distributed = df.agg(NgramLM.trigramCounts(col("content")).as("c"))
+      .head().getSeq[Long](0).toArray
+    val V = LangModel.NumSymbols
+    val local = new Array[Long](V * V * V)
+    codeish.foreach(t => LangModel.countTrigrams(t, local))
+    assert(distributed.sameElements(local))
+  }
+
+  test("trained trigram model fits its domain at least as well as the trained bigram") {
+    val df = codeish.toDF("content")
+    val m2 = NgramLM.train(df, col("content"))
+    val m3 = NgramLM.trainTrigram(df, col("content"))
+    val r = df.select(
+      avg(NgramLM.surprisal(col("content"), m2)).as("s2"),
+      avg(NgramLM.surprisal3(col("content"), m3)).as("s3")).head()
+    assert(r.getDouble(1) < r.getDouble(0),
+      s"trigram should beat bigram on training data: tri=${r.getDouble(1)} bi=${r.getDouble(0)}")
+    // and it still separates junk
+    val junk = Seq("qxzj vbnm wqxz kjhg zxqw pqzx").toDF("content")
+      .select(avg(NgramLM.surprisal3(col("content"), m3))).head().getDouble(0)
+    assert(r.getDouble(1) + 0.5 < junk)
+  }
+
+  test("trigram surprisal: short strings score 0, eval matches a hand computation") {
+    val m3 = NgramLM.trainTrigram(codeish.toDF("content"), col("content"))
+    val out = Seq("", "a", "ab", "abc").toDF("content")
+      .select(NgramLM.surprisal3(col("content"), m3).as("s")).collect().map(_.getDouble(0))
+    assert(out(0) == 0.0 && out(1) == 0.0 && out(2) == 0.0)
+    val V = LangModel.NumSymbols
+    val expected = -m3((LangModel.sym('a') * V + LangModel.sym('b')) * V + LangModel.sym('c'))
+    assert(math.abs(out(3) - expected) < 1e-12)
+  }
+
   test("trained scoring separates in-domain text from alphabet soup") {
     val junk = Seq("qxzj vbnm wqxz kjhg zxqw pqzx", "zzzz qqqq xxxx jjjj vvvv")
     val model = NgramLM.train(codeish.toDF("content"), col("content"))
