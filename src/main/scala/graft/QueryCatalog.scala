@@ -54,6 +54,23 @@ object QueryCatalog {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
+  /** Position-index ceiling for the character-exploding LM oracles: must
+    * exceed the longest document text (fixture max ≈ 577 chars; the join
+    * predicate `i <= length(text) - k` prunes, so a generous bound costs
+    * nothing — an undersized one silently undercounts long docs). */
+  private val OracleMaxTextPos = 100001
+
+  /** DuckDB rendering of [[graft.functions.LangModel.sym]] for a
+    * single-char column — ONE source of truth for the classing across the
+    * bigram/trigram count oracles (single line so it composes inside
+    * stripMargin SQL). */
+  private def duckSym(c: String): String =
+    s"CASE WHEN $c >= 'a' AND $c <= 'z' THEN ascii($c) - 97 " +
+      s"WHEN $c >= 'A' AND $c <= 'Z' THEN ascii($c) - 65 " +
+      s"WHEN $c >= '0' AND $c <= '9' THEN 26 + ascii($c) - 48 " +
+      s"WHEN $c = ' ' OR $c = chr(9) OR $c = chr(10) OR $c = chr(13) THEN 36 " +
+      s"ELSE 37 END"
+
   /** embeddings unioned with deterministically perturbed copies of every
     * 20th vector (±5% per-dimension scaling → cosine ≈ 0.999): planted
     * near-dups for PRODUCTION-threshold (θ ≥ 0.9) embedding dedup — the
@@ -637,25 +654,14 @@ object QueryCatalog {
         .select(expr("CAST(idx DIV 38 AS BIGINT)").as("sym_a"),
           expr("CAST(idx % 38 AS BIGINT)").as("sym_b"),
           col("cnt")),
-      // sym classing mirrors LangModel.sym: fold A-Z only (not full lower()),
-      // digits → 26..35, ws → 36, other → 37. Text is ASCII-only in the
-      // fixture (verified), so Java-char vs code-point indexing agree.
-      Some("""WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 1001) AS t(i)),
+      // sym classing mirrors LangModel.sym via duckSym; text is ASCII-only
+      // in the fixture (verified), so Java-char vs code-point indexing agree
+      Some(s"""WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, $OracleMaxTextPos) AS t(i)),
              |pairs AS (
              |  SELECT substring(text, i, 1) AS ca, substring(text, i + 1, 1) AS cb
              |  FROM documents JOIN idx ON i <= length(text) - 1),
              |sym AS (
-             |  SELECT
-             |    CASE WHEN ca >= 'a' AND ca <= 'z' THEN ascii(ca) - 97
-             |         WHEN ca >= 'A' AND ca <= 'Z' THEN ascii(ca) - 65
-             |         WHEN ca >= '0' AND ca <= '9' THEN 26 + ascii(ca) - 48
-             |         WHEN ca = ' ' OR ca = chr(9) OR ca = chr(10) OR ca = chr(13) THEN 36
-             |         ELSE 37 END AS sym_a,
-             |    CASE WHEN cb >= 'a' AND cb <= 'z' THEN ascii(cb) - 97
-             |         WHEN cb >= 'A' AND cb <= 'Z' THEN ascii(cb) - 65
-             |         WHEN cb >= '0' AND cb <= '9' THEN 26 + ascii(cb) - 48
-             |         WHEN cb = ' ' OR cb = chr(9) OR cb = chr(10) OR cb = chr(13) THEN 36
-             |         ELSE 37 END AS sym_b
+             |  SELECT ${duckSym("ca")} AS sym_a, ${duckSym("cb")} AS sym_b
              |  FROM pairs)
              |SELECT CAST(sym_a AS BIGINT) AS sym_a, CAST(sym_b AS BIGINT) AS sym_b,
              |       count(*) AS cnt
@@ -672,28 +678,14 @@ object QueryCatalog {
           expr("CAST((idx DIV 38) % 38 AS BIGINT)").as("sym_b"),
           expr("CAST(idx % 38 AS BIGINT)").as("sym_c"),
           col("cnt")),
-      Some("""WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, 1001) AS t(i)),
+      Some(s"""WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(1, $OracleMaxTextPos) AS t(i)),
              |tri AS (
              |  SELECT substring(text, i, 1) AS ca, substring(text, i + 1, 1) AS cb,
              |         substring(text, i + 2, 1) AS cc
              |  FROM documents JOIN idx ON i <= length(text) - 2),
              |sym AS (
-             |  SELECT
-             |    CASE WHEN ca >= 'a' AND ca <= 'z' THEN ascii(ca) - 97
-             |         WHEN ca >= 'A' AND ca <= 'Z' THEN ascii(ca) - 65
-             |         WHEN ca >= '0' AND ca <= '9' THEN 26 + ascii(ca) - 48
-             |         WHEN ca = ' ' OR ca = chr(9) OR ca = chr(10) OR ca = chr(13) THEN 36
-             |         ELSE 37 END AS sym_a,
-             |    CASE WHEN cb >= 'a' AND cb <= 'z' THEN ascii(cb) - 97
-             |         WHEN cb >= 'A' AND cb <= 'Z' THEN ascii(cb) - 65
-             |         WHEN cb >= '0' AND cb <= '9' THEN 26 + ascii(cb) - 48
-             |         WHEN cb = ' ' OR cb = chr(9) OR cb = chr(10) OR cb = chr(13) THEN 36
-             |         ELSE 37 END AS sym_b,
-             |    CASE WHEN cc >= 'a' AND cc <= 'z' THEN ascii(cc) - 97
-             |         WHEN cc >= 'A' AND cc <= 'Z' THEN ascii(cc) - 65
-             |         WHEN cc >= '0' AND cc <= '9' THEN 26 + ascii(cc) - 48
-             |         WHEN cc = ' ' OR cc = chr(9) OR cc = chr(10) OR cc = chr(13) THEN 36
-             |         ELSE 37 END AS sym_c
+             |  SELECT ${duckSym("ca")} AS sym_a, ${duckSym("cb")} AS sym_b,
+             |         ${duckSym("cc")} AS sym_c
              |  FROM tri)
              |SELECT CAST(sym_a AS BIGINT) AS sym_a, CAST(sym_b AS BIGINT) AS sym_b,
              |       CAST(sym_c AS BIGINT) AS sym_c, count(*) AS cnt

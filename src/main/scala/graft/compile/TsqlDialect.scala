@@ -53,7 +53,12 @@ object TsqlDialect {
       } else if (c == '[') { // T-SQL bracket-quoted identifier
         val close = sql.indexOf(']', i)
         if (close < 0) { out.append(c); i += 1 }
-        else { out.append('`').append(sql.substring(i + 1, close)).append('`'); i = close + 1 }
+        else {
+          // escape embedded backticks (`` convention) — "[a`b]" must become
+          // "`a``b`", not the malformed "`a`b`"
+          out.append('`').append(sql.substring(i + 1, close).replace("`", "``")).append('`')
+          i = close + 1
+        }
       } else if (Character.isLetter(c) || c == '_') {
         val end = identEnd(sql, i)
         val ident = sql.substring(i, end)

@@ -141,17 +141,7 @@ case class BigramSurprisalExpr(child: Expression,
     nullSafeCodeGen(ctx, ev, c => {
       val fname = ctx.freshName("bigramSurprisalKernel")
       val symName = ctx.freshName("bigramSym")
-      // symbol classing identical to LangModel.sym
-      val sym = ctx.addNewFunction(symName,
-        s"""
-          private int $symName(char ch) {
-            if (ch >= 'A' && ch <= 'Z') ch = (char)(ch + 32);
-            if (ch >= 'a' && ch <= 'z') return ch - 'a';
-            if (ch >= '0' && ch <= '9') return 26 + (ch - '0');
-            if (ch == ' ' || ch == '\\t' || ch == '\\n' || ch == '\\r') return 36;
-            return 37;
-          }
-        """)
+      val sym = ctx.addNewFunction(symName, LangModel.symJavaSource(symName))
       val fn = ctx.addNewFunction(fname,
         s"""
           private double $fname(java.lang.String s) {
@@ -213,16 +203,7 @@ case class TrigramSurprisalExpr(child: Expression, model: Array[Double])
     nullSafeCodeGen(ctx, ev, c => {
       val fname = ctx.freshName("trigramSurprisalKernel")
       val symName = ctx.freshName("trigramSym")
-      val sym = ctx.addNewFunction(symName,
-        s"""
-          private int $symName(char ch) {
-            if (ch >= 'A' && ch <= 'Z') ch = (char)(ch + 32);
-            if (ch >= 'a' && ch <= 'z') return ch - 'a';
-            if (ch >= '0' && ch <= '9') return 26 + (ch - '0');
-            if (ch == ' ' || ch == '\\t' || ch == '\\n' || ch == '\\r') return 36;
-            return 37;
-          }
-        """)
+      val sym = ctx.addNewFunction(symName, LangModel.symJavaSource(symName))
       val fn = ctx.addNewFunction(fname,
         s"""
           private double $fname(java.lang.String s) {

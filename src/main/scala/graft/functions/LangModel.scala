@@ -203,4 +203,19 @@ object LangModel {
   val logProb: Array[Double] = fromCounts(countBigrams(seedCorpus))
 
   private[graft] def seedCorpusForTest: String = seedCorpus
+
+  /** Generated-Java twin of [[sym]] — the ONE source every codegen kernel
+    * emits (an alphabet change applied to `sym` but not here would silently
+    * desync codegen from interpreted eval, the bug class CodegenGateSpec
+    * exists to catch). */
+  def symJavaSource(fnName: String): String =
+    s"""
+      private int $fnName(char ch) {
+        if (ch >= 'A' && ch <= 'Z') ch = (char)(ch + 32);
+        if (ch >= 'a' && ch <= 'z') return ch - 'a';
+        if (ch >= '0' && ch <= '9') return 26 + (ch - '0');
+        if (ch == ' ' || ch == '\\t' || ch == '\\n' || ch == '\\r') return 36;
+        return 37;
+      }
+    """
 }

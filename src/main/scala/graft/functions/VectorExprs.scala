@@ -121,6 +121,13 @@ case class HyperplaneSigsExpr(child: Expression, planesFlat: Array[Double],
   require(planesFlat.length == numTables * planesPerTable * dim)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // null-element check only when the child's schema admits null elements
+  // (same gating as CosineSimExpr — parquet embeddings are
+  // containsNull=false, and this kernel runs over the full corpus scan)
+  private lazy val checkNulls = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]
@@ -130,7 +137,7 @@ case class HyperplaneSigsExpr(child: Expression, planesFlat: Array[Double],
     // products went NULL and zeroed every bit
     var ok = e.numElements() == dim
     var j0 = 0
-    while (ok && j0 < dim) { if (e.isNullAt(j0)) ok = false; j0 += 1 }
+    while (checkNulls && ok && j0 < dim) { if (e.isNullAt(j0)) ok = false; j0 += 1 }
     if (ok) {
       val v = new Array[Double](dim)
       var j = 0
@@ -163,10 +170,13 @@ case class HyperplaneSigsExpr(child: Expression, planesFlat: Array[Double],
           private org.apache.spark.sql.catalyst.util.GenericArrayData $fname(
               org.apache.spark.sql.catalyst.util.ArrayData e) {
             long[] sigs = new long[$numTables];
-            boolean ok = e.numElements() == $dim;
+            boolean ok = e.numElements() == $dim;${
+              if (checkNulls)
+                s"""
             for (int j0 = 0; ok && j0 < $dim; j0++) {
               if (e.isNullAt(j0)) ok = false;
-            }
+            }"""
+              else ""}
             if (ok) {
               double[] v = new double[$dim];
               for (int j = 0; j < $dim; j++) v[j] = e.getDouble(j);

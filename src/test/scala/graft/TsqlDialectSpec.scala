@@ -56,6 +56,10 @@ class TsqlDialectSpec extends AnyFunSuite {
     ).foreach(f => assert(rewrite(f) == f, f))
   }
 
+  test("bracket identifiers containing a backtick escape it Spark-style") {
+    assert(rewrite("[a`b] = 1") == "`a``b` = 1")
+  }
+
   test("rewrite is idempotent") {
     val frags = Seq("LEN([Title]) > 10", "ISNULL(a, b) = c",
       "CONVERT(VARCHAR, GETDATE(), 103)")
