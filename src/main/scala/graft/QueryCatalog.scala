@@ -766,7 +766,7 @@ object QueryCatalog {
       }),
 
     // P3 with an OptionalFilterClause: group counts and ranks see only
-    // in-filter rows (the 1M000000 shift is ≢ 0 mod 3, so each dup group has
+    // in-filter rows (the 1000000 shift is ≢ 0 mod 3, so each dup group has
     // members on both sides of the filter)
     Q("prof_dup_flag_scoped",
       (s, dir) => {

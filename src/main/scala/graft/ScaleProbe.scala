@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Probe-corpus generator version — part of the /tmp cache key. Bump when
+    * [[containmentCorpus]]/[[vectorCorpus]] (or their fixed parameters)
+    * change, or the probe silently re-reads a stale corpus. */
+  private val CorpusGenVersion = "g2"
+
   /** Unique-content docs (~160 chars); every 20th doc (id ≥ 20) embeds a
     * 15-token passage of doc id-10 → planted containment pairs at
     * containment ≈ 0.7-0.8. Deterministic. */
@@ -113,6 +118,10 @@ object ScaleProbe {
     // static-plans a BroadcastHashJoin of a corpus-sized relation and dies
     // collecting it to the driver; reading parquet is also the
     // production-realistic input shape)
+    // cache key carries a GENERATOR VERSION (bump on any change to
+    // containmentCorpus/vectorCorpus or their parameters): keying on row
+    // count alone silently reused stale /tmp parquet after a generator edit,
+    // making probe readings measure the OLD corpus
     def materialize(df: DataFrame, dir: String): DataFrame = {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
         df.write.mode("overwrite").parquet(dir)
@@ -121,7 +130,7 @@ object ScaleProbe {
 
     if (ops("winnow")) {
       val docs = materialize(containmentCorpus(spark, rows),
-        s"/tmp/graft_probe_docs_$rows")
+        s"/tmp/graft_probe_docs_${CorpusGenVersion}_$rows")
       // window scales the fingerprint density (~2·len/(window+1) per doc) —
       // the volume knob for the candidate pipeline, whose cumulative shuffle
       // footprint is ~5× the exploded (id, fingerprint) relation: window=40
@@ -155,7 +164,7 @@ object ScaleProbe {
 
     if (ops("embed")) {
       val vecs = materialize(vectorCorpus(spark, rows),
-        s"/tmp/graft_probe_vecs_$rows")
+        s"/tmp/graft_probe_vecs_${CorpusGenVersion}_$rows")
       // planes = log2(n) → mean bucket load ~1 per table, so random-pair
       // candidate volume stays ≈ linear (Σ n_b(n_b-1)/2 ≈ n/2 per table).
       // 16 tables give planted-dup recall ≈ 1.0 at the dup cosine (~0.999,

@@ -100,10 +100,15 @@ object CatalogIO {
           Nil
         case Some(ms) if ms.nonEmpty =>
           val clashes = (1 to ms.size).map(r.code * 1000 + _).filter(directCodes)
-          if (clashes.nonEmpty)
+          if (clashes.nonEmpty) {
+            // drop the whole association (mirroring the >999-members branch):
+            // emitting the clashing rows anyway would make the downstream
+            // duplicate validator FATAL both rows with a misleading
+            // duplicate-codes message — this error is the actionable one
             errors += s"association ${r.code}: expanded member codes " +
               s"${clashes.mkString(", ")} collide with direct binding codes"
-          ms.sortBy(_.memberCode).zipWithIndex.map { case (m, i) =>
+            Nil
+          } else ms.sortBy(_.memberCode).zipWithIndex.map { case (m, i) =>
 
             m.rule.copy(
               code = r.code * 1000 + i + 1,

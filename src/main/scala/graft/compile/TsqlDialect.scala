@@ -12,7 +12,11 @@ package graft.compile
   * unresolvable in Spark SQL —
   *   - `LEN(`, `GETDATE(`, `CHARINDEX(`, `REPLICATE(`, `CONVERT(` are not
   *     Spark functions;
-  *   - `[bracket]` identifier quoting is a parse error in Spark;
+  *   - `[bracket]` identifier quoting is a parse error in Spark — EXCEPT in
+  *     subscript position (`arr[0]`, `m['k']`), where '[' is Spark's element
+  *     access; a '[' immediately following an identifier char, ')', ']' or a
+  *     backticked name is therefore left untouched (T-SQL never juxtaposes a
+  *     bracket identifier against a preceding identifier);
   *   - `ISNULL(a, b)` (two args) fails resolution in Spark, whose `isnull`
   *     is the 1-arg null test — the 1-arg form is therefore left UNTOUCHED.
   * A fragment that already parses as Spark SQL passes through byte-identical
@@ -50,9 +54,20 @@ object TsqlDialect {
         val end = backtickEnd(sql, i)
         out.append(sql.substring(i, end))
         i = end
-      } else if (c == '[') { // T-SQL bracket-quoted identifier
+      } else if (c == '[') { // T-SQL bracket-quoted identifier — unless the
+        // '[' sits in SUBSCRIPT position (immediately after an identifier
+        // char, ')', ']' or a backtick-quoted name): `arr[0]` / `m['k']` /
+        // `split(s, ',')[1]` are valid Spark SQL, and rewriting them to
+        // backticks would corrupt a fragment that already parses as Spark
+        // SQL, violating the pass-through-byte-identical invariant. T-SQL
+        // never puts a bracket-quoted identifier hard against a preceding
+        // identifier ("a[col]" is not a T-SQL expression), so the
+        // immediately-preceding emitted char decides.
+        val prev = if (out.nonEmpty) out.charAt(out.length - 1) else ' '
+        val subscript = Character.isLetterOrDigit(prev) || prev == '_' ||
+          prev == ')' || prev == ']' || prev == '`'
         val close = sql.indexOf(']', i)
-        if (close < 0) { out.append(c); i += 1 }
+        if (subscript || close < 0) { out.append(c); i += 1 }
         else {
           // escape embedded backticks (`` convention) — "[a`b]" must become
           // "`a``b`", not the malformed "`a`b`"

@@ -30,6 +30,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Can produce NULL even from non-null inputs (length mismatch, null
+  // element) — the BinaryExpression default would inherit non-nullability
+  // from non-nullable children, letting UnsafeProjection consumers skip the
+  // isNull check and read a stale 0.0, and the optimizer constant-fold
+  // IsNull(this) to false. The HOF form this kernel replaced was nullable.
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

@@ -123,9 +123,13 @@ class CatalogParitySpec extends SparkSpec {
     val members = Seq(
       CatalogIO.rulesetMember("s", 1, RuleSpec.Harmonize(1, "A", HarmonizeOp.ToUpper)),
       CatalogIO.rulesetMember("s", 2, RuleSpec.Harmonize(2, "B", HarmonizeOp.RemoveSpaces)))
-    val (_, errs) = CatalogIO.expandRulesets(
+    val (rows, errs) = CatalogIO.expandRulesets(
       Seq(direct, CatalogIO.rulesetBinding(7, "t", 2, "txt", "s")), members)
     assert(errs.exists(e => e.contains("7002") && e.contains("collide")))
+    // the clashing association's expansion is DROPPED (like the >999 branch):
+    // emitting it anyway would re-FATAL downstream as a misleading duplicate
+    assert(rows.map(_.code) == Seq(7002),
+      s"only the direct binding should survive, got ${rows.map(_.code)}")
   }
 
   test("ruleset binding codes beyond the derivable band are rejected, not overflowed") {

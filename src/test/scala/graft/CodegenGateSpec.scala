@@ -114,6 +114,24 @@ class CodegenGateSpec extends SparkSpec {
         assert(same, s"$name: $compiled vs $interpreted")
       }
     }
+    // nullable-declaration pin (round-3 ADVICE): even with NON-nullable,
+    // containsNull=false inputs the expression must declare itself nullable —
+    // a length mismatch still yields NULL, and a non-nullable declaration
+    // would let UnsafeProjection consumers skip the isNull check and read a
+    // stale 0.0 (or the optimizer fold IsNull(cos) to false)
+    locally {
+      val nnA = BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = false)
+      val nnB = BoundReference(1, ArrayType(DoubleType, containsNull = false), nullable = false)
+      val cos = CosineSimExpr(nnA, nnB)
+      assert(cos.nullable, "CosineSimExpr must declare nullable (it can emit NULL)")
+      val proj = GenerateUnsafeProjection.generate(Seq(cos))
+      val mismatch = InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1.0, 2.0)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(1.0, 2.0, 3.0)))
+      assert(proj(mismatch).isNullAt(0),
+        "length mismatch on non-nullable inputs must surface as NULL, not 0.0")
+    }
+
     // semantic pins for the null-element edge (not just compiled≡interpreted)
     val nullVec = gVecs.last
     assert(CosineSimExpr(vecIn, vecIn2).eval(InternalRow(nullVec, nullVec)) == null,

@@ -52,8 +52,24 @@ class TsqlDialectSpec extends AnyFunSuite {
       // backtick-quoted identifiers are opaque spans: a Spark name may
       // legally contain '[' or '\'' and must not be rewritten inside
       "`arr[0]` > 1",
-      "`weird``name[x]` = 2 AND coalesce(`it's[here]`, 0) > 0"
+      "`weird``name[x]` = 2 AND coalesce(`it's[here]`, 0) > 0",
+      // '[' in SUBSCRIPT position is Spark element access, not T-SQL
+      // identifier quoting — must pass through byte-identical
+      "arr[0] = 'x'",
+      "m['k'] = 1",
+      "split(s, ',')[1] = 'a'",
+      "tags[0] = 'x' AND tags[size(tags) - 1] = 'y'",
+      "matrix[0][1] > 0",
+      "`quoted name`[2] IS NULL"
     ).foreach(f => assert(rewrite(f) == f, f))
+  }
+
+  test("subscript position does not suppress genuine T-SQL brackets nearby") {
+    // preceded by whitespace / '(' / '.' / ',' / start — all identifier-quote
+    // positions, never subscripts
+    assert(rewrite("[col] = 1 AND x.[col2] > 2") == "`col` = 1 AND x.`col2` > 2")
+    assert(rewrite("LEN([a b]) > 2") == "length(rtrim(`a b`)) > 2")
+    assert(rewrite("ISNULL([x], [y])") == "coalesce(`x`, `y`)")
   }
 
   test("bracket identifiers containing a backtick escape it Spark-style") {
