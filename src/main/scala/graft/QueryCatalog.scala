@@ -54,6 +54,31 @@ object QueryCatalog {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
+  /** [[dupDocs]] with a per-TEXT salt: length-proportional chained-md5
+    * blocks of the text appended to itself. The salt is a pure function of
+    * the text, so exact-dup groups are preserved verbatim, while any
+    * DISTINCT pair of texts diverges hard in both signature domains:
+    *  - 5-shingle Jaccard collapses to ≲ 0.35 even for near-subset pairs
+    *    (each side gains ~len distinct hex shingles the other lacks), so
+    *    the probability that 58+ of 64 seeded minhashes agree is ≈ e⁻⁴⁰ —
+    *    the est-Jaccard ≥ 0.9 decision becomes deterministically
+    *    "exact dups only" (the UNSALTED corpus has natural near-subset
+    *    pairs whose jaccard → 1, where est ≥ 0.9 fires probabilistically);
+    *  - every doc gains winnow fingerprints selected from pure-salt
+    *    windows (salt ≥ 32 chars ⇒ ≥ 21 consecutive 12-grams of unique hex),
+    *    which appear in NO other text ⇒ distinct-text containment < 1,
+    *    while exact copies share their entire fingerprint set, including
+    *    salt fingerprints of doc-frequency exactly |group| = 2 — so
+    *    candidacy provably survives any maxFingerprintDocFreq ≥ 2.
+    * The DuckDB oracles never compute the salt: they group/join on the
+    * ORIGINAL text (salting is text-injective), which is what makes these
+    * fixtures hash-exact-oracle-able at all. Validated missing=0/extra=0 at
+    * sf0.001/0.01/0.1 with and without frequency pruning. */
+  private def saltedDupDocs(s: SparkSession, dir: String): DataFrame =
+    dupDocs(s, dir).withColumn("text", concat(col("text"), lit(" "),
+      expr("array_join(transform(sequence(1, greatest(cast(floor(length(text)/32) as int), 1)), " +
+        "i -> md5(concat(text, cast(i as string)))), '')")))
+
   /** Position-index ceiling for the character-exploding LM oracles: must
     * exceed the longest document text (fixture max ≈ 577 chars; the join
     * predicate `i <= length(text) - k` prunes, so a generous bound costs
@@ -85,6 +110,50 @@ object QueryCatalog {
           "sin(cast(vec_id as double) + cast(i as double))) as float))")
           .as("embedding")))
   }
+
+  /** Planted-neighbor ANN corpus: embeddings with vec_id ≥ 10, plus — for
+    * each query vector (vec_id < 10) — five perturbed copies at amplitudes
+    * 0.005·j (j = 1..5), giving cosines ≈ 0.99997 … 0.9989 to the source
+    * query, strictly DECREASING in j (same perturbation direction per
+    * query: cos ≈ 1 − a²/2·Var_w(sin pattern), monotone in a). Each query's
+    * unambiguous true top-5 is therefore its own five copies in j order,
+    * with inter-rank cosine margins ~1e-4 (≫ double rounding) and a wide
+    * gap to the natural corpus (max natural cosine ≈ 0.51) — the fixture
+    * that makes approximate-ANN paths hard-oracle-able: candidacy of the
+    * top-5 is provable (LSH) / Voronoi-stable (IVF), so ranks among
+    * candidates equal global ROW_NUMBER ranks. */
+  private def annPlantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val planted = emb.where(col("vec_id") < 10)
+      .select(explode(sequence(lit(1), lit(5))).as("j"), col("vec_id"), col("embedding"))
+      .select((col("vec_id") * 10 + col("j") + 2000000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(x * (1.0d + 0.005d * cast(j as double) * " +
+          "sin(cast(vec_id as double) + cast(i as double))) as float))").as("embedding"))
+    emb.where(col("vec_id") >= 10).select(col("vec_id"), col("embedding"))
+      .unionAll(planted)
+  }
+
+  /** Exact ROW_NUMBER top-5 over [[annPlantedCorpus]] — the shared DuckDB
+    * oracle for ann_lsh / ann_ivf (DuckDB lambda index is 1-based, hence
+    * `i - 1`). */
+  private val annPlantedOracle: String =
+    """WITH planted AS (
+      |  SELECT q.vec_id * 10 + j + 2000000 AS vec_id,
+      |    list_transform(q.embedding, (x, i) -> CAST(x * (1.0 + 0.005 * j *
+      |      sin(CAST(q.vec_id AS DOUBLE) + (i - 1))) AS FLOAT)) AS embedding
+      |  FROM embeddings q, range(1, 6) t(j) WHERE q.vec_id < 10),
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10
+      |  UNION ALL SELECT vec_id, embedding FROM planted)
+      |SELECT q_id, n_id, rank FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+      |               c.vec_id) AS rank
+      |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+      |  CROSS JOIN corpus c)
+      |WHERE rank <= 5""".stripMargin
 
   // =====================================================================
   val all: Seq[Q] = Seq(
@@ -832,6 +901,20 @@ object QueryCatalog {
         .select("doc_id"),
       None), // MinHash/LSH not SQL-expressible → rows-only check
 
+    // hash-exact oracle form on the SALTED fixture (see saltedDupDocs): the
+    // salt forces every distinct-text pair's est-Jaccard far below 0.9
+    // (p ≈ e⁻⁴⁰ per pair) while exact copies keep identical signatures ⇒
+    // identical band buckets ⇒ guaranteed candidacy and est = 1.0 — the
+    // seeded output deterministically equals the exact-dedup keep set,
+    // which IS SQL (the oracle needs only the unsalted text)
+    Q("dedup_minhash_hi",
+      (s, dir) => graft.operators.Dedup.minHashDedup(
+        saltedDupDocs(s, dir), col("text"), col("doc_id"),
+        numHashes = 64, bands = 8, shingleSize = 5, jaccardThreshold = 0.9)
+        .select("doc_id"),
+      Some(s"""SELECT MIN(doc_id) AS doc_id
+              |FROM ($dupDocsSql) GROUP BY text""".stripMargin)),
+
     Q("dedup_simhash",
       (s, dir) => graft.operators.Dedup.simHashDedup(
         dupDocs(s, dir), col("text"), col("doc_id"), hammingThreshold = 3)
@@ -877,6 +960,24 @@ object QueryCatalog {
         .select("doc_id_a", "doc_id_b"),
       None),
 
+    // hash-exact oracle form on the SALTED fixture (see saltedDupDocs):
+    // every doc owns fingerprints selected from pure-salt windows that no
+    // other text can contain ⇒ containment = 1.0 is achievable ONLY by
+    // exact-copy pairs, whose sets are identical (containment exactly 1.0,
+    // an IEEE-exact m/m division) and include salt fingerprints of
+    // doc-frequency 2 ⇒ candidacy provably survives the maxDf=16 pruning.
+    // The seeded output therefore deterministically equals the equal-text
+    // pair set — plain SQL on the unsalted fixture.
+    Q("dedup_winnow_hi",
+      (s, dir) => graft.operators.Dedup.winnowContainmentPairs(
+        saltedDupDocs(s, dir), col("text"), col("doc_id"),
+        k = 12, window = 12, minContainment = 1.0, maxFingerprintDocFreq = 16)
+        .select("doc_id_a", "doc_id_b", "containment"),
+      Some(s"""SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+              |       CAST(1.0 AS DOUBLE) AS containment
+              |FROM ($dupDocsSql) a JOIN ($dupDocsSql) b
+              |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin)),
+
     // --------------------------------------------- similarity search
     Q("ann_topk",
       (s, dir) => graft.operators.Similarity.bruteForceTopK(
@@ -893,23 +994,36 @@ object QueryCatalog {
              |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 10) n)
              |WHERE rank <= 5""".stripMargin)),
 
-    // IVF scale path: sampled spherical k-means cells, nprobe probing
+    // IVF scale path: sampled spherical k-means cells, nprobe probing —
+    // hard oracle via the planted-neighbor corpus (annPlantedCorpus): each
+    // query's true top-5 are its five perturbed copies, whose cell
+    // assignment tracks the query's own nearest centroids (cos ≥ 0.9989 ⇒
+    // angle ≤ 2.7°, far inside the 16-cell Voronoi margins), so the probed
+    // nprobe=4 cells deterministically contain the full top-5 and ranks
+    // among candidates equal the global ROW_NUMBER ranks. Centroid training
+    // is seeded and iteration-fixed. Validated = exact top-5 at all 3 SFs.
     Q("ann_ivf",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val corpus = emb.where(col("vec_id") >= 10)
+        val corpus = annPlantedCorpus(s, dir)
         val centroids = graft.operators.Similarity.trainIvfCentroids(corpus, k = 16)
         graft.operators.Similarity.ivfTopK(
           emb.where(col("vec_id") < 10), corpus, k = 5, centroids, nprobe = 4)
       },
-      None), // recall approximate by design → rows-only check
+      Some(annPlantedOracle)),
 
+    // LSH top-k — hard oracle via the same planted corpus: every true
+    // neighbor sits at cosine ≥ 0.9989, colliding per 8-plane table with
+    // p ≥ 0.94, so the 16-table miss probability per neighbor is ≤ 0.06¹⁶
+    // ≈ 3e-20 — seeded-LSH candidacy provably contains the true top-5, and
+    // ranking the candidate superset yields exactly the global top-5
+    // (margins between planted ranks ≈ 1e-4, far above double rounding).
     Q("ann_lsh",
       (s, dir) => graft.operators.Similarity.lshTopK(
         t(s, dir, "embeddings").where(col("vec_id") < 10),
-        t(s, dir, "embeddings").where(col("vec_id") >= 10),
-        k = 5, numPlanes = 8),
-      None), // LSH recall is approximate → rows-only check
+        annPlantedCorpus(s, dir),
+        k = 5, numPlanes = 8, numTables = 16),
+      Some(annPlantedOracle)),
 
     // production bucketed near-dup path: hyperplane-LSH candidates + exact
     // cosine verify; recall vs the exact form is covered by OperatorsSpec
