@@ -248,6 +248,40 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Sizing for [[winnowContainmentPairs]] at corpus scale — the probe-backed
+    * companion to [[Similarity.lshParams]], so production callers don't
+    * inherit a saturating configuration. Returns (k, maxFingerprintDocFreq).
+    *
+    * `k` is sized so the k-gram space dwarfs the corpus gram count
+    * (alphabet^k ≥ margin · n · avgDocChars): the 16M-row probe
+    * (BASELINE.md) measured k=8 on an ~11-char effective alphabet
+    * saturating its gram space — 20.4 candidates/row unpruned, recall
+    * collapsing 93.6→72.9% under frequency pruning as copied passages'
+    * fingerprints collided into boilerplate buckets — while k=12 (the value
+    * this rule yields for that corpus) restored recall to the 94.2%
+    * window-detection ceiling at 0.24 candidates/row (35× fewer).
+    *
+    * `maxFingerprintDocFreq` defaults to the probe-validated 16 (MOSS
+    * stop-fingerprint pruning, Schleimer et al. SIGMOD'03 §5): fingerprints
+    * shared by more documents are corpus boilerplate whose buckets generate
+    * quadratic junk candidacy. Raising it buys at-margin recall linearly in
+    * candidate volume (probe: 16→64 bought 72.9→88.8% at k=8 for 2.9×
+    * volume — prefer raising k first, which is exponential in gram space).
+    *
+    * `alphabet` is the EFFECTIVE character diversity of the corpus (code
+    * corpora ~40+; the adversarial probe corpus ~11; default 16 is
+    * conservative). `window` stays the caller's detection-length knob
+    * (guarantee: shared substrings ≥ window+k-1 chars share a fingerprint)
+    * and does not affect this sizing. */
+  def winnowParams(n: Long, avgDocChars: Long = 512, alphabet: Int = 16,
+                   maxDf: Long = 16L, margin: Double = 256.0): (Int, Long) = {
+    require(n > 0 && avgDocChars > 0 && alphabet >= 2 && margin >= 1.0)
+    val totalGrams = n.toDouble * avgDocChars.toDouble
+    val k = math.min(24, math.max(8,
+      math.ceil(math.log(margin * totalGrams) / math.log(alphabet.toDouble)).toInt))
+    (k, maxDf)
+  }
+
   /** Winnowing-fingerprint containment pairs (MOSS-style): detects COPIED
     * PASSAGES — a doc embedding another doc's text scores near-1 containment
     * while its whole-document Jaccard may sit far below any minhash
@@ -257,12 +291,18 @@ object Dedup {
     * corpus-wide boilerplate snippets star-link instead of going quadratic);
     * verification = exact fingerprint-set containment
     * |A∩B| / min(|A|,|B|) on the candidate set only.
-    * Returns (doc_id_a, doc_id_b, containment ≥ threshold). */
+    * Returns (doc_id_a, doc_id_b, containment ≥ threshold).
+    *
+    * Defaults are the 16M-probe-validated settings (k=12, maxDf=16 — see
+    * [[winnowParams]] and BASELINE.md): the former k=8 / unpruned defaults
+    * are boilerplate-quadratic on saturating corpora (20.4 candidates/row
+    * at 1M vs 0.05 true) and were a known-bad configuration for a naive
+    * caller. Pass [[winnowParams]] output to size k for a given corpus. */
   def winnowContainmentPairs(df: DataFrame, textCol: Column, idCol: Column,
-                             k: Int = 8, window: Int = 12,
+                             k: Int = 12, window: Int = 12,
                              minContainment: Double = 0.5,
                              maxBucketSize: Int = DefaultBucketCap,
-                             maxFingerprintDocFreq: Long = Long.MaxValue): DataFrame = {
+                             maxFingerprintDocFreq: Long = 16L): DataFrame = {
     val fps = df.select(idCol.as("__id"),
       HashSignatures.winnowFingerprints(textCol, k, window).as("__fp"))
     // candidate generation carries (id, fingerprint) only; fingerprint SETS

@@ -136,11 +136,45 @@ class OperatorsSpec extends SparkSpec {
     // only when containment actually reaches the bar — the knob changes
     // CANDIDACY volume, not verified semantics for surviving pairs
     val unpruned = Dedup.winnowContainmentPairs(docs, $"text", $"doc_id",
-        minContainment = 0.4)
+        minContainment = 0.4, maxFingerprintDocFreq = Long.MaxValue)
       .select("doc_id_a", "doc_id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(unpruned.contains((1L, 2L)))
     assert(pruned.subsetOf(unpruned), "pruning must never add pairs")
+  }
+
+  test("winnowParams sizes k against gram-space saturation, mirrors the probe findings") {
+    // the 16M probe corpus: ~11-char effective alphabet, ~160-char docs —
+    // the measured sweet spot was k=12 (0.24 cands/row, 94.2% recall)
+    val (kProbe, maxDfProbe) = Dedup.winnowParams(16000000L, avgDocChars = 160, alphabet = 11)
+    assert(kProbe == 12, s"probe corpus should size to k=12, got $kProbe")
+    assert(maxDfProbe == 16L)
+    // richer alphabets need smaller k; k never drops below the floor of 8
+    assert(Dedup.winnowParams(16000000L, avgDocChars = 160, alphabet = 40)._1 <= 10)
+    assert(Dedup.winnowParams(1000L, avgDocChars = 100, alphabet = 40)._1 == 8)
+    // 10^12-file scale stays within the clamp and grows monotonically
+    val k12 = Dedup.winnowParams(1000000000000L, avgDocChars = 512, alphabet = 16)._1
+    assert(k12 >= 12 && k12 <= 24, s"got $k12")
+    assert(Dedup.winnowParams(1000000L, avgDocChars = 512, alphabet = 16)._1 <= k12)
+    // the DEFAULTS of winnowContainmentPairs now prune boilerplate candidacy
+    // (maxDf=16, not the round-2 unpruned configuration): 30 docs sharing
+    // only a license header (df=30 > 16) propose no pairs by default, while
+    // a rare copied passage (df=2) still pairs
+    val r = new scala.util.Random(99)
+    def randText(n: Int): String =
+      (0 until n).map(_ => (1 to 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString)
+        .mkString(" ")
+    val boiler = "copyright holders grant permission to use this file freely"
+    val passage = randText(40)
+    val docs = ((1L, passage + " " + boiler + " " + randText(40)) +:
+      (2L, passage + " " + boiler + " " + randText(40)) +:
+      (3L to 30L).map(i => (i, boiler + " " + randText(80)))).toDF("doc_id", "text")
+    val byDefault = Dedup.winnowContainmentPairs(docs, $"text", $"doc_id",
+        minContainment = 0.4)
+      .select("doc_id_a", "doc_id_b")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(byDefault == Set((1L, 2L)),
+      s"defaults must prune boilerplate-only candidacy but keep rare-gram pairs: $byDefault")
   }
 
   test("exactDedupVerified agrees with exactDedup (fingerprint vs text-verified)") {
