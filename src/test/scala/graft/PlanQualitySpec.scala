@@ -145,23 +145,64 @@ class PlanQualitySpec extends SparkSpec {
     // no join appears anywhere
     val p = cands.queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"candidate generation must be join-free:\n$p")
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
-    def stages(n: SparkPlan): Seq[ShuffleQueryStageExec] = {
-      val self = n match { case s: ShuffleQueryStageExec => Seq(s); case _ => Nil }
-      val kids = n match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan) // incl. Spark 4's ResultQueryStageExec
-        case other => other.children
-      }
-      self ++ kids.flatMap(stages)
-    }
-    val bandedStages = stages(cands.queryExecution.executedPlan)
+    val bandedStages = shuffleStages(cands.queryExecution.executedPlan)
       .filter(_.output.exists(_.name == "__band"))
-    val materialized = bandedStages.count(_.plan.isInstanceOf[ShuffleExchangeExec])
-    val reused = bandedStages.count(_.plan.isInstanceOf[ReusedExchangeExec])
+    val materialized = bandedStages.count(_.plan.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    val reused = bandedStages.count(_.plan.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
     assert(materialized == 1 && reused >= 1,
       s"banded relation must shuffle once and be reused ($materialized materialized, $reused reused):\n$p")
+  }
+
+  private def shuffleStages(n: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    val self = n match { case s: ShuffleQueryStageExec => Seq(s); case _ => Nil }
+    val kids = n match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan) // incl. Spark 4's ResultQueryStageExec
+      case other => other.children
+    }
+    self ++ kids.flatMap(shuffleStages)
+  }
+
+  test("minHashDedup end-to-end: the banded exchange materializes ONCE in the final adaptive plan") {
+    import spark.implicits._
+    // The cappedCandidates-level test above proves reuse on a pre-built
+    // banded DF; THIS one proves it survives the full operator, where
+    // column pruning inside the small-pairs vs star-link branches could
+    // de-canonicalize the two exchange subtrees (each branch would then
+    // re-run the signature kernel and the source scan). VERDICT r3 #2.
+    val docs = (1 to 300).map { i =>
+      (i.toLong, if (i % 3 == 0) s"duplicated payload text number ${i % 5} end"
+                 else s"unique text $i with filler payload ${i * 7} tail")
+    }.toDF("doc_id", "text")
+    val out = operators.Dedup.minHashDedup(docs, $"text", $"doc_id")
+    out.collect() // drive AQE to the final plan
+    val stages = shuffleStages(out.queryExecution.executedPlan)
+    // the banded exchange is the one whose child subtree holds the
+    // POSEXPLODE Generate (band construction) — posexplode-specific, because
+    // the downstream pair stage contains a plain explode(filter(__ids))
+    // Generate of its own; and a ReusedExchangeExec is a LEAF, so the
+    // reused stage is identified through the exchange it references
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def holdsBandGen(p: SparkPlan): Boolean = p.exists {
+      case g: GenerateExec => g.generator.toString.contains("posexplode")
+      case _ => false
+    }
+    val materialized = stages.count(s => s.plan match {
+      case e: ShuffleExchangeExec => holdsBandGen(e)
+      case _ => false
+    })
+    val reused = stages.count(s => s.plan match {
+      case r: ReusedExchangeExec => holdsBandGen(r.child)
+      case _ => false
+    })
+    assert(materialized == 1 && reused >= 1,
+      s"banded exchange must materialize once and be reused in minHashDedup " +
+        s"($materialized materialized, $reused reused):\n" +
+        out.queryExecution.executedPlan.toString)
   }
 }
