@@ -630,23 +630,44 @@ object RuleCompiler {
             ScalarSummary(meta(s"${s.ruleName} [Empty]", c, "Empty values", pct = true),
               sum(when(inF && isEmpty, 1L).otherwise(0L)), ScalarKind.CountAffected))
         }
-        val grouped = allCols.map { c =>
-          GroupedJob { df =>
-            val scopedDf = b.optionalFilter.map(f => df.filter(fexpr(f))).getOrElse(df)
-            val g = scopedDf.groupBy(col(c)).agg(count(lit(1)).as("__n"))
-            val row = g.agg(
-              sum(when(col("__n") > 1, 1L).otherwise(0L)).as("dup"),   // HAVING COUNT(*)>1 (:1336-1343)
-              sum(when(col("__n") === 1, 1L).otherwise(0L)).as("once") // HAVING COUNT(*)=1 (:1381-1388)
-            ).head()
-            Seq(
-              SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [DuplicatedValues]",
-                sev, c, "Values occurring more than once",
-                Option(row.getAs[Any]("dup")).map(_.toString.toLong).getOrElse(0L), None),
-              SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [DistinctOnce]",
-                sev, c, "Values occurring exactly once",
-                Option(row.getAs[Any]("once")).map(_.toString.toLong).getOrElse(0L), None))
-          }
-        }
+        def drafts(c: String, dup: Long, once: Long) = Seq(
+          SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [DuplicatedValues]",
+            sev, c, "Values occurring more than once", dup, None),
+          SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [DistinctOnce]",
+            sev, c, "Values occurring exactly once", once, None))
+        val grouped =
+          if (allCols.size <= RuleCompiler.WideValueDistributionCols)
+            allCols.map { c =>
+              GroupedJob { df =>
+                val scopedDf = b.optionalFilter.map(f => df.filter(fexpr(f))).getOrElse(df)
+                val g = scopedDf.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+                val row = g.agg(
+                  sum(when(col("__n") > 1, 1L).otherwise(0L)).as("dup"),   // HAVING COUNT(*)>1 (:1336-1343)
+                  sum(when(col("__n") === 1, 1L).otherwise(0L)).as("once") // HAVING COUNT(*)=1 (:1381-1388)
+                ).head()
+                drafts(c, Option(row.getAs[Any]("dup")).map(_.toString.toLong).getOrElse(0L),
+                  Option(row.getAs[Any]("once")).map(_.toString.toLong).getOrElse(0L))
+              }
+            }
+          else
+            // WIDE-entity form: one groupBy per column is a job storm on a
+            // 500-column entity at scale (500 scans + 500 shuffles). Explode
+            // each row to (column, value-as-string) and aggregate ALL columns
+            // in one job: a single corpus-scale exchange on (col, value) —
+            // partial aggregation shrinks the second (per-column) exchange to
+            // ≤ partitions × |cols| rows. Values group by their canonical
+            // string rendering (exact for the string/numeric/date types the
+            // reference profiles; null stays null through the cast).
+            Seq(GroupedJob { df =>
+              val scopedDf = b.optionalFilter.map(f => df.filter(fexpr(f))).getOrElse(df)
+              val byCol = RuleCompiler.wideValueDistribution(scopedDf, allCols)
+                .collect()
+                .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+              allCols.flatMap { c =>
+                val (dup, once) = byCol.getOrElse(c, (0L, 0L))
+                drafts(c, dup, once)
+              }
+            })
         CompiledRule(b, scalarSummaries = scalar, groupedJobs = grouped,
           reads = allCols.toSet, aggReads = allCols.toSet,
           lineage = s"value distribution over ${allCols.mkString(",")}")
@@ -740,4 +761,26 @@ object RuleCompiler {
       reads = Set(b.evaluationColumn),
       lineage = s"$outCol := ${outExpr.toString}")
   }
+
+  /** Above this column count, an ALL-columns TableValueDistribution (P7)
+    * compiles to the single-job exploded form instead of one groupBy job per
+    * column. 8 keeps narrow entities on exact native-type grouping. */
+  private[graft] val WideValueDistributionCols = 8
+
+  /** One-shuffle ALL-columns value-distribution aggregate: rows explode to
+    * (column, value-as-string) structs — nulls preserved — then ONE
+    * (col, value) count feeds a tiny per-column rollup. Output:
+    * (__c, dup = #values occurring >1×, once = #values occurring exactly
+    * once). The corpus-scale exchange is the first one; the second carries
+    * ≤ partitions × |cols| partially-aggregated rows. */
+  private[graft] def wideValueDistribution(scopedDf: DataFrame,
+                                           cols: Seq[String]): DataFrame =
+    scopedDf
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("__c"), col(c).cast(StringType).as("__v"))): _*)).as("kv"))
+      .select(col("kv.__c").as("__c"), col("kv.__v").as("__v"))
+      .groupBy(col("__c"), col("__v")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__c")).agg(
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("dup"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("once"))
 }

@@ -155,6 +155,30 @@ class PlanQualitySpec extends SparkSpec {
       s"banded relation must shuffle once and be reused ($materialized materialized, $reused reused):\n$p")
   }
 
+  test("P7 wide form: 50 columns profile in ONE job with a single corpus-scale exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // 50-column parquet fixture — the shape where per-column groupBy jobs
+    // become a 50-scan/50-shuffle job storm at 100× scale
+    val base = (1 to 200).map(i => Tuple1(i.toLong)).toDF("id")
+    val wide = (0 until 50).foldLeft(base)((d, i) => d.withColumn(s"c$i", col("id") % lit(i + 2)))
+    val dir = tmpDir("p7wide")
+    wide.write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val agg = compile.RuleCompiler.wideValueDistribution(src, src.columns.toSeq)
+    val p = planOf(agg)
+    // two exchanges total: the (col, value) one over the corpus, and the
+    // per-column rollup fed by partial aggregation (≤ partitions × |cols|
+    // rows) — NOT one per column; the fixture is scanned once
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected exactly 2 exchanges, got $exchanges:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"wide P7 must scan the source once, got $scans:\n$p")
+    // map-side combine below the corpus-scale exchange
+    assert(p.contains("partial_count"), p)
+    assert(agg.count() == 51) // id + 50 generated columns, one row each
+  }
+
   private def shuffleStages(n: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}

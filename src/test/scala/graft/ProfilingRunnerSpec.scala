@@ -139,6 +139,44 @@ class ProfilingRunnerSpec extends SparkSpec {
     assert(s41.percentageValue.contains(50.0))      // 2 of 4 IN-FILTER rows
   }
 
+  test("P7 wide entity (>8 cols) uses the one-pass exploded form and matches per-column counts") {
+    import org.apache.spark.sql.functions.col
+    // 10 columns of mixed types (> WideValueDistributionCols = 8 → wide path)
+    val wide = (1 to 40).map { i =>
+      (i % 2, i % 3, i % 5, i, i / 2, s"s${i % 4}", s"u$i",
+        if (i % 7 == 0) null else s"n${i % 6}", i % 2 == 0, i.toLong % 8)
+    }.toDF((0 to 9).map(i => s"c$i"): _*)
+    val b = RuleBinding(51, "t", 1, RuleBinding.AllColumns,
+      RuleSpec.Profile(51, "DistW", ProfileKind.TableValueDistribution, Severity.Info))
+    val compiled = graft.compile.RuleCompiler.compile(b, wide.schema)
+    assert(compiled.groupedJobs.size == 1,
+      s"wide P7 must compile to ONE grouped job, got ${compiled.groupedJobs.size}")
+    val drafts = compiled.groupedJobs.head.run(wide)
+    val got = drafts.map(d => (d.checkName, d.columnName) -> d.rowsAffected).toMap
+    // oracle: the narrow form's semantics, computed per column directly
+    // (native groupBy — string rendering must not change the counts here)
+    wide.columns.foreach { c =>
+      val counts = wide.groupBy(col(c)).count().collect().map(_.getLong(1))
+      assert(got(("DistW [DuplicatedValues]", c)) == counts.count(_ > 1),
+        s"dup mismatch on $c")
+      assert(got(("DistW [DistinctOnce]", c)) == counts.count(_ == 1),
+        s"once mismatch on $c")
+    }
+    // null grouping parity: c7 has nulls (i % 7 == 0 → 5 nulls, one group >1)
+    assert(got(("DistW [DuplicatedValues]", "c7")) > 0)
+    // and the optionalFilter scopes the wide job too
+    val scoped = graft.compile.RuleCompiler.compile(
+      b.copy(optionalFilter = Some("c3 <= 20")), wide.schema)
+    val sDrafts = scoped.groupedJobs.head.run(wide)
+      .map(d => (d.checkName, d.columnName) -> d.rowsAffected).toMap
+    val half = wide.where(col("c3") <= 20)
+    wide.columns.foreach { c =>
+      val counts = half.groupBy(col(c)).count().collect().map(_.getLong(1))
+      assert(sDrafts(("DistW [DuplicatedValues]", c)) == counts.count(_ > 1))
+      assert(sDrafts(("DistW [DistinctOnce]", c)) == counts.count(_ == 1))
+    }
+  }
+
   test("F1 date-format check flags leap/month-length violations") {
     val valid = res.output.collect()
       .map(r => r.getAs[String]("dateStr") -> r.getAs[String]("dateValid")).toMap
