@@ -54,30 +54,40 @@ object QueryCatalog {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
-  /** [[dupDocs]] with a per-TEXT salt: length-proportional chained-md5
-    * blocks of the text appended to itself. The salt is a pure function of
-    * the text, so exact-dup groups are preserved verbatim, while any
-    * DISTINCT pair of texts diverges hard in both signature domains:
+  /** [[dupDocs]] with a per-TEXT salt: one 8-char md5-prefix WORD per
+    * 4 chars of text (chained md5(text‖i), space-joined) appended to the
+    * text. The salt is a pure function of the text, so exact-dup groups are
+    * preserved verbatim, while any DISTINCT pair of texts diverges hard in
+    * ALL THREE signature feature domains:
     *  - 5-shingle Jaccard collapses to ≲ 0.35 even for near-subset pairs
     *    (each side gains ~len distinct hex shingles the other lacks), so
     *    the probability that 58+ of 64 seeded minhashes agree is ≈ e⁻⁴⁰ —
     *    the est-Jaccard ≥ 0.9 decision becomes deterministically
     *    "exact dups only" (the UNSALTED corpus has natural near-subset
     *    pairs whose jaccard → 1, where est ≥ 0.9 fires probabilistically);
-    *  - every doc gains winnow fingerprints selected from pure-salt
-    *    windows (salt ≥ 32 chars ⇒ ≥ 21 consecutive 12-grams of unique hex),
-    *    which appear in NO other text ⇒ distinct-text containment < 1,
-    *    while exact copies share their entire fingerprint set, including
-    *    salt fingerprints of doc-frequency exactly |group| = 2 — so
-    *    candidacy provably survives any maxFingerprintDocFreq ≥ 2.
+    *  - the WORD multiset (SimHash's feature space — whitespace tokens)
+    *    gains ~len/4 unique salt words — ~1.5× the text's own word count,
+    *    ~60% of total feature mass — so distinct-text simhashes
+    *    decorrelate (feature cosine ≤ 0.4 even for identical originals ⇒
+    *    expected hamming ≈ 23, P[≤3] ≈ 1e-15 per pair) while exact copies
+    *    stay bit-identical (a single concatenated salt token would be ONE
+    *    feature and left near-identical originals within hamming 3, and at
+    *    1-word-per-8-chars one sf0.1 pair still measured ≤ 3 — both
+    *    observed before landing on this density);
+    *  - every doc gains winnow fingerprints selected from salt-region
+    *    windows (k-grams drawn from its unique hex words), which appear in
+    *    NO other text ⇒ distinct-text containment < 1, while exact copies
+    *    share their entire fingerprint set, including salt fingerprints of
+    *    doc-frequency exactly |group| = 2 — so candidacy provably survives
+    *    any maxFingerprintDocFreq ≥ 2.
     * The DuckDB oracles never compute the salt: they group/join on the
     * ORIGINAL text (salting is text-injective), which is what makes these
     * fixtures hash-exact-oracle-able at all. Validated missing=0/extra=0 at
     * sf0.001/0.01/0.1 with and without frequency pruning. */
   private def saltedDupDocs(s: SparkSession, dir: String): DataFrame =
     dupDocs(s, dir).withColumn("text", concat(col("text"), lit(" "),
-      expr("array_join(transform(sequence(1, greatest(cast(floor(length(text)/32) as int), 1)), " +
-        "i -> md5(concat(text, cast(i as string)))), '')")))
+      expr("array_join(transform(sequence(1, greatest(cast(floor(length(text)/4) as int), 1)), " +
+        "i -> substring(md5(concat(text, cast(i as string))), 1, 8)), ' ')")))
 
   /** Position-index ceiling for the character-exploding LM oracles: must
     * exceed the longest document text (fixture max ≈ 577 chars; the join
@@ -921,12 +931,42 @@ object QueryCatalog {
         .select("doc_id"),
       None),
 
+    // hash-exact oracle form on the SALTED fixture (see saltedDupDocs): the
+    // length-proportional salt dominates each doc's feature multiset, so
+    // distinct texts' 64-bit simhashes decorrelate (hamming ≈ 32 ≫ 3) while
+    // exact copies keep identical signatures — equal in all four 16-bit
+    // blocks ⇒ guaranteed pigeonhole candidacy, hamming 0 ⇒ verified drop.
+    // The seeded output deterministically equals the exact-dedup keep set.
+    Q("dedup_simhash_hi",
+      (s, dir) => graft.operators.Dedup.simHashDedup(
+        saltedDupDocs(s, dir), col("text"), col("doc_id"), hammingThreshold = 3)
+        .select("doc_id"),
+      Some(s"""SELECT MIN(doc_id) AS doc_id
+              |FROM ($dupDocsSql) GROUP BY text""".stripMargin)),
+
     Q("dedup_ngram_jaccard",
       (s, dir) => graft.operators.Dedup.ngramJaccardPairs(
         dupDocs(s, dir), col("text"), col("doc_id"),
         shingleSize = 5, threshold = 0.8)
         .select("doc_id_a", "doc_id_b"),
       None),
+
+    // hash-exact oracle form of the BANDED path at threshold 1.0 — the one
+    // threshold where LSH candidacy is MATHEMATICALLY complete (no planted
+    // probability at all): jaccard = 1 ⟺ identical shingle sets ⇒ identical
+    // minhash signatures ⇒ identical band buckets ⇒ candidacy; the exact
+    // verify then emits jaccard 1.0 (IEEE-exact m/m). On the salted fixture
+    // distinct texts cannot reach jaccard 1 (each owns salt shingles), so
+    // the complete pair set is the equal-text join — plain SQL.
+    Q("dedup_ngram_hi",
+      (s, dir) => graft.operators.Dedup.ngramJaccardPairs(
+        saltedDupDocs(s, dir), col("text"), col("doc_id"),
+        shingleSize = 5, threshold = 1.0)
+        .select("doc_id_a", "doc_id_b", "jaccard"),
+      Some(s"""SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+              |       CAST(1.0 AS DOUBLE) AS jaccard
+              |FROM ($dupDocsSql) a JOIN ($dupDocsSql) b
+              |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin)),
 
     // exact (non-LSH) form: complete pair set via a shingle inverted index —
     // SQL-expressible, so this one carries the hard DuckDB oracle the
