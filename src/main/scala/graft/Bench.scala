@@ -96,10 +96,151 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     burn(n * 4); burn(n) // warm both shapes
-    val t4N = burn(n * 4)
-    val tN = burn(n)
+    val t4N = median((1 to 3).map(_ => burn(n * 4)))
+    val tN = median((1 to 3).map(_ => burn(n)))
     require(sink.get() != 0L) // observable use of every work() result
     (tN / t4N) / 4.0
+  }
+
+  /** Same-session MEMORY-BANDWIDTH scaling ceiling: a fixed number of
+    * streaming passes over a 512 MB long array (cache-defeating — 32 MB per
+    * thread even at 4N, ≫ any per-thread L3 share), split across `threads`
+    * disjoint chunks. The pure-CPU ceiling above burns hashes in registers
+    * and is BLIND to memory-bus contention; the engine job (parquet scan →
+    * fused projection) moves corpus bytes, so when co-tenants saturate the
+    * bus — or when N threads alone already do — the bandwidth ceiling is
+    * the one the engine's N→4N reading must be judged against (VERDICT r3:
+    * a 0.746 reading against a 0.983 CPU ceiling was unexplainable without
+    * this number in the artifact). */
+  private def memBwCeiling(n: Int): Double = {
+    val len = 64 * 1024 * 1024 // longs → 512 MB
+    val arr = new Array[Long](len)
+    java.util.Arrays.fill(arr, 0x9E3779B97F4A7C15L) // fault pages in, defeat zero-page COW
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+    def sweep(threads: Int): Double = {
+      val passes = 12 // fixed TOTAL work: passes × 512 MB of reads
+      val chunk = len / threads
+      def work(t: Int): Long = {
+        var s = 0L; var p = 0
+        while (p < passes) {
+          var i = t * chunk; val end = i + chunk
+          while (i < end) { s += arr(i); i += 1 }
+          p += 1
+        }
+        s
+      }
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map(t => new Thread(() => { sink.addAndGet(work(t)): Unit }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    sweep(n * 4); sweep(n) // warm (JIT + TLB)
+    val t4N = median((1 to 3).map(_ => sweep(n * 4)))
+    val tN = median((1 to 3).map(_ => sweep(n)))
+    require(sink.get() != 0L) // blackhole: the sums are observably consumed
+    (tN / t4N) / 4.0
+  }
+
+  /** One scaling session at parallelism `p` — runnable in-process or (the
+    * default) inside a freshly forked JVM via [[ScalingArm]]. AQE is OFF:
+    * the loop re-executes one physical plan, and both AQE's materialized
+    * query stages and ShuffleExchangeExec's cached shuffle RDD would let
+    * reps 2+ silently reuse map output — so the measured plan must also be
+    * SHUFFLE-FREE, which it is (scan → metrics → keep-drop → scrub →
+    * content crc is one WholeStageCodegen span; rows are consumed at the
+    * RDD layer).
+    *
+    * Plan ONCE per session, execute the physical plan per iteration:
+    * driver-side planning of the 14-rule fused projection is a SERIAL ~1s
+    * cost constant in executor count — a production job plans once and
+    * amortizes it over ~10⁵ tasks, and folding it into every 4-second
+    * local job caps 4→16 efficiency at ~0.75 by Amdahl regardless of
+    * engine quality (the r2/r3 0.737/0.748 readings were this). Serial
+    * planning time is still measured and published (plan_serial_secs).
+    *
+    * @return (rep seconds, plan seconds, kept rows, xor-of-crc checksum) */
+  private[graft] def armSession(p: Int, reps: Int, iters: Int, corpusDir: String,
+                                benchRows: Long): (Seq[Double], Double, Long, Long) = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val spark = mkSession(p, aqe = false)
+    spark.sparkContext.setLogLevel("WARN")
+    val tPlan0 = System.nanoTime()
+    val df = spark.read.parquet(corpusDir)
+    val out = exec.StageExec.lazyApply(df, rules.CodeQualityCatalog.bindings)
+      .select(crc32(col("content")).as("chk"))
+    val plan = out.queryExecution.executedPlan // analysis + optimize + physical
+    val planSec = (System.nanoTime() - tPlan0) / 1e9
+    require(plan.collectLeaves().nonEmpty &&
+      !plan.toString.contains("Exchange"), s"scaling plan must be shuffle-free:\n$plan")
+    // (kept rows, xor-of-crc) — the checksum is load-bearing: identical
+    // input must yield an identical checksum every iteration AND across
+    // arms/JVMs, catching a rep that silently skipped work as loudly as
+    // one that corrupted it
+    def once(): (Long, Long) = plan.execute().mapPartitions { it =>
+      var n = 0L; var s = 0L
+      while (it.hasNext) { val r = it.next(); if (!r.isNullAt(0)) s ^= r.getLong(0); n += 1 }
+      Iterator.single((n, s))
+    }.collect().foldLeft((0L, 0L)) { case ((n, s), (pn, ps)) => (n + pn, s ^ ps) }
+    // fresh RDD chain, no exchange → full recompute per call
+    val (warm, chk0) = once() // codegen compile + JIT + page-cache warm-up
+    // output = kept rows only (the job includes the keep/drop filter);
+    // throughput still divides by benchRows — every input file is scanned
+    require(warm > 0 && warm <= benchRows, s"scaling job consumed $warm rows of $benchRows")
+    once(): Unit
+    val repTimes = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      var it = 0
+      while (it < iters) {
+        val (n, s) = once()
+        require(n == warm && s == chk0, s"rep diverged: $n rows chk $s vs $warm/$chk0")
+        it += 1
+      }
+      (System.nanoTime() - t0) / 1e9 / iters
+    }
+    spark.stop()
+    (repTimes, planSec, warm, chk0)
+  }
+
+  /** Run one scaling arm in a FRESH JVM (java -cp of this process): the
+    * driver's bench runs after a ~7-minute query sweep + audit benchmark in
+    * one sbt JVM, and rounds 1-3 showed the committed scaling reading
+    * depressed relative to quiet standalone runs — heap fragmentation, GC
+    * pressure and JIT profile pollution from the sweep are all same-JVM
+    * state a production spark-submit never carries. A forked arm starts
+    * from the state a real N-executor job starts from. Stdout line protocol
+    * (SCALING_ARM ...) keeps the parent's parsing trivial; stderr (Spark
+    * logs) is merged and kept only for failure diagnostics. */
+  private def forkArm(p: Int, reps: Int, iters: Int, corpusDir: String,
+                      benchRows: Long): (Seq[Double], Double, Long, Long) = {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    // same module opens build.sbt forks sbt runs with (single-arg = form)
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+      "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(m => s"--add-opens=$m=ALL-UNNAMED")
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ScalingArm", p.toString, reps.toString, iters.toString,
+      corpusDir, benchRows.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val outLines = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    val rc = proc.waitFor()
+    val line = outLines.find(_.startsWith("SCALING_ARM "))
+    require(rc == 0 && line.isDefined,
+      s"scaling arm local[$p] failed (rc=$rc):\n${outLines.takeRight(40).mkString("\n")}")
+    val kv = line.get.stripPrefix("SCALING_ARM ").split(" ")
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    (kv("reps").split(",").map(_.toDouble).toSeq,
+      kv("plan").toDouble, kv("rows").toLong, kv("chk").toLong)
   }
 
   def main(args: Array[String]): Unit = {
@@ -111,10 +252,73 @@ object Bench {
     // cached v1 corpus is never reused against the new catalog
     val corpusDir = s"/tmp/graft_bench_corpus_v2_$benchRows"
 
-    // ---- part 1: headline operator queries at the requested parallelism
     var spark = mkSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     ensureCorpus(spark, benchRows, corpusDir)
+
+    // ---- part 1: N vs 4N scaling protocol on identical input — FIRST,
+    // before the query sweep: rounds 1-3 measured it last in a JVM that had
+    // just run ~7 minutes of unrelated queries, which is state no
+    // production scaling comparison carries (and the fork-per-arm default
+    // below removes the shared-JVM dependence entirely).
+    // N defaults to 4 (→ 4N = 16): this host reports 32 logical CPUs but
+    // delivers ~16 effective cores (16 physical + SMT; a pure-CPU
+    // microbenchmark scales 8→32 threads by only ~2.2×). 4→16 stays within
+    // physical cores, so the measurement reflects the engine's scaling, not
+    // hyperthread contention. Override with SPARK_GRAFT_SCALE_N.
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
+    var scalingJson = ""
+    if (doScaling) {
+      // each rep runs `iters` back-to-back jobs: fixed per-job overhead
+      // (scheduling 128 tasks, result handling) would otherwise dominate
+      // the N-vs-4N ratio — the claim is about sustained throughput
+      val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+      val repsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+      val fork = sys.env.getOrElse("SPARK_GRAFT_SCALE_FORK", "1") == "1"
+      val planSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val armChecks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def arm(p: Int): Seq[Double] = {
+        val (ts, plan, n, chk) =
+          if (fork) forkArm(p, repsPer, iters, corpusDir, benchRows)
+          else {
+            if (!spark.sparkContext.isStopped) spark.stop()
+            System.gc() // drop prior session garbage before timing
+            armSession(p, repsPer, iters, corpusDir, benchRows)
+          }
+        planSecs += plan; armChecks += ((n, chk)); ts
+      }
+      var reps4N = Seq.empty[Double]
+      var repsN = Seq.empty[Double]
+      // A/B alternation, 4N first in each round (any residual later-run
+      // advantage then favors the DENOMINATOR → conservative efficiency)
+      for (_ <- 1 to rounds) {
+        reps4N ++= arm(scaleN * 4)
+        repsN ++= arm(scaleN)
+      }
+      // the load-bearing checksum must agree ACROSS arms and JVMs
+      require(armChecks.distinct.size == 1,
+        s"scaling arms disagree on (rows, checksum): $armChecks")
+      System.err.println(f"[bench] local[${scaleN * 4}] reps: ${reps4N.map(s => f"$s%.2f").mkString(", ")}")
+      System.err.println(f"[bench] local[$scaleN] reps: ${repsN.map(s => f"$s%.2f").mkString(", ")}")
+      val thr4N = benchRows / median(reps4N)
+      val thrN = benchRows / median(repsN)
+      val eff = thr4N / (4.0 * thrN)
+      val ceiling = cpuCeiling(scaleN)    // both ceilings measured in the
+      val bwCeil = memBwCeiling(scaleN)   // SAME session as the reading
+      System.err.println(f"[bench] ceilings $scaleN->4x: cpu $ceiling%.3f, membw $bwCeil%.3f; " +
+        f"engine eff: $eff%.3f (${eff / ceiling}%.3f of cpu, ${eff / bwCeil}%.3f of membw)")
+      def arr(xs: Seq[Double]) = xs.map(s => f"$s%.2f").mkString("[", ",", "]")
+      scalingJson =
+        f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":$thrN%.1f,"files_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f,"cpu_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"mem_bw_ceiling_efficiency":$bwCeil%.3f,"efficiency_vs_bw_ceiling":${eff / bwCeil}%.3f,"rep_secs_4n":${arr(reps4N)},"rep_secs_n":${arr(repsN)},"plan_serial_secs":${arr(planSecs.toSeq)},"scaling_mode":"${if (fork) "forked-fresh-jvm-per-arm" else "in-process-sessions"}","estimator":"median, A/B-alternated ${if (fork) "fresh-JVM" else "in-process"} sessions, plan-once-execute-many (serial planning published separately; a production job plans once per 10^5 tasks); ceilings = same-session pure-CPU and memory-bandwidth N-vs-4N microbenchmarks"}"""
+    }
+    if (spark.sparkContext.isStopped) { // in-process scaling consumed it
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      spark = mkSession(cpus)
+      spark.sparkContext.setLogLevel("WARN")
+    }
+
+    // ---- part 2: headline operator queries at the requested parallelism
 
     val headline =
       if (sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") != "1") Seq.empty[String]
@@ -158,7 +362,7 @@ object Bench {
       .parquet("/tmp/graft_bench_pipeline_out")
     val pipeWriteSec = (System.nanoTime() - tW0) / 1e9
 
-    // ---- part 2: audit-on runner in the SAME warm session (best-of-3,
+    // ---- part 3: audit-on runner in the SAME warm session (best-of-3,
     // fresh workdir per rep so checkpoint/manifest writes are not reused)
     val auditSec =
       if (sys.env.getOrElse("SPARK_GRAFT_AUDIT_BENCH", "1") == "1") {
@@ -176,107 +380,25 @@ object Bench {
         reps.min
       } else 0.0
 
-    // ---- part 3: N vs 4N scaling protocol on identical input
-    // N defaults to 4 (→ 4N = 16): this host reports 32 logical CPUs but
-    // delivers ~16 effective cores (16 physical + SMT; a pure-CPU
-    // microbenchmark scales 8→32 threads by only ~2.2×). 4→16 stays within
-    // physical cores, so the measurement reflects the engine's scaling, not
-    // hyperthread contention. Override with SPARK_GRAFT_SCALE_N.
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    var scalingJson = ""
-    if (doScaling) {
-      // each rep runs `iters` back-to-back jobs: the post-kernel-fix pipeline
-      // finishes 1M rows in ~2.5s at local[16], where fixed per-job overhead
-      // (scheduling 128 tasks, result handling) would otherwise dominate the
-      // N-vs-4N ratio — the scaling claim is about sustained throughput, so
-      // measure a sustained window
-      val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
-      val planSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      def sessionReps(p: Int, reps: Int): Seq[Double] = {
-        spark.stop()
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        System.gc() // drop prior session garbage before timing
-        // AQE OFF in scaling sessions: the loop below re-executes one
-        // physical plan, and both AQE's materialized query stages and
-        // ShuffleExchangeExec's cached shuffle RDD would let reps 2+
-        // silently reuse map output instead of re-running the scan work —
-        // so the measured plan must also be SHUFFLE-FREE. It is: the
-        // north-rule workload (scan → metrics → keep-drop → scrub →
-        // content crc) is one WholeStageCodegen span with no exchange;
-        // rows are consumed at the RDD layer (the count+checksum the old
-        // driver-side agg provided, without its exchange).
-        spark = mkSession(p, aqe = false)
-        spark.sparkContext.setLogLevel("WARN")
-        // Plan ONCE per session, execute the physical plan per iteration.
-        // Driver-side planning of the 14-rule catalog's fused projection is
-        // a SERIAL ~1s cost that is constant in executor count: on a real
-        // cluster a 100TB job plans once and amortizes it over ~10^5 tasks,
-        // so folding it into every 4-second local job would tax the 4N arm
-        // ~1000× more than production does (measured: it alone caps 4→16
-        // efficiency at ~0.75 by Amdahl; the recorded 0.737/0.748 readings
-        // of rounds 2-3 were this, not host noise). The serial cost is
-        // still measured and published (`plan_serial_secs`), not hidden.
-        val tPlan0 = System.nanoTime()
-        val df = spark.read.parquet(corpusDir)
-        val out = exec.StageExec.lazyApply(df, rules.CodeQualityCatalog.bindings)
-          .select(crc32(col("content")).as("chk"))
-        val plan = out.queryExecution.executedPlan // analysis + optimize + physical
-        planSecs += (System.nanoTime() - tPlan0) / 1e9
-        require(plan.collectLeaves().nonEmpty &&
-          !plan.toString.contains("Exchange"), s"scaling plan must be shuffle-free:\n$plan")
-        // returns (kept rows, xor-of-crc) — the checksum is load-bearing:
-        // identical input must yield an identical checksum every iteration,
-        // which catches a rep that silently skipped work (the reuse traps
-        // above) as loudly as one that corrupted it
-        def once(): (Long, Long) = plan.execute().mapPartitions { it =>
-          var n = 0L; var s = 0L
-          while (it.hasNext) { val r = it.next(); if (!r.isNullAt(0)) s ^= r.getLong(0); n += 1 }
-          Iterator.single((n, s))
-        }.collect().foldLeft((0L, 0L)) { case ((n, s), (pn, ps)) => (n + pn, s ^ ps) }
-        // fresh RDD chain, no exchange → full recompute per call
-        val (warm, chk0) = once() // codegen compile + JIT + page-cache warm-up
-        // output = kept rows only (the job includes the keep/drop filter);
-        // throughput still divides by benchRows — every input file is scanned
-        require(warm > 0 && warm <= benchRows, s"scaling job consumed $warm rows of $benchRows")
-        once(): Unit
-        (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          var it = 0
-          while (it < iters) {
-            val (n, s) = once()
-            require(n == warm && s == chk0, s"rep diverged: $n rows chk $s vs $warm/$chk0")
-            it += 1
-          }
-          (System.nanoTime() - t0) / 1e9 / iters
-        }
-      }
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
-      val repsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-      var reps4N = Seq.empty[Double]
-      var repsN = Seq.empty[Double]
-      // A/B alternation, 4N first in each round (any residual later-run
-      // advantage then favors the DENOMINATOR → conservative efficiency)
-      for (_ <- 1 to rounds) {
-        reps4N ++= sessionReps(scaleN * 4, repsPer)
-        repsN ++= sessionReps(scaleN, repsPer)
-      }
-      System.err.println(f"[bench] local[${scaleN * 4}] reps: ${reps4N.map(s => f"$s%.2f").mkString(", ")}")
-      System.err.println(f"[bench] local[$scaleN] reps: ${repsN.map(s => f"$s%.2f").mkString(", ")}")
-      val thr4N = benchRows / median(reps4N)
-      val thrN = benchRows / median(repsN)
-      val eff = thr4N / (4.0 * thrN)
-      val ceiling = cpuCeiling(scaleN) // measured in the SAME session
-      System.err.println(f"[bench] cpu ceiling $scaleN->4x: $ceiling%.3f; engine eff: $eff%.3f (${eff / ceiling}%.3f of ceiling)")
-      def arr(xs: Seq[Double]) = xs.map(s => f"$s%.2f").mkString("[", ",", "]")
-      scalingJson =
-        f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":$thrN%.1f,"files_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f,"cpu_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"rep_secs_4n":${arr(reps4N)},"rep_secs_n":${arr(repsN)},"plan_serial_secs":${arr(planSecs.toSeq)},"estimator":"median, A/B-alternated sessions, plan-once-execute-many (serial planning published separately; a production job plans once per 10^5 tasks); ceiling = same-session pure-CPU N-vs-4N microbenchmark"}"""
-    }
-
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queries.map(_._2).sum + pipeSec
     val thrAtCpus = benchRows / pipeSec
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_rows":$benchRows,"pipeline_sec":$pipeSec%.3f,"pipeline_files_per_sec":$thrAtCpus%.1f,"pipeline_write_sec":$pipeWriteSec%.3f,"pipeline_with_audit_sec":$auditSec%.3f$scalingJson}""")
     spark.stop()
+  }
+}
+
+/** Fresh-JVM scaling arm, forked by [[Bench]] (one process per session):
+  * runs a single [[Bench.armSession]] and reports its reps on stdout in the
+  * `SCALING_ARM k=v ...` line protocol. Arguments:
+  * parallelism, reps, iters, corpusDir, benchRows. */
+object ScalingArm {
+  def main(args: Array[String]): Unit = {
+    val Array(p, reps, iters, dir, rows) = args
+    val (ts, plan, n, chk) = Bench.armSession(
+      p.toInt, reps.toInt, iters.toInt, dir, rows.toLong)
+    println(s"SCALING_ARM p=$p plan=$plan rows=$n chk=$chk " +
+      s"reps=${ts.map(t => f"$t%.4f").mkString(",")}")
   }
 }
