@@ -1052,6 +1052,20 @@ object QueryCatalog {
       },
       Some(annPlantedOracle)),
 
+    // the PERSISTED index form of ann_ivf: cell-partitioned parquet +
+    // DPP-pruned probe (Similarity.buildIvfIndex / ivfTopKIndexed); same
+    // seed → identical centroids → provably identical output to ann_ivf,
+    // so the same exact ROW_NUMBER oracle applies
+    Q("ann_ivf_indexed",
+      (s, dir) => {
+        val ix = java.nio.file.Files.createTempDirectory("graft_ivf_ix").toString
+        graft.operators.Similarity.buildIvfIndex(
+          annPlantedCorpus(s, dir), ix, nlist = 16)
+        graft.operators.Similarity.ivfTopKIndexed(
+          t(s, dir, "embeddings").where(col("vec_id") < 10), ix, k = 5, nprobe = 4)
+      },
+      Some(annPlantedOracle)),
+
     // LSH top-k — hard oracle via the same planted corpus: every true
     // neighbor sits at cosine ≥ 0.9989, colliding per 8-plane table with
     // p ≥ 0.94, so the 16-table miss probability per neighbor is ≤ 0.06¹⁶

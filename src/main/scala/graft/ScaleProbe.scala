@@ -201,6 +201,61 @@ object ScaleProbe {
       }
       println(s"[probe] embed pairs=${pairs.getLong(0)} planted-hits=${pairs.getLong(1)}")
     }
+    if (ops("ann")) {
+      // ANN top-k at corpus scale: 100 queries (±2% perturbed copies of
+      // corpus vectors 0..99, cosine ≈ 0.9997 → unambiguous true top-1)
+      // against the n-row corpus. What must stay linear: IVF cell
+      // assignment (one kernel pass per corpus row, corpus shuffles once by
+      // cell) and the LSH bucket join (corpus explodes to (id, table,
+      // bucket) ints only). Recall@1 = fraction of queries whose rank-1
+      // neighbor is the unperturbed source vector.
+      val vecs = materialize(vectorCorpus(spark, rows),
+        s"/tmp/graft_probe_vecs_${CorpusGenVersion}_$rows")
+      val queries = vecs.where(col("vec_id") < 100)
+        .select(col("vec_id"), expr("transform(embedding, (x, i) -> cast(x * (1.0d + " +
+          "0.02d * sin(cast(vec_id as double) * 3.7d + cast(i as double))) as float))")
+          .as("embedding"))
+      def recallAt1(top: DataFrame): Double = {
+        val hits = top.where(col("rank") === 1 && col("n_id") === col("q_id")).count()
+        hits / 100.0
+      }
+      // IVF: FAISS-ish nlist for the probe sizes, driver-trained on a 10k
+      // sample (index-build-time in production), nprobe=8
+      val nlist = math.min(1024, math.max(64, (4 * math.sqrt(rows.toDouble)).toInt / 16))
+      val cents = time(s"ivf train (k-means, nlist=$nlist, 10k sample, driver)") {
+        operators.Similarity.trainIvfCentroids(vecs, nlist)
+      }
+      val ivfTop = time(s"ivf topk ($rows rows, nlist=$nlist, nprobe=8)") {
+        val t = operators.Similarity.ivfTopK(queries, vecs, k = 10, cents, nprobe = 8)
+        t.cache().count(); t
+      }
+      println(f"[probe] ivf recall@1=${recallAt1(ivfTop)}%.2f")
+      ivfTop.unpersist()
+      // persisted-index form: the n×nlist assignment pass above is what
+      // makes inline IVF superlinear (flops ∝ n^1.5 with nlist ∝ √n) — the
+      // index pays it ONCE at build; queries then read only probed cells
+      // via dynamic partition pruning
+      val ixDir = s"/tmp/graft_probe_ivfix_${CorpusGenVersion}_$rows"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ixDir, "vectors", "_SUCCESS")))
+        time(s"ivf index BUILD ($rows rows, nlist=$nlist — one-time)") {
+          operators.Similarity.buildIvfIndex(vecs, ixDir, nlist)
+        }
+      val ivfIxTop = time(s"ivf topk INDEXED ($rows rows, nprobe=8)") {
+        val t = operators.Similarity.ivfTopKIndexed(queries, ixDir, k = 10, nprobe = 8)
+        t.cache().count(); t
+      }
+      println(f"[probe] ivf-indexed recall@1=${recallAt1(ivfIxTop)}%.2f")
+      ivfIxTop.unpersist()
+      // LSH: lshParams sizing at theta=0.99 (the planted-dup cosine band)
+      val (planes, tables) = operators.Similarity.lshParams(rows, 0.99, 0.95)
+      val lshTop = time(s"lsh topk ($rows rows, planes=$planes, tables=$tables)") {
+        val t = operators.Similarity.lshTopK(queries, vecs, k = 10,
+          numPlanes = planes, numTables = tables)
+        t.cache().count(); t
+      }
+      println(f"[probe] lsh recall@1=${recallAt1(lshTop)}%.2f")
+      lshTop.unpersist()
+    }
     spark.stop()
   }
 }

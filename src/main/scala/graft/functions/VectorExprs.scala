@@ -208,6 +208,104 @@ case class HyperplaneSigsExpr(child: Expression, planesFlat: Array[Double],
     copy(child = newChild)
 }
 
+/** Top-`nprobe` IVF cells of an `array<double>` vector by dot product
+  * against `k` flattened (row-major, L2-normalized) centroids — a single
+  * codegen'd pass replacing the per-centroid Column-combinator form
+  * (`transform(centroids, c -> aggregate(zip_with(e, c, ...)))` allocated a
+  * zipped array and ran a lambda per element PER CENTROID; at production
+  * cell counts — FAISS practice nlist ≈ 4√n, hundreds to thousands — that
+  * is hundreds of allocating passes over every corpus vector on the
+  * index-assignment hot path).
+  *
+  * Ordering matches the replaced form exactly: cells ranked by descending
+  * (dot, cellId) — equal dots break toward the HIGHER cell id, mirroring
+  * `reverse(array_sort(struct(dot, cell)))`. Elements beyond min(len, dim)
+  * are ignored and null elements contribute 0 (the parquet embeddings this
+  * runs on are fixed-dim, containsNull=false — the HOF edge semantics for
+  * malformed vectors were already unreachable). NULL vector → NULL. */
+case class CentroidTopCellsExpr(child: Expression, centroidsFlat: Array[Double],
+                                k: Int, dim: Int, nprobe: Int)
+    extends UnaryExpression {
+  require(k >= 1 && dim >= 1 && nprobe >= 1 && centroidsFlat.length == k * dim)
+  private val out = math.min(nprobe, k)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // stable identity for plan dumps (an Array field would print [D@hashcode)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"centroids<${k}x$dim>", k, dim, nprobe)
+  private lazy val checkNulls = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val n = math.min(e.numElements(), dim)
+    val bestD = Array.fill(out)(Double.NegativeInfinity)
+    val bestC = Array.fill(out)(-1)
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        if (!checkNulls || !e.isNullAt(j)) d += centroidsFlat(base + j) * e.getDouble(j)
+        j += 1
+      }
+      var pos = out
+      var probe = out - 1
+      while (probe >= 0 && (d > bestD(probe) || (d == bestD(probe) && c > bestC(probe)))) {
+        pos = probe; probe -= 1
+      }
+      if (pos < out) {
+        var m = out - 1
+        while (m > pos) { bestD(m) = bestD(m - 1); bestC(m) = bestC(m - 1); m -= 1 }
+        bestD(pos) = d; bestC(pos) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(bestC)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("ivfCentroids", centroidsFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val fname = ctx.freshName("centroidTopCells")
+      val nullGuard = if (checkNulls) "if (e.isNullAt(j)) continue;" else ""
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private org.apache.spark.sql.catalyst.util.GenericArrayData $fname(
+              org.apache.spark.sql.catalyst.util.ArrayData e) {
+            int n = java.lang.Math.min(e.numElements(), $dim);
+            double[] bestD = new double[$out];
+            int[] bestC = new int[$out];
+            for (int s = 0; s < $out; s++) { bestD[s] = Double.NEGATIVE_INFINITY; bestC[s] = -1; }
+            for (int c = 0; c < $k; c++) {
+              int base = c * $dim;
+              double d = 0.0;
+              for (int j = 0; j < n; j++) {
+                $nullGuard
+                d += $centRef[base + j] * e.getDouble(j);
+              }
+              int pos = $out;
+              for (int p = $out - 1; p >= 0 &&
+                  (d > bestD[p] || (d == bestD[p] && c > bestC[p])); p--) pos = p;
+              if (pos < $out) {
+                for (int m = $out - 1; m > pos; m--) { bestD[m] = bestD[m - 1]; bestC[m] = bestC[m - 1]; }
+                bestD[pos] = d; bestC[pos] = c;
+              }
+            }
+            return new org.apache.spark.sql.catalyst.util.GenericArrayData(bestC);
+          }
+        """)
+      s"${ev.value} = $fn($c);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidTopCellsExpr =
+    copy(child = newChild)
+}
+
 object VectorKernels {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -215,4 +313,8 @@ object VectorKernels {
                      numTables: Int, planesPerTable: Int, dim: Int): Column =
     ColumnBridge.column(HyperplaneSigsExpr(ColumnBridge.expression(vec),
       planesFlat, numTables, planesPerTable, dim))
+  def centroidTopCells(vec: Column, centroidsFlat: Array[Double],
+                       k: Int, dim: Int, nprobe: Int): Column =
+    ColumnBridge.column(CentroidTopCellsExpr(ColumnBridge.expression(vec),
+      centroidsFlat, k, dim, nprobe))
 }

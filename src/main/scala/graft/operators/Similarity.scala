@@ -125,15 +125,21 @@ object Similarity {
   }
 
   /** Cell ids of the `nprobe` nearest centroids (by dot product against the
-    * normalized centroids), as an array column — pure Columns, codegen'd. */
+    * normalized centroids) — one codegen'd pass over the vector
+    * ([[graft.functions.CentroidTopCellsExpr]]). The previous Column form
+    * (`transform(centroids, c -> aggregate(zip_with(...)))`) allocated a
+    * zipped array and ran a lambda per element PER CENTROID — at FAISS-scale
+    * cell counts (nlist ≈ 4√n) that was hundreds of allocating passes over
+    * every corpus vector on the index-assignment hot path. Ordering
+    * (descending dot, ties to the higher cell id) is identical. */
   private def nearestCells(e: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
-    // (dot, cellId) pairs sorted descending by dot → first nprobe cell ids
-    val scored = transform(centLit, (c, i) =>
-      struct(aggregate(zip_with(e, c, (x, y) => x * y), lit(0.0), (a, v) => a + v).as("dot"),
-        i.as("cell")))
-    val top = slice(reverse(array_sort(scored)), 1, nprobe)
-    transform(top, s => s.getField("cell"))
+    val dim = centroids.head.length
+    val flat = new Array[Double](centroids.length * dim)
+    centroids.zipWithIndex.foreach { case (c, i) =>
+      require(c.length == dim, "ragged centroid matrix")
+      System.arraycopy(c, 0, flat, i * dim, dim)
+    }
+    graft.functions.VectorKernels.centroidTopCells(e, flat, centroids.length, dim, nprobe)
   }
 
   /** IVF top-k: corpus rows live in their single nearest cell; each query
@@ -145,6 +151,62 @@ object Similarity {
               centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
     val c = asDouble(corpus).select(col("vec_id").as("n_id"), col("__e").as("__ec"),
       element_at(nearestCells(col("__e"), centroids, 1), 1).as("__cell"))
+    val q = asDouble(queries).select(col("vec_id").as("q_id"), col("__e").as("__eq"),
+      explode(nearestCells(col("__e"), centroids, nprobe)).as("__cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cos").desc, col("n_id"))
+    q.join(c, Seq("__cell"))
+      .withColumn("__cos", cosine(col("__eq"), col("__ec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
+  /** Build a PERSISTED IVF index at `dir`: the corpus is written as parquet
+    * partitioned by its nearest-centroid cell (`dir/vectors/cell=<c>/...`),
+    * with the trained centroids alongside (`dir/centroids`). This is the
+    * production shape of IVF — cell assignment happens ONCE at index-build
+    * (the kernel pass + one partitioned write), and query-time probing
+    * becomes Spark partition pruning: [[ivfTopKIndexed]] joins on the
+    * `cell` partition column, so dynamic partition pruning reads only the
+    * probed nprobe/nlist fraction of the corpus BYTES — the IVF contract
+    * expressed entirely in Spark's own layout primitives (directory
+    * partitioning + DPP), no custom reader. At 10^12 vectors the unprobed
+    * cells are never opened. */
+  def buildIvfIndex(corpus: DataFrame, dir: String, nlist: Int,
+                    sampleSize: Int = 10000, iters: Int = 10,
+                    seed: Long = 42L): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val centroids = trainIvfCentroids(corpus, nlist, sampleSize, iters, seed)
+    corpus.select(col("vec_id"), col("embedding"),
+        element_at(nearestCells(
+          expr("transform(embedding, x -> cast(x as double))"), centroids, 1), 1).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    centroids
+  }
+
+  /** Top-k against a [[buildIvfIndex]] directory: queries probe their
+    * `nprobe` nearest cells and the cell join prunes the partitioned corpus
+    * scan via dynamic partition pruning (asserted in OperatorsSpec), so
+    * only probed cells' files are read. Result is identical to [[ivfTopK]]
+    * with the index's centroids. DPP caveat: Spark inserts the pruning
+    * subquery only when the query side carries a selective predicate — true
+    * for any filtered table read (the production shape); a plan-time
+    * LocalRelation won't trigger it and falls back to a full scan. */
+  def ivfTopKIndexed(queries: DataFrame, indexDir: String, k: Int,
+                     nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val c = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id").as("n_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("__ec"),
+        col("cell").as("__cell"))
     val q = asDouble(queries).select(col("vec_id").as("q_id"), col("__e").as("__eq"),
       explode(nearestCells(col("__e"), centroids, nprobe)).as("__cell"))
     val w = Window.partitionBy(col("q_id"))

@@ -86,7 +86,9 @@ class CodegenGateSpec extends SparkSpec {
     val exprs: Seq[(String, Expression)] = Seq(
       "CosineSimExpr" -> CosineSimExpr(vecIn, vecIn2),
       "HyperplaneSigsExpr" -> HyperplaneSigsExpr(vecIn, planesFlat,
-        numTables = 2, planesPerTable = 4, dim = 8)
+        numTables = 2, planesPerTable = 4, dim = 8),
+      "CentroidTopCellsExpr" -> CentroidTopCellsExpr(vecIn,
+        Array.fill(5 * 8)(r.nextGaussian()), k = 5, dim = 8, nprobe = 3)
     )
     val vecs = Seq(
       Array.fill(8)(r.nextGaussian()),

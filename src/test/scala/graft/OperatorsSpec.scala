@@ -143,6 +143,65 @@ class OperatorsSpec extends SparkSpec {
     assert(pruned.subsetOf(unpruned), "pruning must never add pairs")
   }
 
+  test("persisted IVF index: indexed top-k equals inline IVF and prunes partitions via DPP") {
+    val r = new scala.util.Random(5)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(r.nextGaussian().toFloat).toSeq)).toDF("vec_id", "embedding")
+    val ix = tmpDir("ivf-ix")
+    val cents = Similarity.buildIvfIndex(vecs, ix, nlist = 8)
+    assert(cents.length == 8)
+    // file-backed filtered query side: Spark's PartitionPruning rule only
+    // inserts a DPP subquery when the filtering side carries a selective
+    // predicate — a plan-time-collapsed LocalRelation has none (observed),
+    // while the production shape (a filtered table read) always does
+    val queries = spark.read.parquet(s"$ix/vectors")
+      .where($"vec_id" < 5).select("vec_id", "embedding")
+    val indexed = Similarity.ivfTopKIndexed(queries, ix, k = 3, nprobe = 3)
+    val inline = Similarity.ivfTopK(queries, vecs, k = 3, cents, nprobe = 3)
+    val a = indexed.collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    val b = inline.collect().map(row => (row.getLong(0), row.getLong(1), row.getInt(2))).toSet
+    assert(a == b, s"indexed != inline: ${a.diff(b)} / ${b.diff(a)}")
+    // the probe join must prune the partitioned corpus scan: the scan's
+    // PartitionFilters carry a dynamic pruning subquery on `cell`, so
+    // unprobed cells' files are never opened (the IVF contract at scale)
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the cell column:\n$p")
+  }
+
+  test("CentroidTopCellsExpr matches the HOF form it replaced (incl. tie-break)") {
+    // the replaced Column form: reverse(array_sort(struct(dot, cell))) →
+    // descending (dot, cell) with equal dots breaking to the HIGHER cell
+    val r = new scala.util.Random(31)
+    val dim = 8; val k = 6; val nprobe = 3
+    val cents = Array.fill(k)(Array.fill(dim)(r.nextGaussian()))
+    // plant an exact duplicate centroid → guaranteed dot tie
+    cents(4) = cents(1).clone()
+    val flat = cents.flatten
+    val vecs = (0 until 50).map(i => Tuple1(Array.fill(dim)(r.nextGaussian()).toSeq))
+      .toDF("v").select(expr("transform(v, x -> cast(x as double))").as("v"))
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val hofScored = transform(centLit, (c, i) =>
+      struct(aggregate(zip_with(col("v"), c, (x, y) => x * y), lit(0.0), (a, x) => a + x).as("dot"),
+        i.as("cell")))
+    val hof = transform(slice(reverse(array_sort(hofScored)), 1, nprobe), s => s.getField("cell"))
+    val rows = vecs.select(
+      hof.as("old"),
+      graft.functions.VectorKernels.centroidTopCells(col("v"), flat, k, dim, nprobe).as("neo"))
+      .collect()
+    rows.foreach { row =>
+      assert(row.getSeq[Int](0) == row.getSeq[Int](1),
+        s"kernel diverged from HOF form: ${row.getSeq[Int](0)} vs ${row.getSeq[Int](1)}")
+    }
+    // the duplicate-centroid tie must resolve to the higher cell id first
+    rows.foreach { row =>
+      val cells = row.getSeq[Int](1)
+      val i1 = cells.indexOf(1); val i4 = cells.indexOf(4)
+      if (i1 >= 0 && i4 >= 0) assert(i4 < i1, s"tie must prefer cell 4: $cells")
+      if (i1 >= 0) assert(i4 >= 0, s"cells 1 and 4 are identical — 4 must rank at/above 1: $cells")
+    }
+  }
+
   test("winnowParams sizes k against gram-space saturation, mirrors the probe findings") {
     // the 16M probe corpus: ~11-char effective alphabet, ~160-char docs —
     // the measured sweet spot was k=12 (0.24 cands/row, 94.2% recall)
