@@ -817,6 +817,38 @@ object QueryCatalog {
            |    (SELECT doc_id, ' ' || lower(COALESCE(text, '')) || ' ' AS p FROM documents)) s)""".stripMargin
       }),
 
+    // TRAINABLE language ID (fastText-style character-n-gram likelihood):
+    // per-label interpolated-KN trigram models trained in one distributed
+    // groupBy pass, argmin-surprisal classification. The fixture derives
+    // two distributionally distinct "languages" from the documents table
+    // itself — natural word text vs a hex expansion — trains on even
+    // doc_ids and classifies the held-out odd half. The surprisal gap
+    // between the two character distributions ([a-z ] words vs [0-9a-f ]
+    // hex) is so large that held-out classification is deterministically
+    // PERFECT, which is what makes a hash-exact oracle possible for an LM
+    // classifier: the oracle just writes down the true labels (training +
+    // scoring arithmetic are separately oracled by lm_trigram_counts and
+    // pinned by NgramLMSpec's hand-computed checks).
+    Q("text_langid_lm",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val hex = d.select((col("doc_id") + 1000000).as("doc_id"),
+          expr("array_join(transform(sequence(1, greatest(cast(floor(length(text)/8) as int), 1)), " +
+            "i -> md5(concat(text, cast(i as string)))), ' ')").as("text"))
+        val corpus = d.withColumn("label", lit("nat"))
+          .unionAll(hex.withColumn("label", lit("hex")))
+        val models = graft.functions.NgramLM.trainTrigramPerLabel(
+          corpus.where(pmod(col("doc_id"), lit(2)) === 0), col("label"), col("text"))
+        corpus.where(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("label"),
+            graft.functions.NgramLM.langIdByModel(col("text"), models).as("pred"))
+      },
+      Some("""SELECT doc_id, 'nat' AS label, 'nat' AS pred
+             |FROM documents WHERE doc_id % 2 = 1
+             |UNION ALL
+             |SELECT doc_id + 1000000 AS doc_id, 'hex' AS label, 'hex' AS pred
+             |FROM documents WHERE doc_id % 2 = 1""".stripMargin)),
+
     Q("text_fingerprint",
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"), md5(lower(trim(col("text")))).as("fingerprint")),

@@ -140,4 +140,35 @@ object NgramLM {
   def surprisal3(content: Column, model: Array[Double]): Column =
     ColumnBridge.column(
       TrigramSurprisalExpr(ColumnBridge.expression(content), model))
+
+  /** Fit one interpolated-KN trigram model PER LABEL in a single
+    * distributed pass: one groupBy on the label column, each group's rows
+    * reducing map-side to a 38³ count table, smoothed on the driver.
+    * Label count is the only driver-side cardinality (one ~439 KB model
+    * per language — dozens, not corpus-sized). Returns label → model,
+    * sorted by label for deterministic downstream tie-breaks. */
+  def trainTrigramPerLabel(df: DataFrame, labelCol: Column,
+                           content: Column): Seq[(String, Array[Double])] =
+    df.groupBy(labelCol.as("__lang")).agg(trigramCounts(content).as("__c"))
+      .collect()
+      .map(r => r.getString(0) -> LangModel.fromTrigramCounts(r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** LM-likelihood language ID: the label whose [[trainTrigramPerLabel]]
+    * model assigns the text the LOWEST mean trigram surprisal — the
+    * trainable character-n-gram classifier (fastText-style features +
+    * max-likelihood decision) built from the engine's own KN machinery,
+    * complementing the marker-based [[NgramScore.langId]] heuristic.
+    * Each model scores in one codegen'd kernel pass; argmin via
+    * array_sort on (surprisal, label) structs, so exact ties break to the
+    * lexicographically smaller label. NULL text → NULL. */
+  def langIdByModel(content: Column, models: Seq[(String, Array[Double])]): Column = {
+    require(models.nonEmpty, "langIdByModel needs at least one model")
+    import org.apache.spark.sql.functions._
+    val scored = array(models.map { case (l, m) =>
+      struct(surprisal3(content, m).as("s"), lit(l).as("l"))
+    }: _*)
+    when(content.isNull, lit(null).cast("string"))
+      .otherwise(element_at(array_sort(scored), 1).getField("l"))
+  }
 }

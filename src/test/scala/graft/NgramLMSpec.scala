@@ -127,4 +127,35 @@ class NgramLMSpec extends SparkSpec {
     assert(scoreOf(codeish) + 0.5 < scoreOf(junk),
       "junk should score at least half a nat higher under the in-domain model")
   }
+
+  test("per-label trigram LMs classify held-out docs of distributionally distinct languages") {
+    // three synthetic "languages" with genuinely different character
+    // distributions (the parquet fixture's lang column is a random label
+    // over a SHARED vocabulary — measured: its per-label surprisal matrix
+    // is flat, so no character model can recover it; these can be)
+    def gen(seed: Int, alphabet: String): Seq[String] = {
+      val r = new scala.util.Random(seed)
+      (0 until 40).map(_ => (0 until 30).map(_ =>
+        (1 to 6).map(_ => alphabet(r.nextInt(alphabet.length))).mkString).mkString(" "))
+    }
+    val langs = Seq(
+      "alpha" -> gen(1, "abcdefghijklm"),
+      "digit" -> gen(2, "0123456789"),
+      "zeta"  -> gen(3, "nopqrstuvwxyz"))
+    val rows = langs.flatMap { case (l, texts) =>
+      texts.zipWithIndex.map { case (t, i) => (l, i.toLong, t) } }
+    val df = rows.toDF("label", "i", "text")
+    val models = NgramLM.trainTrigramPerLabel(
+      df.where($"i" % 2 === 0), col("label"), col("text"))
+    assert(models.map(_._1) == Seq("alpha", "digit", "zeta"))
+    val eval = df.where($"i" % 2 === 1)
+      .select(col("label"), NgramLM.langIdByModel(col("text"), models).as("pred"))
+      .collect()
+    assert(eval.nonEmpty && eval.forall(r => r.getString(0) == r.getString(1)),
+      s"held-out misclassifications: ${eval.filter(r => r.getString(0) != r.getString(1)).mkString(", ")}")
+    // NULL text classifies as NULL, not an arbitrary label
+    val nullPred = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(NgramLM.langIdByModel(col("text"), models).as("p")).head()
+    assert(nullPred.isNullAt(0))
+  }
 }
