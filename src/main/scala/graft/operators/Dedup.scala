@@ -355,6 +355,35 @@ object Dedup {
     * 1-(1-p^planes)^tables with p = 1-acos(θ)/π — the defaults give ~0.95
     * at θ = 0.45 and ≥0.99 at θ ≥ 0.7 — while the compare count drops from
     * n²/2 to the bucket-bounded candidate set. */
+  /** [[embeddingNearDupPairsLsh]] with probe-validated sizing for a known
+    * corpus count: planes/tables from [[Similarity.lshParams]] at the
+    * pair-enumeration bucket target (1/16 — the 16M probe's setting, which
+    * cut candidate volume 8× vs load-1 sizing at zero measured recall loss
+    * for true dups). Production callers know n (it's the table they are
+    * deduplicating); the fixed-parameter form below keeps its explicit
+    * knobs for fixtures and experiments, but its planesPerTable=4 default
+    * only suits small corpora — mean bucket load is n/2^planes per table,
+    * so 4 planes on a 10⁸-row corpus is a quadratic-candidacy trap of the
+    * same shape the winnow defaults used to carry. */
+  def embeddingNearDupPairsLshSized(df: DataFrame, threshold: Double, n: Long,
+                                    recallAtCosine: Double = 0.99,
+                                    targetRecall: Double = 0.95,
+                                    dim: Int = 64, seed: Long = 42L,
+                                    maxBucketSize: Int = DefaultBucketCap): DataFrame = {
+    // candidacy is sized for recall at `recallAtCosine` — the cosine of the
+    // duplicates that must not be missed (true near-dups cluster at 0.99+),
+    // NOT at the verify `threshold`: at log₂(n)+4 planes, at-threshold
+    // recall for θ ≈ 0.9 would take ~100+ tables (the lshParams math), while
+    // recall at 0.99 needs single digits — the standard LSH trade, measured
+    // in the 16M probe (planes = log₂n+4, 16 tables → 100% planted recall)
+    require(recallAtCosine >= threshold,
+      "recallAtCosine is the guaranteed band and cannot be below the verify threshold")
+    val (planes, tables) = Similarity.lshParams(n, recallAtCosine, targetRecall,
+      targetBucket = 1.0 / 16)
+    embeddingNearDupPairsLsh(df, threshold, numTables = tables,
+      planesPerTable = planes, dim = dim, seed = seed, maxBucketSize = maxBucketSize)
+  }
+
   def embeddingNearDupPairsLsh(df: DataFrame, threshold: Double,
                                numTables: Int = 16, planesPerTable: Int = 4,
                                dim: Int = 64, seed: Long = 42L,

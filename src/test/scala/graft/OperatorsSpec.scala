@@ -143,6 +143,27 @@ class OperatorsSpec extends SparkSpec {
     assert(pruned.subsetOf(unpruned), "pruning must never add pairs")
   }
 
+  test("embeddingNearDupPairsLshSized applies the probe sizing rule (planes = log2 n + 4)") {
+    // sizing math only — delegate correctness is covered by the LSH tests
+    val (planes1M, tables1M) = Similarity.lshParams(1000000L, 0.99, 0.95, targetBucket = 1.0 / 16)
+    assert(planes1M == 24, s"1M rows at bucket 1/16 should size to 24 planes, got $planes1M")
+    assert(tables1M >= 4 && tables1M <= 16, s"tables should be single-to-low-double digits, got $tables1M")
+    val (planes16M, _) = Similarity.lshParams(16000000L, 0.99, 0.95, targetBucket = 1.0 / 16)
+    assert(planes16M == 28, s"16M → 28 planes (log2 n + 4), got $planes16M")
+    // the sized form runs end-to-end and finds planted dups
+    val r = new scala.util.Random(11)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(16)(r.nextGaussian().toFloat)))
+    val withDups = base ++ base.take(6).map { case (id, v) =>
+      (id + 1000L, v.map(x => (x * 1.001f)))
+    }
+    val df = withDups.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairsLshSized(df, threshold = 0.99,
+        n = withDups.size.toLong, dim = 16)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    (0 until 6).foreach(i => assert(pairs.contains((i.toLong, i + 1000L)),
+      s"planted dup $i missing from $pairs"))
+  }
+
   test("persisted IVF index: indexed top-k equals inline IVF and prunes partitions via DPP") {
     val r = new scala.util.Random(5)
     val vecs = (0 until 200).map(i =>
