@@ -279,13 +279,13 @@ object Bench {
       val planSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val armChecks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       def arm(p: Int): Seq[Double] = {
+        // either way, the parent's local[32] session (and its
+        // corpus-generation garbage) must not stay co-resident with a timed
+        // arm — stop it and collect before the first arm runs
+        if (!spark.sparkContext.isStopped) { spark.stop(); System.gc() }
         val (ts, plan, n, chk) =
           if (fork) forkArm(p, repsPer, iters, corpusDir, benchRows)
-          else {
-            if (!spark.sparkContext.isStopped) spark.stop()
-            System.gc() // drop prior session garbage before timing
-            armSession(p, repsPer, iters, corpusDir, benchRows)
-          }
+          else armSession(p, repsPer, iters, corpusDir, benchRows)
         planSecs += plan; armChecks += ((n, chk)); ts
       }
       var reps4N = Seq.empty[Double]
@@ -399,6 +399,6 @@ object ScalingArm {
     val (ts, plan, n, chk) = Bench.armSession(
       p.toInt, reps.toInt, iters.toInt, dir, rows.toLong)
     println(s"SCALING_ARM p=$p plan=$plan rows=$n chk=$chk " +
-      s"reps=${ts.map(t => f"$t%.4f").mkString(",")}")
+      s"reps=${ts.map(_.toString).mkString(",")}") // Double.toString: locale-independent
   }
 }

@@ -1090,9 +1090,15 @@ object QueryCatalog {
     // so the same exact ROW_NUMBER oracle applies
     Q("ann_ivf_indexed",
       (s, dir) => {
-        val ix = java.nio.file.Files.createTempDirectory("graft_ivf_ix").toString
-        graft.operators.Similarity.buildIvfIndex(
-          annPlantedCorpus(s, dir), ix, nlist = 16)
+        // deterministic keyed path + _SUCCESS check (a fresh temp dir per
+        // run leaked a corpus-sized parquet copy every invocation); the
+        // version tag invalidates the cache if the planted corpus changes
+        val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val ix = s"/tmp/graft_ivf_ix_v1_$key"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(ix, "vectors", "_SUCCESS")))
+          graft.operators.Similarity.buildIvfIndex(
+            annPlantedCorpus(s, dir), ix, nlist = 16)
         graft.operators.Similarity.ivfTopKIndexed(
           t(s, dir, "embeddings").where(col("vec_id") < 10), ix, k = 5, nprobe = 4)
       },

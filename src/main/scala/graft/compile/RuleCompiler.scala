@@ -772,15 +772,24 @@ object RuleCompiler {
     * (col, value) count feeds a tiny per-column rollup. Output:
     * (__c, dup = #values occurring >1×, once = #values occurring exactly
     * once). The corpus-scale exchange is the first one; the second carries
-    * ≤ partitions × |cols| partially-aggregated rows. */
+    * ≤ partitions × |cols| partially-aggregated rows. Float/double columns
+    * are normalized with `+ 0.0` before the string cast so -0.0 groups with
+    * 0.0, matching the narrow path's native groupBy (Spark normalizes
+    * floating grouping keys); NaN is a single string either way. */
   private[graft] def wideValueDistribution(scopedDf: DataFrame,
-                                           cols: Seq[String]): DataFrame =
+                                           cols: Seq[String]): DataFrame = {
+    val types = scopedDf.schema.fields.map(f => f.name -> f.dataType).toMap
+    def norm(c: String): Column = types.get(c) match {
+      case Some(DoubleType) | Some(FloatType) => col(c) + lit(0.0) // -0.0 → 0.0
+      case _ => col(c)
+    }
     scopedDf
       .select(explode(array(cols.map(c =>
-        struct(lit(c).as("__c"), col(c).cast(StringType).as("__v"))): _*)).as("kv"))
+        struct(lit(c).as("__c"), norm(c).cast(StringType).as("__v"))): _*)).as("kv"))
       .select(col("kv.__c").as("__c"), col("kv.__v").as("__v"))
       .groupBy(col("__c"), col("__v")).agg(count(lit(1)).as("__n"))
       .groupBy(col("__c")).agg(
         sum(when(col("__n") > 1, 1L).otherwise(0L)).as("dup"),
         sum(when(col("__n") === 1, 1L).otherwise(0L)).as("once"))
+  }
 }

@@ -64,8 +64,19 @@ object TsqlDialect {
         // identifier ("a[col]" is not a T-SQL expression), so the
         // immediately-preceding emitted char decides.
         val prev = if (out.nonEmpty) out.charAt(out.length - 1) else ' '
-        val subscript = Character.isLetterOrDigit(prev) || prev == '_' ||
-          prev == ')' || prev == ']' || prev == '`'
+        // ...except when that "identifier" is a SQL KEYWORD: `AND[col]` is
+        // valid T-SQL ('[' self-delimits after a keyword, and generated SQL
+        // often omits the space) but can never be a Spark subscript — a
+        // keyword is not a value. (`END[0]` stays a subscript: CASE…END is
+        // a subscriptable Spark primary expression.)
+        val prevIsIdent = Character.isLetterOrDigit(prev) || prev == '_'
+        val prevToken = if (!prevIsIdent) "" else {
+          var b = out.length - 1
+          while (b >= 0 && (Character.isLetterOrDigit(out.charAt(b)) || out.charAt(b) == '_')) b -= 1
+          out.substring(b + 1, out.length).toUpperCase
+        }
+        val subscript = ((prevIsIdent && !KeywordBeforeBracket.contains(prevToken)) ||
+          prev == ')' || prev == ']' || prev == '`')
         val close = sql.indexOf(']', i)
         if (subscript || close < 0) { out.append(c); i += 1 }
         else {
@@ -92,6 +103,15 @@ object TsqlDialect {
 
   private val Rewritable = Set("LEN", "ISNULL", "GETDATE", "CHARINDEX",
     "REPLICATE", "CONVERT")
+
+  /** Keywords after which a '[' is T-SQL identifier quoting, never a Spark
+    * subscript (a keyword is not a subscriptable value). `END` is absent
+    * deliberately: `CASE … END[0]` is a valid Spark subscript. */
+  private val KeywordBeforeBracket = Set(
+    "AND", "OR", "NOT", "IN", "LIKE", "BETWEEN", "THEN", "ELSE", "WHEN",
+    "CASE", "IS", "ON", "WHERE", "SELECT", "FROM", "EXISTS", "ALL", "ANY",
+    "SOME", "ESCAPE", "BY", "GROUP", "ORDER", "HAVING", "DISTINCT", "AS",
+    "JOIN", "UNION", "INTERSECT", "EXCEPT", "NULL", "TRUE", "FALSE")
 
   private def applyFn(name: String, args: Seq[String], original: String): String =
     (name.toUpperCase, args) match {

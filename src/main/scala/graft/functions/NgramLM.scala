@@ -149,7 +149,10 @@ object NgramLM {
     * sorted by label for deterministic downstream tie-breaks. */
   def trainTrigramPerLabel(df: DataFrame, labelCol: Column,
                            content: Column): Seq[(String, Array[Double])] =
-    df.groupBy(labelCol.as("__lang")).agg(trigramCounts(content).as("__c"))
+    // null-labeled rows are unlabeled training data: they train no model
+    // (and would otherwise NPE in the label sort)
+    df.where(labelCol.isNotNull)
+      .groupBy(labelCol.as("__lang")).agg(trigramCounts(content).as("__c"))
       .collect()
       .map(r => r.getString(0) -> LangModel.fromTrigramCounts(r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq

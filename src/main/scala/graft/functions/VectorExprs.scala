@@ -222,7 +222,11 @@ case class HyperplaneSigsExpr(child: Expression, planesFlat: Array[Double],
   * `reverse(array_sort(struct(dot, cell)))`. Elements beyond min(len, dim)
   * are ignored and null elements contribute 0 (the parquet embeddings this
   * runs on are fixed-dim, containsNull=false — the HOF edge semantics for
-  * malformed vectors were already unreachable). NULL vector → NULL. */
+  * malformed vectors were already unreachable). NULL vector → NULL. A NaN
+  * element makes every dot NaN; such vectors still receive deterministic
+  * cells (highest ids downward, the HOF form's all-NaN outcome) rather
+  * than a -1 sentinel that would silently drop them from a partitioned
+  * index. */
 case class CentroidTopCellsExpr(child: Expression, centroidsFlat: Array[Double],
                                 k: Int, dim: Int, nprobe: Int)
     extends UnaryExpression {
@@ -264,6 +268,30 @@ case class CentroidTopCellsExpr(child: Expression, centroidsFlat: Array[Double],
       }
       c += 1
     }
+    // NaN dots never insert (every comparison is false) — a vector with a
+    // NaN element has ALL dots NaN and would otherwise emit -1 sentinel
+    // cells, silently dropping the row from a partitioned index. Fill any
+    // empty slots with the highest unused cell ids — the deterministic
+    // fallback the replaced HOF form produced for all-NaN scoring (NaN
+    // sorted greatest → reverse → highest cell first). (A NaN in a single
+    // CENTROID ranks below all finite dots here, unlike the HOF form which
+    // ranked it first — the sane direction; centroids are model output and
+    // never NaN in practice.)
+    var fillAt = 0
+    var cand = k - 1
+    while (fillAt < out) {
+      if (bestC(fillAt) == -1) {
+        var used = false
+        do {
+          used = false
+          var u = 0
+          while (u < out) { if (bestC(u) == cand) used = true; u += 1 }
+          if (used) cand -= 1
+        } while (used && cand >= 0)
+        bestC(fillAt) = cand; cand -= 1
+      }
+      fillAt += 1
+    }
     new GenericArrayData(bestC)
   }
 
@@ -293,6 +321,20 @@ case class CentroidTopCellsExpr(child: Expression, centroidsFlat: Array[Double],
               if (pos < $out) {
                 for (int m = $out - 1; m > pos; m--) { bestD[m] = bestD[m - 1]; bestC[m] = bestC[m - 1]; }
                 bestD[pos] = d; bestC[pos] = c;
+              }
+            }
+            // NaN fallback — see the interpreted twin: fill empty (-1)
+            // slots with the highest unused cell ids
+            int cand = $k - 1;
+            for (int f = 0; f < $out; f++) {
+              if (bestC[f] == -1) {
+                boolean used = true;
+                while (used && cand >= 0) {
+                  used = false;
+                  for (int u = 0; u < $out; u++) { if (bestC[u] == cand) used = true; }
+                  if (used) cand--;
+                }
+                bestC[f] = cand; cand--;
               }
             }
             return new org.apache.spark.sql.catalyst.util.GenericArrayData(bestC);

@@ -347,14 +347,6 @@ object Dedup {
       .select("vec_id_a", "vec_id_b", "cosine")
   }
 
-  /** Production embedding near-dup pairs: random-hyperplane LSH with
-    * `numTables` independent hash tables of `planesPerTable` bits each
-    * (multi-table = the banding trick for cosine space). Rows sharing any
-    * table's full signature become candidates (frequency-capped buckets);
-    * exact cosine verifies. Per-pair recall at cosine θ is
-    * 1-(1-p^planes)^tables with p = 1-acos(θ)/π — the defaults give ~0.95
-    * at θ = 0.45 and ≥0.99 at θ ≥ 0.7 — while the compare count drops from
-    * n²/2 to the bucket-bounded candidate set. */
   /** [[embeddingNearDupPairsLsh]] with probe-validated sizing for a known
     * corpus count: planes/tables from [[Similarity.lshParams]] at the
     * pair-enumeration bucket target (1/16 — the 16M probe's setting, which
@@ -384,6 +376,14 @@ object Dedup {
       planesPerTable = planes, dim = dim, seed = seed, maxBucketSize = maxBucketSize)
   }
 
+  /** Production embedding near-dup pairs: random-hyperplane LSH with
+    * `numTables` independent hash tables of `planesPerTable` bits each
+    * (multi-table = the banding trick for cosine space). Rows sharing any
+    * table's full signature become candidates (frequency-capped buckets);
+    * exact cosine verifies. Per-pair recall at cosine θ is
+    * 1-(1-p^planes)^tables with p = 1-acos(θ)/π — the defaults give ~0.95
+    * at θ = 0.45 and ≥0.99 at θ ≥ 0.7 — while the compare count drops from
+    * n²/2 to the bucket-bounded candidate set. */
   def embeddingNearDupPairsLsh(df: DataFrame, threshold: Double,
                                numTables: Int = 16, planesPerTable: Int = 4,
                                dim: Int = 64, seed: Long = 42L,

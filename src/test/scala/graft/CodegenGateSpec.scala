@@ -94,7 +94,8 @@ class CodegenGateSpec extends SparkSpec {
       Array.fill(8)(r.nextGaussian()),
       Array.fill(8)(r.nextGaussian()),
       Array.fill(8)(0.0),
-      Array.fill(5)(1.0) // wrong dim — exercises the mismatch paths
+      Array.fill(5)(1.0), // wrong dim — exercises the mismatch paths
+      Array(Double.NaN, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0) // NaN element
     )
     val gVecs = vecs.map(v => new org.apache.spark.sql.catalyst.util.GenericArrayData(v)) :+
       // null element — the HOF-parity edge: cosine → NULL, signatures → zeros
@@ -143,6 +144,15 @@ class CodegenGateSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
     assert(sigs.forall(_ == 0L),
       "a null element must collapse every table's signature to 0 (HOF parity)")
+    // NaN vector: all dots NaN → deterministic highest-cells fallback,
+    // never -1 sentinels (which would silently drop the row from a
+    // cell-partitioned index)
+    val nanVec = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill(8)(Double.NaN))
+    val cells = CentroidTopCellsExpr(vecIn, Array.fill(5 * 8)(0.5), k = 5, dim = 8, nprobe = 3)
+      .eval(InternalRow(nanVec, nanVec))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    assert(cells.toSeq == Seq(4, 3, 2), s"NaN fallback cells: ${cells.toSeq}")
   }
 
   test("plan-level: kernels run whole-stage with codegen fallback disabled") {

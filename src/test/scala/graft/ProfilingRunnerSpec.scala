@@ -144,7 +144,10 @@ class ProfilingRunnerSpec extends SparkSpec {
     // 10 columns of mixed types (> WideValueDistributionCols = 8 → wide path)
     val wide = (1 to 40).map { i =>
       (i % 2, i % 3, i % 5, i, i / 2, s"s${i % 4}", s"u$i",
-        if (i % 7 == 0) null else s"n${i % 6}", i % 2 == 0, i.toLong % 8)
+        if (i % 7 == 0) null else s"n${i % 6}", i % 2 == 0,
+        // ±0.0 mix: native groupBy normalizes -0.0 into 0.0 — the wide
+        // path's string rendering must agree (norm via +0.0)
+        if (i % 2 == 0) 0.0 else -0.0)
     }.toDF((0 to 9).map(i => s"c$i"): _*)
     val b = RuleBinding(51, "t", 1, RuleBinding.AllColumns,
       RuleSpec.Profile(51, "DistW", ProfileKind.TableValueDistribution, Severity.Info))

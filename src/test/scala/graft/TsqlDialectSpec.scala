@@ -64,6 +64,17 @@ class TsqlDialectSpec extends AnyFunSuite {
     ).foreach(f => assert(rewrite(f) == f, f))
   }
 
+  test("a bracket hard against a KEYWORD is T-SQL quoting, not a subscript") {
+    // '[' self-delimits in T-SQL, so generated SQL often omits the space;
+    // a keyword is not a subscriptable value, so these cannot be Spark
+    assert(rewrite("x = 1 AND[col] > 2") == "x = 1 AND`col` > 2")
+    assert(rewrite("CASE WHEN[f] = 1 THEN[a] ELSE[b] END") ==
+      "CASE WHEN`f` = 1 THEN`a` ELSE`b` END")
+    // ...while CASE…END[0] IS a valid Spark subscript and passes through
+    assert(rewrite("(CASE WHEN c THEN arr ELSE brr END)[0] = 'x'") ==
+      "(CASE WHEN c THEN arr ELSE brr END)[0] = 'x'")
+  }
+
   test("subscript position does not suppress genuine T-SQL brackets nearby") {
     // preceded by whitespace / '(' / '.' / ',' / start — all identifier-quote
     // positions, never subscripts
