@@ -41,11 +41,26 @@ object StreamingRules {
   }
 
   /** Streaming exact dedup on a key column with watermark-bounded state —
-    * the streaming twin of [[graft.operators.Dedup.exactDedup]]. */
+    * the streaming twin of [[graft.operators.Dedup.exactDedup]]. Matches on
+    * (keys, event time) exactly; use [[dedupByKeyWithinWatermark]] when
+    * replays may carry a DIFFERENT event time. */
   def dedupByKey(stream: DataFrame, tsCol: String, watermark: String,
                  keyCols: String*): DataFrame =
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
+
+  /** Streaming dedup on the keys ALONE within the watermark horizon: an
+    * at-least-once upstream's retries and replays usually arrive with a
+    * NEW event/ingest timestamp, which exact (key, ts) matching misses —
+    * `dropDuplicatesWithinWatermark` collapses any same-key records whose
+    * event times fall within the watermark delay of each other, and evicts
+    * a key's state once the watermark passes it (bounded state at any
+    * throughput — the production shape for content-fingerprint dedup of a
+    * document stream: key = sha2(content)). */
+  def dedupByKeyWithinWatermark(stream: DataFrame, tsCol: String,
+                                watermark: String, keyCols: String*): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Custom stateful op: running per-key quality counters via
     * flatMapGroupsWithState (the engine's escape hatch for state that

@@ -182,4 +182,28 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(byKey == Map("a" -> 1L, "b" -> 1L, "c" -> 1L), s"got $byKey")
     } finally q.stop()
   }
+
+  test("streaming: dedupByKeyWithinWatermark collapses same-key replays with DIFFERENT event times") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, String)]
+    val deduped = StreamingRules.dedupByKeyWithinWatermark(
+      stream.toDF().toDF("ts", "key", "payload"),
+      tsCol = "ts", watermark = "10 minutes", "key")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+      // an at-least-once retry re-delivers key 'a' one minute later: exact
+      // (key, ts) dedup would keep both; within-watermark dedup keeps one
+      stream.addData(Seq((t0, "a", "first"), (t0, "b", "other")))
+      q.processAllAvailable()
+      stream.addData(Seq((t1, "a", "retry-new-ts")))
+      q.processAllAvailable()
+      val byKey = spark.table("dedup_wm_stream").groupBy("key")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byKey == Map("a" -> 1L, "b" -> 1L), s"got $byKey")
+    } finally q.stop()
+  }
 }
