@@ -97,4 +97,35 @@ class PropertySpec extends SparkSpec {
     val twice = once.map(CodeQualityCatalog.Naive.scrub)
     assert(once == twice)
   }
+
+  test("TsqlDialect: generated Spark-SQL fragments pass through byte-identical") {
+    // the pass-through invariant has been broken twice (subscript brackets,
+    // round-3 ADVICE; keyword-adjacent brackets, round-4 review) — fuzz it
+    // with a small Spark-SQL expression grammar: identifiers, literals
+    // (incl. '' escapes and bracket/keyword content), function calls,
+    // subscripts, backticked names, operators
+    val ident = Gen.oneOf("col_a", "tags", "m", "arr", "x1", "payload")
+    val literal = Gen.oneOf("'x'", "''", "'it''s'", "'LEN(y)'", "'[not-an-ident]'",
+      "'AND[q]'", "42", "3.5", "NULL", "TRUE")
+    val backtick = Gen.oneOf("`weird name`", "`arr[0]`", "`it''s`")
+    def atom(depth: Int): Gen[String] =
+      if (depth <= 0) Gen.oneOf(ident, literal, backtick)
+      else Gen.frequency(
+        3 -> ident, 3 -> literal, 1 -> backtick,
+        2 -> Gen.zip(Gen.oneOf(ident, backtick),
+          Gen.oneOf("0", "1", "'k'")).map { case (a, i) => s"$a[$i]" },
+        2 -> Gen.zip(Gen.oneOf("length", "coalesce", "substring", "lower"),
+          atom(depth - 1)).map { case (f, a) => s"$f($a)" },
+        1 -> atom(depth - 1).map(a => s"($a)"),
+        1 -> Gen.zip(atom(depth - 1), Gen.oneOf("0", "'k'"))
+          .map { case (a, i) => s"($a)[$i]" })
+    val exprGen = for {
+      a <- atom(2); b <- atom(2)
+      op <- Gen.oneOf("=", "<>", ">", "AND", "OR", "||", "+")
+    } yield s"$a $op $b"
+    samples(exprGen, 200).foreach { f =>
+      assert(graft.compile.TsqlDialect.rewrite(f) == f,
+        s"Spark fragment corrupted: '$f' -> '${graft.compile.TsqlDialect.rewrite(f)}'")
+    }
+  }
 }
