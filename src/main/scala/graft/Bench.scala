@@ -328,7 +328,10 @@ object Bench {
         "vc_value_correct", "scrub_pii", "text_langid", "text_quality",
         "text_fingerprint", "dedup_exact", "dedup_minhash", "dedup_simhash",
         "dedup_winnow", "ann_topk", "dedup_embed_lsh", "dedup_embed_lsh_hi",
-        "prof_dup_flag", "prof_col_dist")
+        "prof_dup_flag", "prof_col_dist",
+        // round-4 hash-exact-oracle paths (salted/planted fixtures)
+        "dedup_minhash_hi", "dedup_winnow_hi", "ann_ivf_indexed",
+        "text_langid_lm")
     val queries = headline.flatMap { name =>
       QueryCatalog.byName.get(name).map { q =>
         // best-of-2: first run pays JIT + codegen compile (~10x at sf0.1);
