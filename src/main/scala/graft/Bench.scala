@@ -244,6 +244,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the output contract is a machine-parsed JSON line: f-interpolator
+    // %-formatting is locale-sensitive (comma decimals under de_DE et al),
+    // so pin the JVM default for this process
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
@@ -279,10 +283,12 @@ object Bench {
       val planSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val armChecks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       def arm(p: Int): Seq[Double] = {
-        // either way, the parent's local[32] session (and its
-        // corpus-generation garbage) must not stay co-resident with a timed
-        // arm — stop it and collect before the first arm runs
-        if (!spark.sparkContext.isStopped) { spark.stop(); System.gc() }
+        // the parent's local[32] session (and its corpus-generation
+        // garbage) must not stay co-resident with a timed arm; and the
+        // in-process mode additionally collects before EVERY arm — each
+        // armSession leaves its own stopped-session garbage behind
+        if (!spark.sparkContext.isStopped) spark.stop()
+        System.gc()
         val (ts, plan, n, chk) =
           if (fork) forkArm(p, repsPer, iters, corpusDir, benchRows)
           else armSession(p, repsPer, iters, corpusDir, benchRows)
@@ -398,6 +404,7 @@ object Bench {
   * parallelism, reps, iters, corpusDir, benchRows. */
 object ScalingArm {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // see Bench.main
     val Array(p, reps, iters, dir, rows) = args
     val (ts, plan, n, chk) = Bench.armSession(
       p.toInt, reps.toInt, iters.toInt, dir, rows.toLong)

@@ -1090,13 +1090,20 @@ object QueryCatalog {
     // so the same exact ROW_NUMBER oracle applies
     Q("ann_ivf_indexed",
       (s, dir) => {
-        // deterministic keyed path + _SUCCESS check (a fresh temp dir per
-        // run leaked a corpus-sized parquet copy every invocation); the
-        // version tag invalidates the cache if the planted corpus changes
+        // deterministic keyed path + completeness check (a fresh temp dir
+        // per run leaked a corpus-sized parquet copy every invocation). The
+        // key folds in the source table's mtime so regenerated testdata
+        // invalidates the cache, and the check requires BOTH datasets'
+        // _SUCCESS markers — centroids is written last, so vectors/_SUCCESS
+        // alone would accept an index whose build was killed mid-way.
+        // (Single-JVM use only — Verify/Bench run queries sequentially.)
+        val mtime = java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(dir, "embeddings.parquet")).toMillis.toHexString
         val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-        val ix = s"/tmp/graft_ivf_ix_v1_$key"
-        if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(ix, "vectors", "_SUCCESS")))
+        val ix = s"/tmp/graft_ivf_ix_v1_${key}_$mtime"
+        val complete = Seq("vectors", "centroids").forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(ix, d, "_SUCCESS")))
+        if (!complete)
           graft.operators.Similarity.buildIvfIndex(
             annPlantedCorpus(s, dir), ix, nlist = 16)
         graft.operators.Similarity.ivfTopKIndexed(

@@ -772,10 +772,14 @@ object RuleCompiler {
     * (col, value) count feeds a tiny per-column rollup. Output:
     * (__c, dup = #values occurring >1×, once = #values occurring exactly
     * once). The corpus-scale exchange is the first one; the second carries
-    * ≤ partitions × |cols| partially-aggregated rows. Float/double columns
-    * are normalized with `+ 0.0` before the string cast so -0.0 groups with
-    * 0.0, matching the narrow path's native groupBy (Spark normalizes
-    * floating grouping keys); NaN is a single string either way. */
+    * ≤ partitions × |cols| partially-aggregated rows. TOP-LEVEL float/double
+    * columns are normalized with `+ 0.0` before the string cast so -0.0
+    * groups with 0.0, matching the narrow path's native groupBy (Spark
+    * normalizes floating grouping keys); NaN is a single string either way.
+    * Known divergence: floats nested inside array/struct columns keep
+    * string-rendering semantics here (±0.0 split) while native groupBy
+    * normalizes recursively — the reference's P7 profiles scalar entity
+    * columns only, so nested containers are outside parity scope. */
   private[graft] def wideValueDistribution(scopedDf: DataFrame,
                                            cols: Seq[String]): DataFrame = {
     val types = scopedDf.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -15,8 +15,13 @@ package graft.compile
   *   - `[bracket]` identifier quoting is a parse error in Spark — EXCEPT in
   *     subscript position (`arr[0]`, `m['k']`), where '[' is Spark's element
   *     access; a '[' immediately following an identifier char, ')', ']' or a
-  *     backticked name is therefore left untouched (T-SQL never juxtaposes a
-  *     bracket identifier against a preceding identifier);
+  *     backticked name is therefore left untouched — UNLESS that preceding
+  *     token is a SQL keyword (`AND[col]` is T-SQL; a keyword is not a
+  *     subscriptable value). The one fragment shape this refinement claims
+  *     for T-SQL is a subscript on an UNQUOTED keyword-named column
+  *     (`order[0]` on a column literally named "order") — write such names
+  *     backticked (`` `order`[0] ``), which Spark style requires anyway and
+  *     which passes through untouched;
   *   - `ISNULL(a, b)` (two args) fails resolution in Spark, whose `isnull`
   *     is the 1-arg null test — the 1-arg form is therefore left UNTOUCHED.
   * A fragment that already parses as Spark SQL passes through byte-identical
