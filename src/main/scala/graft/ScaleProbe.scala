@@ -256,6 +256,42 @@ object ScaleProbe {
       println(f"[probe] lsh recall@1=${recallAt1(lshTop)}%.2f")
       lshTop.unpersist()
     }
+    if (ops("p7")) {
+      // P7 ALL-columns value distribution on a wide entity: measure the
+      // per-column job storm (the ≤8-column native-groupBy branch applied
+      // to every column) against the one-pass exploded form that the
+      // compiler switches to above WideValueDistributionCols. Columns carry
+      // modulus-valued longs (cardinality i+2) — cheap values, so the
+      // reading isolates job/scan/shuffle overhead, which is exactly what
+      // the wide form exists to amortize.
+      val cols = sys.env.getOrElse("SPARK_GRAFT_PROBE_P7_COLS", "50").toInt
+      val dir = s"/tmp/graft_probe_p7_${CorpusGenVersion}_${rows}_$cols"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))) {
+        val base = spark.range(0, rows, 1, 128).toDF("id")
+        val wide = (0 until cols).foldLeft(base)((d, i) =>
+          d.withColumn(s"c$i", col("id") % lit(i + 2)))
+        wide.write.mode("overwrite").parquet(dir)
+      }
+      val src = spark.read.parquet(dir)
+      val colNames = src.columns.toSeq
+      def rollup(g: DataFrame): (Long, Long) = {
+        val r = g.agg(
+          sum(when(col("__n") > 1, 1L).otherwise(0L)).as("dup"),
+          sum(when(col("__n") === 1, 1L).otherwise(0L)).as("once")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val narrow = time(s"p7 narrow form ($rows rows × ${colNames.size} cols, one groupBy JOB per column)") {
+        colNames.map { c =>
+          c -> rollup(src.groupBy(col(c)).agg(count(lit(1)).as("__n")))
+        }.toMap
+      }
+      val wide = time(s"p7 WIDE one-pass form ($rows rows × ${colNames.size} cols, single exploded job)") {
+        graft.compile.RuleCompiler.wideValueDistribution(src, colNames)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
+      require(narrow == wide, s"p7 forms disagree: ${narrow.toSeq.sorted.take(3)} vs ${wide.toSeq.sorted.take(3)}")
+      println(s"[probe] p7 forms agree on all ${colNames.size} columns")
+    }
     spark.stop()
   }
 }
