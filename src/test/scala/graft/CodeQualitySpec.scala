@@ -131,4 +131,21 @@ class CodeQualitySpec extends SparkSpec {
     assert(r2.loadTree.count(_.process.contains("[resumed]")) ==
       r1.loadTree.count(_.parentLoadId.nonEmpty))
   }
+
+  test("pipeline_decision oracle precondition: no doc sits near the surprisal threshold") {
+    // The DuckDB oracle for `pipeline_decision` recomputes surprisal as an
+    // exact DECIMAL sum of the per-bigram log-probs, while the engine sums
+    // doubles sequentially — a ≤ ~1e-10 drift. The decision (keep iff
+    // surprisal ≤ 3.6) is therefore only engine-independent if no document
+    // lands within that drift of the threshold. Assert a 6-orders-of-
+    // magnitude margin on the oracle's own input (documents + the injected
+    // PII/toxicity suffixes, exactly as the query builds it).
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(QueryCatalog.decisionContent.as("content"))
+    val minMargin = docs
+      .select(abs(graft.functions.NgramScore.bigramLogPerplexity($"content")
+        - CodeQualityCatalog.MaxSurprisal).as("m"))
+      .agg(min($"m")).head().getDouble(0)
+    assert(minMargin > 1e-6, f"surprisal margin $minMargin%.2e too small for cross-engine decision parity")
+  }
 }
