@@ -339,6 +339,43 @@ object ScaleProbe {
       }.sorted
       println(f"[probe] pipeline scan-only control: med=${scanSecs(1)}%.1f s → ${rows / scanSecs(1)}%.0f files/sec")
     }
+    if (ops("runner")) {
+      // The MATERIALIZING runner at corpus scale: full audit surface on
+      // (segment checkpoints, observe metrics, row hits, lineage, load
+      // tree, resume manifest) vs the plain output-writing pipeline —
+      // the bench measures this pair at 1M; this extends it to arbitrary
+      // rows. What must hold at scale: audit-on ≈ 1.0-1.3× the WRITING
+      // pipeline (the audit design rides observe() and the checkpoint
+      // doubles as the output — no extra corpus scans).
+      val dir = s"/tmp/graft_probe_pipe_${CorpusGenVersion}_$rows"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+        time(s"runner corpus gen ($rows rows)") {
+          rules.CorpusFixture.generate(spark, rows)
+            .repartition(256).write.mode("overwrite").parquet(dir)
+        }
+      val src = spark.read.parquet(dir)
+      exec.StageExec.lazyApply(src, rules.CodeQualityCatalog.bindings)
+        .agg(count(lit(1))).head() // warm-up (JIT, page cache)
+      val writeSec = {
+        val t0 = System.nanoTime()
+        exec.StageExec.lazyApply(src, rules.CodeQualityCatalog.bindings)
+          .write.mode("overwrite").option("compression", "lz4")
+          .parquet(s"/tmp/graft_probe_runner_out_$rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] runner: plain WRITING pipeline $rows rows: ${writeSec}%.1f s → ${rows / writeSec}%.0f files/sec")
+      val auditSec = {
+        val wd = java.nio.file.Files.createTempDirectory("graft-probe-runner").toString
+        val cfg = exec.EngineConfig("files", Seq("repo", "path"), wd,
+          runId = "probe", partitionLineage = true)
+        val t0 = System.nanoTime()
+        val res = new exec.PipelineRunner(spark, cfg)
+          .run(src, rules.CodeQualityCatalog.bindings)
+        res.output.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] runner: AUDIT-ON runner $rows rows: ${auditSec}%.1f s → ${rows / auditSec}%.0f files/sec (${auditSec / writeSec}%.2f× writing pipeline)")
+    }
     spark.stop()
   }
 }
