@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** Probe-corpus generator version — part of the /tmp cache key. Bump when
-    * [[containmentCorpus]]/[[vectorCorpus]] (or their fixed parameters)
-    * change, or the probe silently re-reads a stale corpus. */
+  /** Probe-corpus generator version — part of EVERY /tmp cache key this
+    * probe writes. Bump when ANY probe corpus generator or its fixed
+    * parameters change — [[containmentCorpus]], [[vectorCorpus]], the p7
+    * wide fixture, or [[graft.rules.CorpusFixture]] (pipeline/runner ops) —
+    * or the probe silently re-reads a stale corpus. */
   private val CorpusGenVersion = "g2"
 
   /** Unique-content docs (~160 chars); every 20th doc (id ≥ 20) embeds a
@@ -98,6 +100,19 @@ object ScaleProbe {
     hist.foreach(r => println(
       s"[probe]   bucket-size 2^${r.getLong(0)}: ${r.getLong(1)} buckets, ${r.getLong(2)} candidates"))
     hist.map(_.getLong(2)).sum
+  }
+
+  /** Bench-corpus-shaped fixture shared by the pipeline and runner ops —
+    * one cache dir so both probes are guaranteed to measure the same
+    * corpus bytes. */
+  private def ensurePipeCorpus(spark: SparkSession, rows: Long): DataFrame = {
+    val dir = s"/tmp/graft_probe_pipe_${CorpusGenVersion}_$rows"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+      time(s"pipeline corpus gen ($rows rows)") {
+        rules.CorpusFixture.generate(spark, rows)
+          .repartition(256).write.mode("overwrite").parquet(dir)
+      }
+    spark.read.parquet(dir)
   }
 
   def main(args: Array[String]): Unit = {
@@ -307,13 +322,7 @@ object ScaleProbe {
       // should be flat if the operator claims hold. The agg checksums the
       // scrubbed content (a bare count would let Catalyst prune the whole
       // scrub projection away).
-      val dir = s"/tmp/graft_probe_pipe_${CorpusGenVersion}_$rows"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-        time(s"pipeline corpus gen ($rows rows)") {
-          rules.CorpusFixture.generate(spark, rows)
-            .repartition(256).write.mode("overwrite").parquet(dir)
-        }
-      val df = spark.read.parquet(dir)
+      val df = ensurePipeCorpus(spark, rows)
       def job(): (Long, Long) = {
         val out = exec.StageExec.lazyApply(df, rules.CodeQualityCatalog.bindings)
         val r = out.agg(count(lit(1)).as("n"), sum(crc32(col("content"))).as("chk")).head()
@@ -347,13 +356,7 @@ object ScaleProbe {
       // rows. What must hold at scale: audit-on ≈ 1.0-1.3× the WRITING
       // pipeline (the audit design rides observe() and the checkpoint
       // doubles as the output — no extra corpus scans).
-      val dir = s"/tmp/graft_probe_pipe_${CorpusGenVersion}_$rows"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
-        time(s"runner corpus gen ($rows rows)") {
-          rules.CorpusFixture.generate(spark, rows)
-            .repartition(256).write.mode("overwrite").parquet(dir)
-        }
-      val src = spark.read.parquet(dir)
+      val src = ensurePipeCorpus(spark, rows)
       exec.StageExec.lazyApply(src, rules.CodeQualityCatalog.bindings)
         .agg(count(lit(1))).head() // warm-up (JIT, page cache)
       val writeSec = {

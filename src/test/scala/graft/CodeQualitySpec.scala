@@ -132,20 +132,66 @@ class CodeQualitySpec extends SparkSpec {
       r1.loadTree.count(_.parentLoadId.nonEmpty))
   }
 
+  private val decisionSfDirs =
+    Seq("sf0.001", "sf0.01", "sf0.1").map(sf => s"/root/testdata/$sf")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+
   test("pipeline_decision oracle precondition: no doc sits near the surprisal threshold") {
     // The DuckDB oracle for `pipeline_decision` recomputes surprisal as an
     // exact DECIMAL sum of the per-bigram log-probs, while the engine sums
-    // doubles sequentially — a ≤ ~1e-10 drift. The decision (keep iff
-    // surprisal ≤ 3.6) is therefore only engine-independent if no document
-    // lands within that drift of the threshold. Assert a 6-orders-of-
-    // magnitude margin on the oracle's own input (documents + the injected
-    // PII/toxicity suffixes, exactly as the query builds it).
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // doubles sequentially — a ≤ ~1e-10 drift (worst case ~1e-7 on the
+    // longest soup docs). The decision (keep iff surprisal ≤ 3.6) is
+    // therefore only engine-independent if no document lands within that
+    // drift of the threshold. Assert a margin ≥ 10× that worst case on the
+    // oracle's own input at EVERY scale the gate runs (documents + the
+    // injections, exactly as the query builds the content).
+    assert(decisionSfDirs.nonEmpty)
+    decisionSfDirs.foreach { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(QueryCatalog.decisionContent.as("content"))
+        .where(length($"content") >= 2) // <2 chars scores a constant 0.0 on both engines
+      val minMargin = docs
+        .select(abs(graft.functions.NgramScore.bigramLogPerplexity($"content")
+          - CodeQualityCatalog.MaxSurprisal).as("m"))
+        .agg(min($"m")).head().getDouble(0)
+      assert(minMargin > 1e-6,
+        f"$dir: surprisal margin $minMargin%.2e too small for cross-engine decision parity")
+    }
+  }
+
+  test("pipeline_decision fixture: each isolable drop rule fails some doc ALONE") {
+    // Load-bearing-ness of the composite decision: for each rule, at least
+    // one doc must fail exactly that rule, so a bug in either engine's
+    // version of that one metric flips the oracle row set. Checked with the
+    // independent row-at-a-time Naive metrics. DropLowAlnum is provably not
+    // isolable (sub-0.25-alnum text is always high-surprisal under the seed
+    // LM — see QueryCatalog.decisionContent scaladoc): assert it fires at
+    // all, jointly.
+    import CodeQualityCatalog.{Naive, MaxLineLen, MaxAvgLineLen, MinAlnumRatio, MaxSurprisal}
+    val contents = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(QueryCatalog.decisionContent.as("content"))
-    val minMargin = docs
-      .select(abs(graft.functions.NgramScore.bigramLogPerplexity($"content")
-        - CodeQualityCatalog.MaxSurprisal).as("m"))
-      .agg(min($"m")).head().getDouble(0)
-    assert(minMargin > 1e-6, f"surprisal margin $minMargin%.2e too small for cross-engine decision parity")
+      .collect().map(_.getString(0))
+    def fails(c: String): Seq[String] = {
+      val e = Seq.newBuilder[String]
+      if (c == null || c.trim.isEmpty) e += "empty"
+      if (c != null && Naive.isAutogen(c)) e += "autogen"
+      if (c != null && Naive.maxLineLen(c) > MaxLineLen) e += "longline"
+      if (c != null && c.nonEmpty && Naive.avgLineLen(c) > MaxAvgLineLen) e += "longavg"
+      if (c != null && Naive.alnumRatio(c) < MinAlnumRatio) e += "lowalnum"
+      if (c != null && Naive.surprisal(c) > MaxSurprisal) e += "highsur"
+      e.result()
+    }
+    val failLists = contents.map(fails)
+    val solo = failLists.filter(_.size == 1).groupBy(_.head).view.mapValues(_.size).toMap
+    Seq("autogen", "longline", "longavg", "highsur").foreach { r =>
+      assert(solo.getOrElse(r, 0) > 0, s"no doc fails ONLY rule $r — it is not load-bearing; solo=$solo")
+    }
+    // DropEmpty is likewise non-isolable: empty/whitespace content has
+    // alnum_ratio 0 < 0.25, so DropLowAlnum always co-fires. Both shadowed
+    // rules must still FIRE (their predicates reach the decision on both
+    // engines even if never alone).
+    assert(failLists.exists(_.contains("empty")), "empty never fires at all")
+    assert(failLists.exists(_.contains("lowalnum")), "lowalnum never fires at all")
+    assert(failLists.count(_.isEmpty) > 0, "no kept docs") // both classes present
   }
 }
