@@ -127,6 +127,11 @@ case class HyperplaneSigsExpr(child: Expression, planesFlat: Array[Double],
   require(planesFlat.length == numTables * planesPerTable * dim)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // stable identity for plan dumps (an Array field would print [D@hashcode,
+  // churning committed PLANS.md on every regeneration)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"planes<${numTables}x${planesPerTable}x$dim>",
+      numTables, planesPerTable, dim)
   // null-element check only when the child's schema admits null elements
   // (same gating as CosineSimExpr — parquet embeddings are
   // containsNull=false, and this kernel runs over the full corpus scan)
