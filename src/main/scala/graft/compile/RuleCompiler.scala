@@ -134,7 +134,7 @@ object RuleCompiler {
               refTables: Map[String, DataFrame] = Map.empty): CompiledRule = {
     val base = b.spec match {
       case s: RuleSpec.ValueCorrect => compileValueCorrect(b, s)
-      case s: RuleSpec.Predicate    => compilePredicate(b, s)
+      case s: RuleSpec.Predicate    => compilePredicate(b, s, schema)
       case s: RuleSpec.Harmonize    => compileHarmonize(b, s)
       case s: RuleSpec.Reference    => compileReference(b, s, schema, refTables)
       case s: RuleSpec.Profile      => compileProfile(b, s, schema)
@@ -154,12 +154,19 @@ object RuleCompiler {
       }
       case None => base.scalarSummaries
     }
+    // filter columns are re-evaluated POST-projection whenever any summary
+    // carries a filter-scoped denominator (totalOverride rides observe() on
+    // the post-stage frame) — not only when the base rule already had
+    // post-projection aggregate reads. Without this, a Predicate/Convert
+    // rule with an optionalFilter could fuse into the same stage as a rule
+    // that rewrites a filter column in place, and the denominator would
+    // count the post-write image while the numerator froze the pre-image.
+    val postProjFilterEval =
+      summaries.exists(_.totalOverride.nonEmpty) || base.aggReads.nonEmpty
     base.copy(scalarSummaries = summaries,
       reads = base.reads ++ filterReads,
       writes = base.writes ++ base.newColumns.map(_._1),
-      // a filter-scoped input aggregate also re-evaluates the filter columns
-      // post-projection
-      aggReads = base.aggReads ++ (if (base.aggReads.nonEmpty) filterReads else Set.empty))
+      aggReads = base.aggReads ++ (if (postProjFilterEval) filterReads else Set.empty))
   }
 
   // ---------------------------------------------------------------- V1-V3
@@ -240,7 +247,8 @@ object RuleCompiler {
     * fragment is Spark SQL or verbatim reference T-SQL — [[TsqlDialect]]
     * rewrites the latter (LEN/ISNULL/GETDATE/CONVERT/[brackets]) before
     * `expr()` parses it (dialect boundary, SURVEY.md §7.5). */
-  private def compilePredicate(b: RuleBinding, s: RuleSpec.Predicate): CompiledRule = {
+  private def compilePredicate(b: RuleBinding, s: RuleSpec.Predicate,
+                               schema: StructType): CompiledRule = {
     val frag = TsqlDialect.rewrite(s.expression)
     val fullSql =
       if (b.evaluationColumn == RuleBinding.IgnoreColumn) s"($frag)"
@@ -263,12 +271,24 @@ object RuleCompiler {
           reads = reads, lineage = s"LOG WHERE ${predRaw.toString}")
       case RuleAction.Flag => // E2: status column = '1' where pred
         val stCol = b.outputColumn.orElse(b.statusColumn).getOrElse(b.resolvedStatus) // fallback chain (:470-527)
+        // The reference is UPDATE … SET st = '1' WHERE pred — rows outside
+        // the predicate (or filter) keep their prior value. When stCol is an
+        // EXISTING entity column the pre-image must survive; a bare
+        // when(pred, '1') would overwrite every non-matching row with NULL.
+        // For a freshly provisioned column the pre-image IS null, so the
+        // two forms agree and the simpler one keeps codegen tight.
+        val exists = schema.fieldNames.exists(_.equalsIgnoreCase(stCol))
+        val flagExpr =
+          if (exists) when(pred, lit("1")).otherwise(col(stCol).cast(StringType))
+          else when(pred, lit("1"))
         CompiledRule(b,
-          newColumns = Seq(stCol -> when(pred, lit("1"))),
+          newColumns = Seq(stCol -> flagExpr),
           internalColumns = Seq(hitFlag -> pred),
           scalarSummaries = Seq(ScalarSummary(meta, cntAgg, ScalarKind.CountAffected)),
           hit = Some(HitSpec(hitFlag, None)),
-          reads = reads, lineage = s"$stCol := 1 WHERE ${predRaw.toString}")
+          // the pre-image read makes stCol a read-dependency for fusion
+          reads = reads ++ (if (exists) Set(stCol) else Set.empty),
+          lineage = s"$stCol := 1 WHERE ${predRaw.toString}")
       case RuleAction.Drop => // E3: the keep/drop operator (:561-587)
         // SQL DELETE drops rows where pred IS TRUE; NULL predicate keeps.
         // keep = NOT pred OR pred IS NULL — written without coalesce so the
@@ -436,7 +456,7 @@ object RuleCompiler {
         val prepped = refDf.distinct()
           .select(refDf.columns.map(c => col(c).as(pfx + c)) :+ lit(1).as(m): _*)
         // dialect: entity columns bare or 'dq.'-prefixed; ref columns 'ref.'-prefixed
-        def rw(sql: String): String = sql.replace("ref.", pfx).replace("dq.", "")
+        def rw(sql: String): String = rewriteQualifiers(sql, pfx)
         val cond = fexpr(rw(joinLogic))
         val cmp = fexpr(rw(comparison))
         val joinFn: DataFrame => DataFrame = d => d.join(prepped, cond, "left_outer")
@@ -462,7 +482,7 @@ object RuleCompiler {
         val refDf = refTables.getOrElse(refName,
           throw new IllegalArgumentException(s"Unknown reference table $refName"))
         val pfx = s"__ref${b.code}_"
-        def rw(sql: String): String = sql.replace("ref.", pfx).replace("dq.", "")
+        def rw(sql: String): String = rewriteQualifiers(sql, pfx)
         val joinRefCols = (refsOf(rw(joinLogic)).filter(_.startsWith(pfx)).map(_.stripPrefix(pfx)) + refKeyCol).toSeq
         val prepped = refDf.select(joinRefCols.distinct.map(c => col(c).as(pfx + c)): _*).distinct()
         val cond = fexpr(rw(joinLogic))
@@ -484,6 +504,40 @@ object RuleCompiler {
           reads = refsOf(rw(joinLogic)).filterNot(_.startsWith(pfx)),
           lineage = s"$stCol := FK check vs $refName.$refKeyCol ON ${rw(joinLogic)}")
     }
+  }
+
+  /** Rewrite the R3/R4 comparison dialect's table qualifiers — `ref.x` →
+    * `<pfx>x`, `dq.x` → `x` — WITHOUT touching string literals or the
+    * interior of identifiers. A blind `String.replace` corrupted literals
+    * like `'admin@dq.example.com'` (the `dq.` inside the quotes was
+    * stripped) and would mangle an identifier that merely ends in "ref".
+    * Qualifiers are matched case-sensitively at identifier-start boundaries
+    * only; `''` literal escaping follows SQL. */
+  private[compile] def rewriteQualifiers(sql: String, pfx: String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    def atBoundary: Boolean =
+      out.isEmpty || {
+        val p = out.charAt(out.length - 1)
+        !(Character.isLetterOrDigit(p) || p == '_' || p == '.')
+      }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // literal span, '' escapes
+        var j = i + 1
+        var end = -1
+        while (end < 0 && j < sql.length) {
+          if (sql.charAt(j) == '\'') {
+            if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 2 else end = j + 1
+          } else j += 1
+        }
+        val e = if (end < 0) sql.length else end
+        out.append(sql.substring(i, e)); i = e
+      } else if (sql.startsWith("ref.", i) && atBoundary) { out.append(pfx); i += 4 }
+      else if (sql.startsWith("dq.", i) && atBoundary) { i += 3 }
+      else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   // ---------------------------------------------------------------- P1-P8
@@ -676,14 +730,20 @@ object RuleCompiler {
         val c = b.evaluationColumn
         val job = GroupedJob { df =>
           val scopedDf = b.optionalFilter.map(f => df.filter(fexpr(f))).getOrElse(df)
+          // persist the per-value counts (one row per distinct value — tiny
+          // vs the corpus) so total and histogram derive from ONE corpus
+          // scan; a separate scopedDf.agg(count) would re-scan the whole
+          // checkpoint just for the denominator
           val counts = scopedDf
             .groupBy(coalesce(col(c).cast(StringType), lit("NULL")).as("__v"))
             .agg(count(lit(1)).as("__n"))
-          // total via one scalar aggregate, embedded as a LITERAL — NOT an
-          // unpartitioned window (single-task funnel at scale) and not a
-          // cross-join (which would re-evaluate the aggregate subplan inside
-          // the collect job)
-          val totalRows = scopedDf.agg(count(lit(1)).as("__t")).head().getLong(0)
+            .persist()
+          // total via one scalar aggregate over the counts, embedded as a
+          // LITERAL — NOT an unpartitioned window (single-task funnel at
+          // scale) and not a cross-join (which would re-evaluate the
+          // aggregate subplan inside the collect job)
+          val totalRows = counts.agg(coalesce(sum(col("__n")), lit(0L)).as("__t"))
+            .head().getLong(0)
           val hist = counts
             .withColumn("__pct", col("__n") * 100.0 / lit(totalRows))
             // below-threshold values collapse into 'MiscMinorValues' (:1448-1463)
@@ -707,6 +767,7 @@ object RuleCompiler {
                 totalRows - covered,
                 Some(math.round((totalRows - covered) * 100.0 / totalRows * 10000.0) / 10000.0)))
             else Nil
+          counts.unpersist()
           top.toSeq.map { r =>
             SummaryDraft(b.code, s.ruleId, "RuleProfiling", s"${s.ruleName} [Histogram]",
               sev, c, s"Value = ${r.getAs[String]("__bucket")}",

@@ -82,12 +82,22 @@ object TsqlDialect {
         }
         val subscript = ((prevIsIdent && !KeywordBeforeBracket.contains(prevToken)) ||
           prev == ')' || prev == ']' || prev == '`')
-        val close = sql.indexOf(']', i)
+        // T-SQL escapes ']' inside a bracket identifier by doubling:
+        // [a]]b] is the identifier a]b — scan past ']]' pairs to the true
+        // closing bracket (a bare indexOf(']') would split the identifier)
+        var close = -1
+        var j = i + 1
+        while (close < 0 && j < sql.length) {
+          if (sql.charAt(j) == ']') {
+            if (j + 1 < sql.length && sql.charAt(j + 1) == ']') j += 2 else close = j
+          } else j += 1
+        }
         if (subscript || close < 0) { out.append(c); i += 1 }
         else {
-          // escape embedded backticks (`` convention) — "[a`b]" must become
-          // "`a``b`", not the malformed "`a`b`"
-          out.append('`').append(sql.substring(i + 1, close).replace("`", "``")).append('`')
+          // unescape ']]' → ']', then escape embedded backticks (`` convention)
+          // — "[a`b]" must become "`a``b`", not the malformed "`a`b`"
+          val ident = sql.substring(i + 1, close).replace("]]", "]")
+          out.append('`').append(ident.replace("`", "``")).append('`')
           i = close + 1
         }
       } else if (Character.isLetter(c) || c == '_') {

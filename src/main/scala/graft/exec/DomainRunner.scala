@@ -37,6 +37,13 @@ object DomainRunner {
           workDir: String, runId: String = "domain-run",
           resume: Boolean = false): DomainResult = {
     import spark.implicits._
+    // entity names key the results map AND derive workDir + runId — a
+    // duplicate would silently overwrite the first entity's checkpoints and
+    // audit partitions mid-sequence and drop its result (a dropped
+    // Left(failure) could even flip the master status to Success)
+    val dup = entities.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate entity name(s) in domain $domain: ${dup.mkString(",")}")
     val t0 = new Timestamp(System.currentTimeMillis())
     val results = entities.map { e =>
       // only bindings targeting this entity, active ones, ordered by code

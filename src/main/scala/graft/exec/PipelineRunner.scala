@@ -133,8 +133,35 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
         s"entity=${config.entityName} seq=${r.binding.sequence}", r.lineage)
     }
 
-    // 3. manifest / resume (plan-hash guarded)
-    val planHash = (bindings.map(_.toString) ++ config.keyColumns).mkString("|").hashCode.toString
+    // Natural-key immutability (≡ S3: cleanse-entity CTAS gives every row an
+    // immutable natural key): no rule may write a key column. Row-history
+    // extraction stamps hits with key values read from the UNIT-FINAL
+    // checkpoint, so a key mutated mid-unit would silently disconnect audit
+    // rows from their source rows. Fail fast instead.
+    {
+      val keyLc = config.keyColumns.map(_.toLowerCase).toSet
+      val keyWriters = compiled.filter(_.writes.exists(w => keyLc(w.toLowerCase)))
+      require(keyWriters.isEmpty,
+        s"rules ${keyWriters.map(_.binding.code).mkString(",")} write key column(s) " +
+          s"${config.keyColumns.mkString(",")} — the natural key must be immutable " +
+          "(row-history joins back to input rows by it); write to a new output column instead")
+    }
+
+    // 3. manifest / resume (plan-hash guarded). The hash must cover
+    // everything the EFFECTIVE plan depends on — not just the bindings:
+    // the validator excludes rules by activation window (asOf) and schema,
+    // so the same catalog can compile to different segments on a different
+    // day or input. planDesc captures the post-validation segment structure;
+    // schema + asOf + keys + bindings cover the rest. 64-bit FNV-1a (a
+    // 32-bit String.hashCode collision on a genuinely changed catalog would
+    // splice stale checkpoints into a different plan).
+    val planHash = {
+      val material = (bindings.map(_.toString) ++ config.keyColumns ++
+        Seq(planDesc, input.schema.sql, asOf.toString)).mkString("|")
+      var h = 0xCBF29CE484222325L
+      material.foreach { c => h ^= c.toLong; h *= 0x100000001B3L }
+      java.lang.Long.toHexString(h)
+    }
     val doneSegments: Set[Int] =
       if (config.resume && Files.exists(manifestPath)) {
         val lines = scala.jdk.CollectionConverters.ListHasAsScala(
@@ -177,6 +204,12 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
 
     for (unit <- SequencePlanner.units(segments)) {
       val unitId = unit.head.id
+      // unitLoadId packs the unit into 3 decimal digits under the 44-bit
+      // root id; a segment id ≥ 1000 would collide with another root's id
+      // space (the LoadIds collision-odds math assumes unit < 1000)
+      require(unitId < 1000,
+        s"catalog plans to $unitId+ segments — the load-id scheme supports at most 1000 " +
+          "materialization units per run; split the catalog across runs or tranches")
       val unitLoadId = rootLoadId * 1000 + unitId
       val label = s"unit $unitId (tranches ${unit.map(_.sequence).distinct.mkString(",")}, " +
         s"segments ${unit.map(_.id).mkString(",")})"

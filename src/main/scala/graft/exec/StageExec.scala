@@ -19,12 +19,17 @@ object StageExec {
   def applyStage(df: DataFrame, stage: Stage): DataFrame = {
     val joined = stage.rules.flatMap(_.joins).foldLeft(df)((d, f) => f(d))
     val newCols = stage.rules.flatMap(r => r.newColumns ++ r.internalColumns)
-    val byName = newCols.toMap
+    // resolution is case-INSENSITIVE (Spark default): an in-place rewrite
+    // must match an existing column in any case — an exact-case map would
+    // APPEND a case-variant duplicate (ambiguous-reference errors downstream)
+    // instead of overwriting
+    val byName = newCols.map { case (n, c) => n.toLowerCase -> c }.toMap
     require(byName.size == newCols.size,
       "planner invariant violated: duplicate column writers in one stage")
     val existing = joined.columns.toSeq
-    val kept = existing.map { c => byName.get(c).map(_.as(c)).getOrElse(col(c)) }
-    val appended = newCols.filterNot { case (n, _) => existing.contains(n) }
+    val existingLc = existing.map(_.toLowerCase).toSet
+    val kept = existing.map { c => byName.get(c.toLowerCase).map(_.as(c)).getOrElse(col(c)) }
+    val appended = newCols.filterNot { case (n, _) => existingLc.contains(n.toLowerCase) }
       .map { case (n, c) => c.as(n) }
     val projected = joined.select(kept ++ appended: _*)
     val toDrop = stage.rules.flatMap(_.dropAfterProject)

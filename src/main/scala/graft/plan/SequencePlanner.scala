@@ -78,6 +78,14 @@ object SequencePlanner {
     out.result()
   }
 
+  /** Column-name sets are compared case-insensitively everywhere in the
+    * planner: Spark resolution is case-insensitive by default, so "Color"
+    * written by one rule IS the "color" a later rule reads — an exact-case
+    * intersection would miss the conflict and fuse a reader onto the wrong
+    * image. (Under spark.sql.caseSensitive=true this is merely conservative:
+    * a few extra stage breaks, never a wrong fusion.) */
+  private def lc(s: Set[String]): Set[String] = s.map(_.toLowerCase)
+
   def plan(rules: Seq[CompiledRule]): Seq[Segment] = {
     val bySeq = rules.groupBy(_.binding.sequence).toSeq.sortBy(_._1)
     var segId = 0
@@ -113,18 +121,18 @@ object SequencePlanner {
         // the pre-write image). A grouped job runs against the UNIT
         // checkpoint, so a later same-segment writer must close the whole
         // segment (units() then keeps the writer out of the reader's unit).
-        if ((r.writes intersect segGroupedReads).nonEmpty) closeSegment()
+        if ((lc(r.writes) intersect segGroupedReads).nonEmpty) closeSegment()
         else {
           val conflict =
-            (r.reads intersect currentWrites).nonEmpty ||
-            (r.writes intersect currentWrites).nonEmpty ||
-            (r.writes intersect currentAggReads).nonEmpty
+            (lc(r.reads) intersect currentWrites).nonEmpty ||
+            (lc(r.writes) intersect currentWrites).nonEmpty ||
+            (lc(r.writes) intersect currentAggReads).nonEmpty
           if (conflict) closeStage()
         }
         current = current :+ r
-        currentWrites ++= r.writes
-        currentAggReads ++= r.aggReads
-        if (r.groupedJobs.nonEmpty) segGroupedReads ++= r.reads
+        currentWrites ++= lc(r.writes)
+        currentAggReads ++= lc(r.aggReads)
+        if (r.groupedJobs.nonEmpty) segGroupedReads ++= lc(r.reads)
         if (r.closesSegment) closeSegment() // last delete of a run ends the segment
       }
       closeSegment() // tranche boundary is always a materialization barrier
@@ -147,12 +155,12 @@ object SequencePlanner {
     var cur = Vector.empty[Segment]
     var groupedReads = Set.empty[String]
     for (s <- segments) {
-      val writes = s.rules.flatMap(_.writes).toSet
+      val writes = lc(s.rules.flatMap(_.writes).toSet)
       if (cur.nonEmpty && (writes intersect groupedReads).nonEmpty) {
         out += cur; cur = Vector.empty; groupedReads = Set.empty
       }
       cur = cur :+ s
-      groupedReads ++= s.rules.filter(_.groupedJobs.nonEmpty).flatMap(_.reads)
+      groupedReads ++= lc(s.rules.filter(_.groupedJobs.nonEmpty).flatMap(_.reads).toSet)
       if (s.keepFilters.nonEmpty) {
         out += cur; cur = Vector.empty; groupedReads = Set.empty
       }

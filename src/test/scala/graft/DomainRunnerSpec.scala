@@ -41,4 +41,15 @@ class DomainRunnerSpec extends SparkSpec {
     val broken = res.results("broken").toOption.get
     assert(broken.catalogErrors.nonEmpty) // fatal pre-check recorded, siblings ran
   }
+
+  test("duplicate entity names are rejected (shared workDir would overwrite audit)") {
+    val df = Seq((1, "M")).toDF("ProductId", "Size")
+    val e = intercept[IllegalArgumentException] {
+      DomainRunner.run(spark, "Dup", Seq(
+        DomainRunner.DomainEntity("orders", df, Nil, Seq("ProductId")),
+        DomainRunner.DomainEntity("orders", df, Nil, Seq("ProductId"))),
+        tmpDir("domain-dup"))
+    }
+    assert(e.getMessage.contains("duplicate entity"))
+  }
 }

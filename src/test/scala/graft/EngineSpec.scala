@@ -145,4 +145,43 @@ class EngineSpec extends SparkSpec {
     assert(v.errors.size >= 4)
     assert(v.ok.isEmpty || v.ok.forall(b => b.code != 30 && b.code != 31 && b.code != 32 && b.code != 33))
   }
+
+  test("natural key is immutable: a rule writing a key column fails fast") {
+    // row-history stamps hits with key values from the unit-final checkpoint;
+    // a key mutated mid-unit would disconnect audit rows from source rows
+    val b = RuleBinding(90, "product", 1, "Name",
+      RuleSpec.Harmonize(1, "up", HarmonizeOp.ToUpper)) // in-place on the key
+    val cfg = EngineConfig("product", Seq("Name"), tmpDir("keywrite"), runId = "kw1")
+    val e = intercept[IllegalArgumentException] {
+      new PipelineRunner(spark, cfg).run(productDf, Seq(b))
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
+  test("resume plan-guard: a different asOfDate invalidates the manifest (full re-run)") {
+    // the same catalog compiles to a DIFFERENT effective plan when an
+    // activation window excludes a rule — splicing the old checkpoints in
+    // would be wrong, so the manifest hash must miss and nothing resumes
+    val windowed = bindings.map {
+      // window rule 12 (Flag; nothing downstream reads BigIdFlag) — rule 10
+      // can't be windowed here because rule 20's Drop reads its SizeOut
+      case b if b.code == 12 => b.copy(dateTo = Some("2025-06-30"))
+      case b => b
+    }
+    val dir = tmpDir("asofresume")
+    val cfg = EngineConfig("product", Seq("ProductId"), dir, runId = "ao1",
+      asOfDate = Some("2025-06-01")) // rule 12 active
+    val r1 = new PipelineRunner(spark, cfg).run(productDf, windowed)
+    assert(r1.summaries.exists(_.ruleAssocCode == 12))
+    val r2 = new PipelineRunner(spark,
+      cfg.copy(resume = true, asOfDate = Some("2025-07-01"))) // rule 12 excluded
+      .run(productDf, windowed)
+    assert(!r2.loadTree.exists(_.process.contains("[resumed]")),
+      "stale checkpoints from a different effective plan were resumed")
+    assert(r2.summaries.exists(s => s.checkName == "ActivationWindow" && s.ruleAssocCode == 12))
+    // and with the SAME asOfDate the manifest still resumes
+    val r3 = new PipelineRunner(spark,
+      cfg.copy(resume = true, asOfDate = Some("2025-07-01"))).run(productDf, windowed)
+    assert(r3.loadTree.exists(_.process.contains("[resumed]")))
+  }
 }

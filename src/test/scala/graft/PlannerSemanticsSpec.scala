@@ -112,6 +112,52 @@ class PlannerSemanticsSpec extends SparkSpec {
     assert(out == Seq("b", "b", "b"))
   }
 
+  test("case-insensitive conflict analysis: 'Color' writer vs 'color' reader don't fuse") {
+    // Spark resolution is case-insensitive by default: a rule writing
+    // "Color" in place and a later rule reading "color" must see the
+    // sequential (post-write) image — an exact-case intersection would fuse
+    // them and give the reader the pre-image.
+    val df = Seq(("red", 1), ("blue", 2)).toDF("Color", "id")
+    val bindings = Seq(
+      RuleBinding(60, "t", 1, "Color",
+        RuleSpec.Harmonize(1, "up", HarmonizeOp.ToUpper)),
+      RuleBinding(61, "t", 1, "color", // case-variant read of 60's write
+        RuleSpec.Predicate(2, "isRed", "= 'RED'", RuleAction.Flag, Severity.Info),
+        statusColumn = Some("red_hit")))
+    val compiled = bindings.map(b => RuleCompiler.compile(b, df.schema))
+    val segs = SequencePlanner.plan(compiled)
+    assert(segs.head.stages.size == 2, SequencePlanner.describe(segs))
+    val out = StageExec.lazyApply(df, bindings)
+    // in-place rewrite must not append a case-variant duplicate column
+    assert(out.columns.count(_.equalsIgnoreCase("color")) == 1, out.columns.mkString(","))
+    val got = out.select("id", "red_hit").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(1) == "1" && got(2) == null) // reader saw the uppercased image
+  }
+
+  test("filter-scoped denominator forces a stage break from a same-tranche filter-column writer") {
+    // Rule 70 (Predicate/Log, pctOfTotal) has an optionalFilter on `grp`;
+    // its denominator re-evaluates the filter POST-projection via observe().
+    // Rule 71 rewrites `grp` in place in the same tranche — without the
+    // filter columns registered as aggregate reads they would fuse, and the
+    // percentage would divide a pre-image numerator by a post-image count.
+    val df = Seq(("A", 5, 1), ("A", 15, 2), ("B", 15, 3)).toDF("grp", "x", "id")
+    val bindings = Seq(
+      RuleBinding(70, "t", 1, "x",
+        RuleSpec.Predicate(1, "bigX", "> 10", RuleAction.Log, Severity.Info),
+        optionalFilter = Some("grp = 'A'")),
+      RuleBinding(71, "t", 1, "grp", // rewrites every 'A' to 'Z'
+        RuleSpec.Harmonize(2, "repl", HarmonizeOp.ReplaceValue("A", "Z"))))
+    val compiled = bindings.map(b => RuleCompiler.compile(b, df.schema))
+    val segs = SequencePlanner.plan(compiled)
+    assert(segs.head.stages.size == 2, SequencePlanner.describe(segs))
+    val cfg = exec.EngineConfig("t", Seq("id"), tmpDir("filterden"), runId = "fd1")
+    val res = new exec.PipelineRunner(spark, cfg).run(df, bindings)
+    val s = res.summaries.filter(_.ruleAssocCode == 70).head
+    assert(s.rowsAffected == 1)            // x=15 within grp='A'
+    assert(s.percentageValue.contains(50.0)) // of the 2 in-filter rows — not 0-row post-image
+  }
+
   test("saltedAggregate equals direct groupBy on skewed keys") {
     val rows = (0 until 5000).map { i =>
       val repo = if (i % 10 < 8) "mega" else s"repo${i % 37}" // 80% hot key

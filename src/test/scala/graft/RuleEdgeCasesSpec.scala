@@ -135,4 +135,35 @@ class RuleEdgeCasesSpec extends SparkSpec {
     assert(rows(2) == "FAILURE: Join established but attribute comparison failed")
     assert(rows(3) == "No Join Possible")
   }
+
+  test("R3 qualifier rewrite leaves 'dq.'/'ref.' inside string literals untouched") {
+    // a blind replace would strip the 'dq.' inside the literal, comparing
+    // against 'x@example.com' and flipping row 1's status
+    val dq = Seq((1, 10, "x@dq.example.com"), (2, 20, "other")).toDF("id", "fk", "email")
+    val ref = Seq((10, 1), (20, 1)).toDF("rk", "z")
+    val b = RuleBinding(1, "t", 1, "fk",
+      RuleSpec.Reference(1, "cmp",
+        RefMode.AttributeComparison("ref", "dq.fk = ref.rk",
+          "dq.email <> 'x@dq.example.com'"),
+        Severity.Issue),
+      statusColumn = Some("st"))
+    val rows = StageExec.lazyApply(dq, Seq(b), Map("ref" -> ref))
+      .select("id", "st").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows(1) == "SUCCESS: Join established and attribute matched",
+      s"literal was corrupted by the qualifier rewrite: ${rows(1)}")
+    assert(rows(2) == "FAILURE: Join established but attribute comparison failed")
+  }
+
+  test("E2 Flag on an EXISTING column preserves the pre-image of non-matching rows") {
+    // reference semantics: UPDATE … SET flag='1' WHERE pred leaves other
+    // rows untouched; a bare when(pred,'1') would null them out
+    val df = Seq((1, 15, "old1"), (2, 5, "old2")).toDF("id", "x", "flag")
+    val b = RuleBinding(1, "t", 1, "x",
+      RuleSpec.Predicate(1, "big", "> 10", RuleAction.Flag, Severity.Info),
+      outputColumn = Some("flag"))
+    val out = StageExec.lazyApply(df, Seq(b))
+      .select("id", "flag").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "1")
+    assert(out(2) == "old2", s"pre-image destroyed: ${out(2)}")
+  }
 }

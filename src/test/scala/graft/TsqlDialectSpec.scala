@@ -92,4 +92,10 @@ class TsqlDialectSpec extends AnyFunSuite {
       "CONVERT(VARCHAR, GETDATE(), 103)")
     frags.foreach { f => val once = rewrite(f); assert(rewrite(once) == once, f) }
   }
+
+  test("doubled ]] inside a bracket identifier is T-SQL escaping for ]") {
+    assert(rewrite("[a]]b] = 1") == "`a]b` = 1")
+    assert(rewrite("[x]]] > 0") == "`x]` > 0")          // identifier x]
+    assert(rewrite("LEN([a]]b]) > 2") == "length(rtrim(`a]b`)) > 2")
+  }
 }
