@@ -65,7 +65,10 @@ object Main {
         val (expanded, errs) = CatalogIO.readExpanded(spark, req("catalog"), rsPath)
         errs.foreach(e => System.err.println(s"[graft] FATAL pre-check: $e"))
         (expanded, errs)
-      case None => (CatalogIO.read(spark, req("catalog")), Seq.empty[String])
+      case None =>
+        val (loaded, errs) = CatalogIO.readSafe(spark, req("catalog"))
+        errs.foreach(e => System.err.println(s"[graft] FATAL pre-check: $e"))
+        (loaded, errs)
     }
     // single-rule mode ≡ DQ.sExecuteStandAloneRule
     val bindings = opts.get("rule-code") match {

@@ -19,7 +19,13 @@ object AuditMaintenance {
   def retainHistoricalLoads(audit: DataFrame, retain: Int,
                             clearAll: Boolean = false): DataFrame = {
     if (clearAll) return audit.limit(0)
-    val w = Window.partitionBy(col("ruleAssocCode")).orderBy(col("loadId").desc)
+    // recency = createdAt, NOT loadId: the reference's `RANK OVER (ORDER BY
+    // LoadId DESC)` rode an incrementing identity column, but this engine's
+    // loadIds are 44-bit FNV hashes of the runId — not monotonic in time —
+    // so ranking by them would retain/expire arbitrary runs. loadId stays
+    // as the tie-break so same-timestamp rows of one load rank together.
+    val w = Window.partitionBy(col("ruleAssocCode"))
+      .orderBy(col("createdAt").desc, col("loadId").desc)
     audit.withColumn("__rank", dense_rank().over(w))
       .where(col("__rank") <= retain)
       .drop("__rank")

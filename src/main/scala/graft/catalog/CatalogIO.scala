@@ -203,10 +203,20 @@ object CatalogIO {
 
   def fromRow(r: CatalogRow): RuleBinding = {
     def sev = Severity.byName(r.severity.getOrElse("Info"))
+    // informative per-field failures instead of bare NoSuchElementException
+    // from Option.get — [[fromRows]] turns these into per-association error
+    // strings so one malformed persisted row cannot crash the catalog load
+    def need[T](o: Option[T], field: String): T = o.getOrElse(
+      throw new IllegalArgumentException(
+        s"association ${r.code} (${r.category}): required field $field is missing"))
     val spec: RuleSpec = r.category match {
       case "RuleValueCorrection" =>
-        RuleSpec.ValueCorrect(r.ruleId, r.ruleName,
-          r.sourceValues.getOrElse(Nil).zip(r.preferredValues.getOrElse(Nil)))
+        val src = r.sourceValues.getOrElse(Nil)
+        val pref = r.preferredValues.getOrElse(Nil)
+        require(src.length == pref.length,
+          s"association ${r.code}: sourceValues (${src.length}) and preferredValues " +
+            s"(${pref.length}) differ in length — a zip would silently drop the tail")
+        RuleSpec.ValueCorrect(r.ruleId, r.ruleName, src.zip(pref))
       case "RuleExpression" =>
         val action = r.actionType.getOrElse("Default") match {
           case "IndicatorFlag" => RuleAction.Flag
@@ -230,10 +240,10 @@ object CatalogIO {
         RuleSpec.Harmonize(r.ruleId, r.ruleName, op)
       case "RuleReference" =>
         val mode = r.refMode.getOrElse("") match {
-          case "TableReference" => TableReference(r.refTable.get, r.refColumn.get)
+          case "TableReference" => TableReference(need(r.refTable, "refTable"), need(r.refColumn, "refColumn"))
           case "ListReference" => ListReference(r.refList.getOrElse(Nil))
-          case "AttributeComparisons" => AttributeComparison(r.refTable.get, r.joinLogic.get, r.comparison.get)
-          case "ReferentialIntegrity" => ReferentialIntegrity(r.refTable.get, r.joinLogic.get, r.refKeyColumn.get)
+          case "AttributeComparisons" => AttributeComparison(need(r.refTable, "refTable"), need(r.joinLogic, "joinLogic"), need(r.comparison, "comparison"))
+          case "ReferentialIntegrity" => ReferentialIntegrity(need(r.refTable, "refTable"), need(r.joinLogic, "joinLogic"), need(r.refKeyColumn, "refKeyColumn"))
           case other => throw new IllegalArgumentException(s"Unknown reference mode $other")
         }
         RuleSpec.Reference(r.ruleId, r.ruleName, mode, sev)
@@ -241,7 +251,7 @@ object CatalogIO {
         val kind = r.profileKind.getOrElse("") match {
           case "DataTypeCheck" => DataTypeCheck(r.dataType.getOrElse("string"))
           case "DuplicatesCount" => DuplicatesCount(r.pkColumns.getOrElse(Nil))
-          case "DuplicatesFlag" => DuplicatesFlag(r.pkColumns.getOrElse(Nil), r.orderColumn.get)
+          case "DuplicatesFlag" => DuplicatesFlag(r.pkColumns.getOrElse(Nil), need(r.orderColumn, "orderColumn"))
           case "MinAndMaxValueProfile" => MinMaxValue
           case "MinAndMaxLengthProfile" => MinMaxLength(r.compatFlag.getOrElse(false))
           case "TableRowCount" => RowCount
@@ -303,13 +313,32 @@ object CatalogIO {
   /** Ruleset-aware catalog load: read binding rows + ruleset members, expand,
     * decode. Expansion problems ('no rule or ruleset defined') surface as
     * the second element — the caller logs them as fatal pre-check rows. */
+  /** Decode rows one association at a time: a malformed persisted row (bad
+    * category, missing required field, mismatched value-correct lists)
+    * becomes a per-association error string instead of crashing the whole
+    * catalog load — the same contract [[expandRulesets]] keeps for its
+    * failure modes. */
+  def fromRows(rows: Seq[CatalogRow]): (Seq[RuleBinding], Seq[String]) = {
+    val errors = Seq.newBuilder[String]
+    val ok = rows.flatMap { r =>
+      try Some(fromRow(r))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          errors += s"association ${r.code}: undecodable catalog row — ${e.getMessage}"
+          None
+      }
+    }
+    (ok.sortBy(_.code), errors.result())
+  }
+
   def readExpanded(spark: SparkSession, bindingsPath: String,
                    rulesetsPath: String): (Seq[RuleBinding], Seq[String]) = {
     import spark.implicits._
     val rows = spark.read.parquet(bindingsPath).as[CatalogRow].collect().toSeq
     val members = readRulesets(spark, rulesetsPath)
     val (expanded, errs) = expandRulesets(rows, members)
-    (expanded.map(fromRow).sortBy(_.code), errs)
+    val (bindings, decodeErrs) = fromRows(expanded)
+    (bindings, errs ++ decodeErrs)
   }
 
   /** Persist the catalog as a parquet table. */
@@ -318,10 +347,18 @@ object CatalogIO {
     bindings.map(toRow).toDS().coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Load a catalog table (the S1 import). Validation happens downstream in
-    * [[CatalogValidator]] once the entity schema is known. */
+  /** Load a catalog table (the S1 import), strict form: throws on the first
+    * undecodable row. Validation happens downstream in [[CatalogValidator]]
+    * once the entity schema is known. Production entry points use
+    * [[readSafe]] so one bad row becomes an audit row, not a crash. */
   def read(spark: SparkSession, path: String): Seq[RuleBinding] = {
     import spark.implicits._
     spark.read.parquet(path).as[CatalogRow].collect().toSeq.map(fromRow).sortBy(_.code)
+  }
+
+  /** [[read]] with per-association error capture (see [[fromRows]]). */
+  def readSafe(spark: SparkSession, path: String): (Seq[RuleBinding], Seq[String]) = {
+    import spark.implicits._
+    fromRows(spark.read.parquet(path).as[CatalogRow].collect().toSeq)
   }
 }

@@ -78,10 +78,15 @@ object CatalogValidator {
     val windowExcluded = outOfWindow.map(_.code).toSet ++ badDateCodes
     val inputCols = schema.fieldNames.map(_.toLowerCase).toSet
 
-    val dupCodes = bindings.groupBy(_.code).collect { case (c, bs) if bs.size > 1 => c }
-    val dupErrs = dupCodes.map(DuplicateAssociationCode).toSeq
-
     def inScope(b: RuleBinding): Boolean = b.active && !windowExcluded(b.code)
+
+    // duplicate codes are checked among RUNNABLE rows only: a retired
+    // (active=false) or out-of-window row is excluded from every other
+    // check, and FATALing its active same-code replacement would make
+    // archiving-by-deactivation impossible
+    val dupCodes = bindings.filter(inScope).groupBy(_.code)
+      .collect { case (c, bs) if bs.size > 1 => c }
+    val dupErrs = dupCodes.map(DuplicateAssociationCode).toSeq
 
     // A rule may evaluate a column produced by an EARLIER rule (reference:
     // output columns are ALTER TABLE ADDed as rules execute, so later rules
@@ -101,24 +106,15 @@ object CatalogValidator {
       case _: RuleSpec.Profile => Set.empty[String] // pure aggregations
       case _: RuleSpec.Convert => Set(b.resolvedOutput, b.resolvedStatus)
     }).map(_.toLowerCase)
-    val ordered = bindings.filter(inScope).sortBy(b => (b.sequence, b.code))
-    val availableAt: Map[Int, Set[String]] = {
-      var avail = inputCols
-      ordered.map { b =>
-        val at = b.code -> avail
-        avail = avail ++ createdBy(b)
-        at
-      }.toMap
-    }
-
-    val errs = bindings.filter(inScope).flatMap { b =>
-      def has(c: String): Boolean =
-        availableAt.getOrElse(b.code, inputCols)(c.toLowerCase)
-      val evalErr: Option[CatalogError] = b.evaluationColumn match {
-        case RuleBinding.IgnoreColumn | RuleBinding.AllColumns => None
-        case c if !has(c) => Some(MissingEvaluationColumn(b.code, c))
-        case _ => None
-      }
+    // availableAt must credit only columns from producers that will
+    // actually RUN: a producer FATALed by any check is excluded from `ok`
+    // and never creates its output, so consumers of that column must fail
+    // validation too (else they pass here and crash the run at analysis
+    // time). Eval-column errors can cascade (A errored → B missing A's
+    // output → C missing B's output…), so iterate to a fixpoint — excluded
+    // codes grow monotonically, each code's error is reported once from the
+    // iteration where it first failed.
+    val nonEvalErrs = bindings.filter(inScope).flatMap { b =>
       val seqErr: Option[CatalogError] =
         if (b.sequence < 1 || b.sequence > 11) Some(InvalidSequence(b.code, b.sequence)) else None
       val specErr: Option[CatalogError] = b.spec match {
@@ -149,18 +145,40 @@ object CatalogValidator {
           }
         case _ => None
       }
-      evalErr.toSeq ++ seqErr.toSeq ++ specErr.toSeq ++ refErr.toSeq
+      seqErr.toSeq ++ specErr.toSeq ++ refErr.toSeq
     }
 
-    val badCodes = (errs.collect {
-      case e: MissingEvaluationColumn => e.code
-      case e: MissingReferenceColumn => e.code
-      case e: EmptyRule => e.code
-      case e: InvalidSequence => e.code
-    } ++ dupCodes).toSet
+    var excludedCodes: Set[Int] = nonEvalErrs.map(_.code).toSet ++ dupCodes
+    val evalErrs = Seq.newBuilder[CatalogError]
+    var converged = false
+    while (!converged) {
+      val ordered = bindings
+        .filter(b => inScope(b) && !excludedCodes(b.code))
+        .sortBy(b => (b.sequence, b.code))
+      val availableAt: Map[Int, Set[String]] = {
+        var avail = inputCols
+        ordered.map { b =>
+          val at = b.code -> avail
+          avail = avail ++ createdBy(b)
+          at
+        }.toMap
+      }
+      val newErrs = ordered.flatMap { b =>
+        b.evaluationColumn match {
+          case RuleBinding.IgnoreColumn | RuleBinding.AllColumns => None
+          case c if !availableAt.getOrElse(b.code, inputCols)(c.toLowerCase) =>
+            Some(MissingEvaluationColumn(b.code, c))
+          case _ => None
+        }
+      }
+      evalErrs ++= newErrs
+      converged = newErrs.isEmpty
+      excludedCodes = excludedCodes ++ newErrs.map(_.code)
+    }
+
     // Deterministic rule order: ORDER BY CAST(Code AS INT)
     // ($P/DQ.sGetEntityDQTasks.sql:73)
-    val ok = bindings.filter(b => inScope(b) && !badCodes(b.code)).sortBy(_.code)
-    Validated(ok, dateErrs ++ dupErrs ++ errs, outOfWindow)
+    val ok = bindings.filter(b => inScope(b) && !excludedCodes(b.code)).sortBy(_.code)
+    Validated(ok, dateErrs ++ dupErrs ++ nonEvalErrs ++ evalErrs.result(), outOfWindow)
   }
 }

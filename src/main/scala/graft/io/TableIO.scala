@@ -58,25 +58,35 @@ class ParquetSnapshotIO(spark: SparkSession, root: String) extends TableIO {
   private def tableDir(t: String) = Paths.get(root, t)
   private def manifest(t: String) = tableDir(t).resolve("_snapshots")
 
-  override def snapshots(table: String): Seq[Long] =
-    if (Files.exists(manifest(table)))
-      Files.readAllLines(manifest(table)).asScala.toSeq.filter(_.nonEmpty).map(_.toLong)
-    else Seq.empty
+  /** Manifest = optional `hw=<n>` high-water line + one live id per line.
+    * The high-water mark outlives expiry so snapshot ids are NEVER reused:
+    * a consumer that recorded "replay snapshot 3" must never silently read
+    * a later commit's bytes because id 3 was re-minted after full expiry
+    * (Iceberg never reuses snapshot ids — same contract here). */
+  private def parseManifest(table: String): (Long, Seq[Long]) =
+    if (Files.exists(manifest(table))) {
+      val lines = Files.readAllLines(manifest(table)).asScala.toSeq.filter(_.nonEmpty)
+      val hw = lines.collectFirst { case l if l.startsWith("hw=") => l.drop(3).toLong }
+      val ids = lines.filter(_.forall(_.isDigit)).map(_.toLong)
+      (hw.getOrElse(ids.lastOption.getOrElse(0L)), ids)
+    } else (0L, Seq.empty)
 
-  private def writeManifest(table: String, ids: Seq[Long]): Unit = {
+  override def snapshots(table: String): Seq[Long] = parseManifest(table)._2
+
+  private def writeManifest(table: String, ids: Seq[Long], highWater: Long): Unit = {
     val tmp = tableDir(table).resolve("_snapshots.tmp")
     Files.createDirectories(tableDir(table))
-    Files.writeString(tmp, ids.mkString("\n") + "\n")
+    Files.writeString(tmp, (s"hw=$highWater" +: ids.map(_.toString)).mkString("\n") + "\n")
     // atomic publish: a crash before this move leaves the old history intact
     Files.move(tmp, manifest(table), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
 
   override def commit(table: String, df: DataFrame): Long = {
-    val prev = snapshots(table)
-    val id = prev.lastOption.getOrElse(0L) + 1L
+    val (hw, prev) = parseManifest(table)
+    val id = math.max(hw, prev.lastOption.getOrElse(0L)) + 1L
     df.write.mode("overwrite").parquet(s"$root/$table/snap-$id")
-    writeManifest(table, prev :+ id) // manifest move = the commit point
+    writeManifest(table, prev :+ id, highWater = id) // manifest move = the commit point
     id
   }
 
@@ -93,14 +103,18 @@ class ParquetSnapshotIO(spark: SparkSession, root: String) extends TableIO {
     spark.read.parquet(s"$root/$table/snap-$snapshotId")
 
   override def expireSnapshots(table: String, retain: Int): Unit = {
-    val ids = snapshots(table)
+    val (hw, ids) = parseManifest(table)
     val (expire, keep) = ids.splitAt(math.max(ids.size - retain, 0))
-    writeManifest(table, keep) // unpublish first, then delete files
+    writeManifest(table, keep, highWater = hw) // unpublish first, then delete files
     expire.foreach { id =>
       val dir = Paths.get(s"$root/$table/snap-$id")
-      if (Files.exists(dir))
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      if (Files.exists(dir)) {
+        // Files.walk holds open directory handles — must be closed
+        val stream = Files.walk(dir)
+        try stream.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
+        finally stream.close()
+      }
     }
   }
 }

@@ -9,15 +9,20 @@ import graft.rules.CodeQualityCatalog
 class AuditCatalogSpec extends SparkSpec {
   import spark.implicits._
 
-  test("S9 retention keeps the newest N loads per rule association") {
+  test("S9 retention keeps the newest N loads per rule association BY TIME, not loadId") {
+    // loadIds are runId hashes (not monotonic): give the NEWEST run the
+    // SMALLEST loadId so ranking by loadId would expire it — recency must
+    // come from createdAt
     val audit = (for {
       rule <- Seq(10, 11)
       load <- 1 to 5
-    } yield (rule, load.toLong, s"row-$rule-$load")).toDF("ruleAssocCode", "loadId", "payload")
+    } yield (rule, (6 - load).toLong, new Timestamp(load * 1000L), s"row-$rule-$load"))
+      .toDF("ruleAssocCode", "loadId", "createdAt", "payload")
     val kept = AuditMaintenance.retainHistoricalLoads(audit, retain = 2)
       .select("ruleAssocCode", "loadId").collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSet
-    assert(kept == Set((10, 5L), (10, 4L), (11, 5L), (11, 4L)))
+    // newest two createdAt (loads 4,5) carry loadIds 2,1
+    assert(kept == Set((10, 1L), (10, 2L), (11, 1L), (11, 2L)))
     assert(AuditMaintenance.retainHistoricalLoads(audit, 2, clearAll = true).count() == 0)
   }
 
@@ -53,6 +58,26 @@ class AuditCatalogSpec extends SparkSpec {
     CatalogIO.write(spark, bindings, s"$dir/catalog")
     val loaded = CatalogIO.read(spark, s"$dir/catalog")
     assert(loaded.sortBy(_.code) == bindings.sortBy(_.code))
+  }
+
+  test("one malformed persisted row becomes a per-association error, not a crashed load") {
+    import graft.catalog.{CatalogIO, RuleBinding, RuleSpec, HarmonizeOp}
+    val good = CatalogIO.toRow(RuleBinding(1, "t", 1, "c",
+      RuleSpec.Harmonize(1, "up", HarmonizeOp.ToUpper)))
+    val missingField = CatalogIO.toRow(RuleBinding(2, "t", 1, "c",
+      RuleSpec.Reference(2, "fk",
+        graft.catalog.RefMode.TableReference("ref", "k"),
+        graft.catalog.Severity.Fatal))).copy(refTable = None) // operator-damaged row
+    val badCategory = good.copy(code = 3, category = "NoSuchCategory")
+    val mismatchedVc = CatalogIO.toRow(RuleBinding(4, "t", 1, "c",
+      RuleSpec.ValueCorrect(4, "vc", Seq("a" -> "x", "b" -> "y"))))
+      .copy(preferredValues = Some(Seq("x"))) // zip would silently drop 'b'
+    val (ok, errs) = CatalogIO.fromRows(Seq(good, missingField, badCategory, mismatchedVc))
+    assert(ok.map(_.code) == Seq(1))
+    assert(errs.size == 3)
+    assert(errs.exists(e => e.contains("association 2") && e.contains("refTable")))
+    assert(errs.exists(e => e.contains("association 3")))
+    assert(errs.exists(e => e.contains("association 4") && e.contains("length")))
   }
 
   test("loaded catalog drives the pipeline identically to the in-memory one") {

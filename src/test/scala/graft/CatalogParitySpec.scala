@@ -150,8 +150,9 @@ class CatalogParitySpec extends SparkSpec {
     assert(Parameters.fnGetParameterValue(params, "absent").isEmpty)
     val retain = Parameters.getInt(params, Parameters.HistoricalLoadsToRetain, 10)
     assert(retain == 2)
-    val audit = Seq((1, 100L), (1, 101L), (1, 102L), (2, 100L))
-      .toDF("ruleAssocCode", "loadId")
+    val audit = Seq((1, 100L, 1000L), (1, 101L, 2000L), (1, 102L, 3000L), (2, 100L, 1000L))
+      .map { case (r, l, t) => (r, l, new java.sql.Timestamp(t)) }
+      .toDF("ruleAssocCode", "loadId", "createdAt")
     val kept = graft.audit.AuditMaintenance.retainHistoricalLoads(audit, retain)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(kept == Set((1, 102L), (1, 101L), (2, 100L))) // newest 2 per rule

@@ -146,6 +146,37 @@ class EngineSpec extends SparkSpec {
     assert(v.ok.isEmpty || v.ok.forall(b => b.code != 30 && b.code != 31 && b.code != 32 && b.code != 33))
   }
 
+  test("validation cascades: a consumer of an ERRORED producer's column fails too") {
+    // rule 40 would create 'clean_col' but is FATALed (invalid sequence), so
+    // it never runs — rule 41 consuming clean_col must fail validation
+    // instead of passing and crashing the run at analysis time; rule 42
+    // consuming 41's output cascades one more level
+    val chain = Seq(
+      RuleBinding(40, "product", 99, "Size", // invalid sequence → FATAL
+        RuleSpec.Harmonize(9, "mk", HarmonizeOp.ToUpper),
+        outputColumn = Some("clean_col")),
+      RuleBinding(41, "product", 2, "clean_col",
+        RuleSpec.Harmonize(9, "use", HarmonizeOp.ToLower),
+        outputColumn = Some("clean_col2")),
+      RuleBinding(42, "product", 3, "clean_col2",
+        RuleSpec.Harmonize(9, "use2", HarmonizeOp.ToUpper)))
+    val v = CatalogValidator.validate(chain, productDf.schema)
+    assert(v.ok.isEmpty, s"consumers of a FATALed producer passed: ${v.ok.map(_.code)}")
+    assert(v.errors.exists { case e: CatalogValidator.MissingEvaluationColumn => e.code == 41; case _ => false })
+    assert(v.errors.exists { case e: CatalogValidator.MissingEvaluationColumn => e.code == 42; case _ => false })
+  }
+
+  test("a retired (active=false) row does not duplicate-FATAL its same-code replacement") {
+    val pair = Seq(
+      RuleBinding(50, "product", 1, "Size",
+        RuleSpec.Harmonize(9, "old", HarmonizeOp.ToUpper), active = false),
+      RuleBinding(50, "product", 1, "Size",
+        RuleSpec.Harmonize(9, "new", HarmonizeOp.ToLower)))
+    val v = CatalogValidator.validate(pair, productDf.schema)
+    assert(v.errors.isEmpty, v.errors.mkString("; "))
+    assert(v.ok.map(_.code) == Seq(50) && v.ok.head.spec.ruleName == "new")
+  }
+
   test("natural key is immutable: a rule writing a key column fails fast") {
     // row-history stamps hits with key values from the unit-final checkpoint;
     // a key mutated mid-unit would disconnect audit rows from source rows

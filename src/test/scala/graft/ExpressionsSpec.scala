@@ -17,7 +17,12 @@ class ExpressionsSpec extends SparkSpec {
     "the quick brown fox jumps over the lazy dog",
     "éèê unicode líne\nwith tabs\tand more",
     "DO NOT EDIT generated file " + ("qqq " * 50),
-    ("%x%.-@# " * 20) + "\nlowalnum")
+    ("%x%.-@# " * 20) + "\nlowalnum",
+    // kernel whitespace class is [ \t\n\r] ONLY — \f and \x0B are TOKEN
+    // chars; a \s-based twin would miscount these
+    "a\fb c",
+    "\tleading tab one two",
+    "ab")
 
   private def df = samples.toDF("content")
 

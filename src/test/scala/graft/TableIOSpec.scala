@@ -26,4 +26,18 @@ class TableIOSpec extends SparkSpec {
     io.append("audit", Seq("b", "c").toDF("x"))
     assert(spark.read.parquet(s"$root/audit/log").count() == 3)
   }
+
+  test("snapshot ids are never reused, even after full expiry") {
+    // a consumer that recorded "replay snapshot N" must never silently read
+    // a later commit's bytes under the same id (Iceberg contract)
+    val io = new ParquetSnapshotIO(spark, tmpDir("tableio3"))
+    val s1 = io.commit("t", Seq(1).toDF("v"))
+    val s2 = io.commit("t", Seq(2).toDF("v"))
+    io.expireSnapshots("t", retain = 0)
+    assert(io.snapshots("t").isEmpty)
+    val s3 = io.commit("t", Seq(3).toDF("v"))
+    assert(s3 > s2, s"snapshot id $s3 reuses an expired id (had $s1,$s2)")
+    assert(io.snapshots("t") == Seq(s3))
+    assert(io.read("t").collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
 }
