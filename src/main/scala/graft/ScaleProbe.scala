@@ -175,7 +175,8 @@ object ScaleProbe {
       val pairs = time(s"winnow containment ($rows rows, k=$kGram, window=$window, maxDf=$maxDf, planted ~${rows / 20})") {
         operators.Dedup.winnowContainmentPairs(docs, col("text"), col("doc_id"),
             k = kGram, window = window, minContainment = 0.5,
-            maxFingerprintDocFreq = maxDf)
+            maxFingerprintDocFreq = maxDf,
+            persistSignatures = sys.env.getOrElse("SPARK_GRAFT_PROBE_PERSIST", "1") == "1")
           .agg(count(lit(1)), sum(when(col("doc_id_a") === col("doc_id_b") - 10, 1L).otherwise(0L)))
           .head()
       }

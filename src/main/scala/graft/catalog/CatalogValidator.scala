@@ -76,7 +76,7 @@ object CatalogValidator {
       .map(b => OutOfWindow(b.code,
         s"[${b.dateFrom.getOrElse("-")} .. ${b.dateTo.getOrElse("-")}] asOf=$asOf"))
     val windowExcluded = outOfWindow.map(_.code).toSet ++ badDateCodes
-    val inputCols = schema.fieldNames.map(_.toLowerCase).toSet
+    val inputCols = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
 
     def inScope(b: RuleBinding): Boolean = b.active && !windowExcluded(b.code)
 
@@ -105,7 +105,7 @@ object CatalogValidator {
         Set(b.resolvedStatus)
       case _: RuleSpec.Profile => Set.empty[String] // pure aggregations
       case _: RuleSpec.Convert => Set(b.resolvedOutput, b.resolvedStatus)
-    }).map(_.toLowerCase)
+    }).map(_.toLowerCase(java.util.Locale.ROOT))
     // availableAt must credit only columns from producers that will
     // actually RUN: a producer FATALed by any check is excluded from `ok`
     // and never creates its output, so consumers of that column must fail
@@ -129,7 +129,7 @@ object CatalogValidator {
       val refErr: Option[CatalogError] = b.spec match {
         case RuleSpec.Reference(_, _, RefMode.TableReference(t, c), _) =>
           refSchemas.get(t) match {
-            case Some(rs) if !rs.fieldNames.map(_.toLowerCase).contains(c.toLowerCase) =>
+            case Some(rs) if !rs.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).contains(c.toLowerCase(java.util.Locale.ROOT)) =>
               Some(MissingReferenceColumn(b.code, t, c))
             case None => Some(MissingReferenceColumn(b.code, t, c))
             case _ => None
@@ -138,7 +138,7 @@ object CatalogValidator {
           Some(MissingReferenceColumn(b.code, t, "*"))
         case RuleSpec.Reference(_, _, RefMode.ReferentialIntegrity(t, _, k), _) =>
           refSchemas.get(t) match {
-            case Some(rs) if !rs.fieldNames.map(_.toLowerCase).contains(k.toLowerCase) =>
+            case Some(rs) if !rs.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).contains(k.toLowerCase(java.util.Locale.ROOT)) =>
               Some(MissingReferenceColumn(b.code, t, k))
             case None => Some(MissingReferenceColumn(b.code, t, k))
             case _ => None
@@ -166,7 +166,7 @@ object CatalogValidator {
       val newErrs = ordered.flatMap { b =>
         b.evaluationColumn match {
           case RuleBinding.IgnoreColumn | RuleBinding.AllColumns => None
-          case c if !availableAt.getOrElse(b.code, inputCols)(c.toLowerCase) =>
+          case c if !availableAt.getOrElse(b.code, inputCols)(c.toLowerCase(java.util.Locale.ROOT)) =>
             Some(MissingEvaluationColumn(b.code, c))
           case _ => None
         }

@@ -431,7 +431,7 @@ object RuleCompiler {
 
       case ListReference(values) =>
         // case-insensitive ≡ COLLATE Latin1_General_CI_AS (:628)
-        val lowered = values.map(_.toLowerCase)
+        val lowered = values.map(_.toLowerCase(java.util.Locale.ROOT))
         val found = lower(eval).isin(lowered: _*)
         val statusExpr =
           when(eval.isNull, lit("Null Evaluation Value"))

@@ -19,14 +19,14 @@ object ScalarOps {
     "DQ.fnRemoveSpecialCharacters" -> (TextFunctions.removeSpecialCharacters(_)),
     "DQ.fnRemoveMCharacters"       -> (TextFunctions.removeMCharacters(_)),
     "DQ.fnReturnNumericAlphaMask"  -> (TextFunctions.numericAlphaMask(_)),
-  ).map { case (k, v) => k.toLowerCase -> v }
+  ).map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
 
   def register(name: String, op: Column => Column): Unit = synchronized {
-    registry = registry + (name.toLowerCase -> op)
+    registry = registry + (name.toLowerCase(java.util.Locale.ROOT) -> op)
   }
 
   def resolve(name: String): Column => Column =
-    registry.getOrElse(name.toLowerCase,
+    registry.getOrElse(name.toLowerCase(java.util.Locale.ROOT),
       throw new IllegalArgumentException(s"Unknown bespoke scalar op: $name"))
 
   def known: Set[String] = registry.keySet

@@ -78,7 +78,7 @@ object TsqlDialect {
         val prevToken = if (!prevIsIdent) "" else {
           var b = out.length - 1
           while (b >= 0 && (Character.isLetterOrDigit(out.charAt(b)) || out.charAt(b) == '_')) b -= 1
-          out.substring(b + 1, out.length).toUpperCase
+          out.substring(b + 1, out.length).toUpperCase(java.util.Locale.ROOT)
         }
         val subscript = ((prevIsIdent && !KeywordBeforeBracket.contains(prevToken)) ||
           prev == ')' || prev == ']' || prev == '`')
@@ -105,7 +105,7 @@ object TsqlDialect {
         val ident = sql.substring(i, end)
         val afterIdent = skipWs(sql, end)
         if (afterIdent < sql.length && sql.charAt(afterIdent) == '(' &&
-            Rewritable.contains(ident.toUpperCase)) {
+            Rewritable.contains(ident.toUpperCase(java.util.Locale.ROOT))) {
           val (args, close) = splitArgs(sql, afterIdent)
           val rewritten = args.map(a => rewrite(a.trim))
           out.append(applyFn(ident, rewritten, sql.substring(i, close + 1)))
@@ -129,7 +129,7 @@ object TsqlDialect {
     "JOIN", "UNION", "INTERSECT", "EXCEPT", "NULL", "TRUE", "FALSE")
 
   private def applyFn(name: String, args: Seq[String], original: String): String =
-    (name.toUpperCase, args) match {
+    (name.toUpperCase(java.util.Locale.ROOT), args) match {
       case ("LEN", Seq(x)) => s"length(rtrim($x))"
       case ("ISNULL", Seq(a, b)) => s"coalesce($a, $b)"
       case ("ISNULL", _) => original // 1-arg form IS Spark's null test — keep
@@ -144,7 +144,7 @@ object TsqlDialect {
 
   /** T-SQL type name → Spark type name (sizes kept where Spark has them). */
   private def mapType(t: String): String = {
-    val up = t.trim.toUpperCase
+    val up = t.trim.toUpperCase(java.util.Locale.ROOT)
     val base = up.takeWhile(ch => Character.isLetter(ch) || ch == '_')
     base match {
       case "VARCHAR" | "NVARCHAR" | "CHAR" | "NCHAR" | "TEXT" | "NTEXT" |

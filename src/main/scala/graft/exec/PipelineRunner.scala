@@ -139,8 +139,8 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     // checkpoint, so a key mutated mid-unit would silently disconnect audit
     // rows from their source rows. Fail fast instead.
     {
-      val keyLc = config.keyColumns.map(_.toLowerCase).toSet
-      val keyWriters = compiled.filter(_.writes.exists(w => keyLc(w.toLowerCase)))
+      val keyLc = config.keyColumns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val keyWriters = compiled.filter(_.writes.exists(w => keyLc(w.toLowerCase(java.util.Locale.ROOT))))
       require(keyWriters.isEmpty,
         s"rules ${keyWriters.map(_.binding.code).mkString(",")} write key column(s) " +
           s"${config.keyColumns.mkString(",")} — the natural key must be immutable " +

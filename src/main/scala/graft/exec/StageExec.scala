@@ -23,13 +23,13 @@ object StageExec {
     // must match an existing column in any case — an exact-case map would
     // APPEND a case-variant duplicate (ambiguous-reference errors downstream)
     // instead of overwriting
-    val byName = newCols.map { case (n, c) => n.toLowerCase -> c }.toMap
+    val byName = newCols.map { case (n, c) => n.toLowerCase(java.util.Locale.ROOT) -> c }.toMap
     require(byName.size == newCols.size,
       "planner invariant violated: duplicate column writers in one stage")
     val existing = joined.columns.toSeq
-    val existingLc = existing.map(_.toLowerCase).toSet
-    val kept = existing.map { c => byName.get(c.toLowerCase).map(_.as(c)).getOrElse(col(c)) }
-    val appended = newCols.filterNot { case (n, _) => existingLc.contains(n.toLowerCase) }
+    val existingLc = existing.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val kept = existing.map { c => byName.get(c.toLowerCase(java.util.Locale.ROOT)).map(_.as(c)).getOrElse(col(c)) }
+    val appended = newCols.filterNot { case (n, _) => existingLc.contains(n.toLowerCase(java.util.Locale.ROOT)) }
       .map { case (n, c) => c.as(n) }
     val projected = joined.select(kept ++ appended: _*)
     val toDrop = stage.rules.flatMap(_.dropAfterProject)
@@ -45,9 +45,17 @@ object StageExec {
     * Fails fast on catalog errors (the materializing runner logs them to the
     * audit trail instead).
     */
+  /** @param applyKeepFilters when false, rows matched by keep/drop rules are
+    *        NOT removed — their hit flags (internal columns) stay set, so a
+    *        metrics consumer can tally drop hits over the FULL input (the
+    *        audit-summary semantics: the reference counts deletes before
+    *        deleting). Drop-rule semantics for LATER rules are unaffected
+    *        only when no later rule exists (single-unit catalogs) — the
+    *        flag is for metric/tally consumers, not for producing output. */
   def lazyApply(df: DataFrame, bindings: Seq[RuleBinding],
                 refTables: Map[String, DataFrame] = Map.empty,
-                keepInternal: Boolean = false): DataFrame = {
+                keepInternal: Boolean = false,
+                applyKeepFilters: Boolean = true): DataFrame = {
     val v = CatalogValidator.validate(bindings, df.schema,
       refTables.map { case (k, t) => k -> t.schema })
     require(v.errors.isEmpty, s"catalog errors: ${v.errors.map(_.message).mkString("; ")}")
@@ -55,7 +63,10 @@ object StageExec {
     val segments = SequencePlanner.plan(compiled)
     segments.foldLeft(df) { (acc, seg) =>
       val projected = seg.stages.foldLeft(acc)(applyStage)
-      val filtered = seg.keepFilters.foldLeft(projected)((d, r) => d.filter(r.keepPredicate.get))
+      val filtered =
+        if (applyKeepFilters)
+          seg.keepFilters.foldLeft(projected)((d, r) => d.filter(r.keepPredicate.get))
+        else projected
       if (keepInternal) filtered
       else filtered.drop(seg.rules.flatMap(_.internalColumns.map(_._1)): _*)
     }

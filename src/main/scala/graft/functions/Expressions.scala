@@ -246,7 +246,7 @@ case class LexiconScrubExpr(child: Expression, words: Seq[String],
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
 
-  @transient private lazy val wordArr: Array[String] = words.map(_.toLowerCase).toArray
+  @transient private lazy val wordArr: Array[String] = words.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
 
   private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'

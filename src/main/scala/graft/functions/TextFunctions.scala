@@ -50,7 +50,7 @@ object TextFunctions {
       ok && mi.between(1, 12) && di.between(1, daysInMonth(mi, yi))
     }
 
-    val res = pattern.toUpperCase match {
+    val res = pattern.toUpperCase(java.util.Locale.ROOT) match {
       case "DD/MM/YYYY" | "DD-MM-YYYY" =>
         nParts === 3 && validDmy(parts(0), parts(1), parts(2), 4)
       case "DD/MM/YY" =>
@@ -76,7 +76,11 @@ object TextFunctions {
   /** ≡ DQ.fnRemoveSpecialCharacters — keep letters only
     * ($F/DQ.fnRemoveSpecialCharacters.sql:13-27). The reference loops
     * char-by-char with an accent-insensitive collation; one codegen'd
-    * regexp pass replaces the O(n) scalar-function calls per row. */
+    * regexp pass replaces the O(n) scalar-function calls per row.
+    * INTENTIONAL DEVIATION (SURVEY.md §7.6.8): the reference's AI collation
+    * keeps accented letters ("café" → "café"); this keeps ASCII letters
+    * only ("café" → "caf") — the useful contract for source-code corpora.
+    * An accent-preserving variant would swap the class for `\p{L}`. */
   def removeSpecialCharacters(c: Column): Column =
     regexp_replace(c, "[^A-Za-z]", "")
 

@@ -134,7 +134,12 @@ object Multimodal {
   def audioWindows(media: Dataset[MediaRow], windowSamples: Int = 1024): Dataset[AudioWindows] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "audio").flatMap { r =>
-      val nSamples = math.max(r.meta.sampleRate * r.meta.durationMs / 1000, windowSamples)
+      // Long math: 16 kHz × >134 s (or 48 kHz × >44.7 s) overflows Int and
+      // the negative product would silently clamp a long clip to ONE window;
+      // clamp at Int.MaxValue (a 37-hour 16 kHz clip) rather than wrapping
+      val totalSamples = r.meta.sampleRate.toLong * r.meta.durationMs / 1000L
+      val nSamples = math.max(
+        math.min(totalSamples, Int.MaxValue.toLong).toInt, windowSamples)
       val pcm = StubCodec.decodeAudio(r.data, nSamples)
       pcm.grouped(windowSamples).zipWithIndex.map { case (w, i) =>
         val rms = math.sqrt(w.map(s => s.toDouble * s).sum / w.length)

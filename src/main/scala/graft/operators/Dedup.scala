@@ -19,6 +19,16 @@ import graft.functions.HashSignatures
   */
 object Dedup {
 
+  /** Cache the compact (id, signature) frame so the signature kernel and
+    * source scan run ONCE instead of three times (candidate generation plus
+    * both verification joins consume it on different keys, so no exchange
+    * reuse applies). The cache stays registered until the session ends or
+    * the caller unpersists — acceptable for the run-once-per-corpus shape
+    * of a dedup pass; pass persistSignatures = false to opt out (e.g. many
+    * small calls in one long-lived session). */
+  private def maybePersist(df: DataFrame, on: Boolean): DataFrame =
+    if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
+
   /** Per-(band,bucket) frequency cap for LSH candidate generation. A
     * degenerate bucket (empty files, license boilerplate) would make the
     * bucket self-join quadratic; above the cap members are STAR-linked to
@@ -135,11 +145,12 @@ object Dedup {
   def minHashDedup(df: DataFrame, textCol: Column, idCol: Column,
                    numHashes: Int = 64, bands: Int = 8,
                    shingleSize: Int = 5, jaccardThreshold: Double = 0.8,
-                   maxBucketSize: Int = DefaultBucketCap): DataFrame = {
+                   maxBucketSize: Int = DefaultBucketCap,
+                   persistSignatures: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(idCol.as("__id"),
-      HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig"))
+    val sigs = maybePersist(df.select(idCol.as("__id"),
+      HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig")), persistSignatures)
 
     // band key = hash of the band's slice of the signature. The exploded
     // band relation carries ONLY (id, band, bucket) — never the signature —
@@ -171,8 +182,10 @@ object Dedup {
     * carries (id, block, value) only; signatures re-join by id. */
   def simHashDedup(df: DataFrame, textCol: Column, idCol: Column,
                    hammingThreshold: Int = 3,
-                   maxBucketSize: Int = DefaultBucketCap): DataFrame = {
-    val sigs = df.select(idCol.as("__id"), HashSignatures.simHash(textCol).as("__sim"))
+                   maxBucketSize: Int = DefaultBucketCap,
+                   persistSignatures: Boolean = true): DataFrame = {
+    val sigs = maybePersist(
+      df.select(idCol.as("__id"), HashSignatures.simHash(textCol).as("__sim")), persistSignatures)
     val blocks = sigs.select(col("__id"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> cast(shiftright(__sim, b * 16) & 65535 as int))"))
@@ -192,14 +205,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
                         shingleSize: Int = 5, threshold: Double = 0.8,
                         numHashes: Int = 64, bands: Int = 8,
-                        maxBucketSize: Int = DefaultBucketCap): DataFrame = {
+                        maxBucketSize: Int = DefaultBucketCap,
+                        persistSignatures: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
+        "a floored rows-per-band would silently ignore the trailing hashes")
     val rowsPerBand = numHashes / bands
     val shingleArr = array_distinct(transform(
       sequence(lit(0), greatest(length(textCol) - shingleSize, lit(0))),
       i => textCol.substr(i + 1, lit(shingleSize))))
-    val prepped = df.select(idCol.as("__id"),
+    val prepped = maybePersist(df.select(idCol.as("__id"),
       HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig"),
-      shingleArr.as("__shingles"))
+      shingleArr.as("__shingles")), persistSignatures)
 
     // candidate generation on (id, band, bucket) only; the (large) shingle
     // sets re-join by id for the exact-Jaccard verification of the (small)
@@ -302,9 +319,10 @@ object Dedup {
                              k: Int = 12, window: Int = 12,
                              minContainment: Double = 0.5,
                              maxBucketSize: Int = DefaultBucketCap,
-                             maxFingerprintDocFreq: Long = 16L): DataFrame = {
-    val fps = df.select(idCol.as("__id"),
-      HashSignatures.winnowFingerprints(textCol, k, window).as("__fp"))
+                             maxFingerprintDocFreq: Long = 16L,
+                             persistSignatures: Boolean = true): DataFrame = {
+    val fps = maybePersist(df.select(idCol.as("__id"),
+      HashSignatures.winnowFingerprints(textCol, k, window).as("__fp")), persistSignatures)
     // candidate generation carries (id, fingerprint) only; fingerprint SETS
     // re-join by id for the containment verify of the (small) candidate set.
     // maxFingerprintDocFreq is the MOSS "ignore fingerprints that occur in
@@ -388,6 +406,7 @@ object Dedup {
                                numTables: Int = 16, planesPerTable: Int = 4,
                                dim: Int = 64, seed: Long = 42L,
                                maxBucketSize: Int = DefaultBucketCap): DataFrame = {
+    Similarity.requireDim(df, "embedding", dim, "embeddingNearDupPairsLsh")
     // signatures compute from a scan-side double projection (no shuffle);
     // the candidate-verify joins carry the RAW (float) vectors — half the
     // shuffle bytes of a pre-cast array<double>, and at 10^8-candidate

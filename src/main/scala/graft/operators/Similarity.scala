@@ -29,6 +29,18 @@ object Similarity {
   private def asDouble(df: DataFrame): DataFrame =
     df.select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("__e"))
 
+  /** Fail fast on a `dim` mismatch: the signature kernel maps any vector
+    * whose length ≠ dim to the ALL-ZERO signature, so a wrong dim silently
+    * puts every row into bucket 0 of every table — an uncapped full cross
+    * join instead of an error. One-row driver-side probe (no-op on empty). */
+  private[graft] def requireDim(df: DataFrame, vecCol: String, dim: Int, op: String): Unit =
+    df.select(size(col(vecCol))).head(1).foreach { r =>
+      val actual = r.getInt(0)
+      require(actual == dim,
+        s"$op: dim=$dim but $vecCol vectors have $actual elements — " +
+          "a mismatch degrades LSH to a single all-zero bucket; pass dim=" + actual)
+    }
+
   /** Exact top-k: for each query vector, the k corpus vectors with highest
     * cosine (ties broken by corpus id — deterministic replay). Output:
     * (q_id, n_id, rank). */
@@ -253,6 +265,8 @@ object Similarity {
     * explode is ×numTables rows of 3 small ints — not ×numTables vectors. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               numPlanes: Int = 8, dim: Int = 64, numTables: Int = 8): DataFrame = {
+    requireDim(queries, "embedding", dim, "lshTopK(queries)")
+    requireDim(corpus, "embedding", dim, "lshTopK(corpus)")
     val q = asDouble(queries)
     val c = asDouble(corpus)
     val qb = bandedSignatures(q, "vec_id", "__e", numTables, numPlanes, dim, 42L)

@@ -40,9 +40,11 @@ object Skew {
 
   /** Two-phase skew-safe groupBy: result-equivalent to
     * `df.groupBy(keys).agg(...)` for count/sum/min/max, but the first
-    * shuffle spreads each hot key over `buckets` partitions. The salt is
-    * derived from all non-key columns via the row's partition id + a
-    * monotone local id, keeping phase 1 combiner-friendly. */
+    * shuffle spreads each hot key over `buckets` partitions. The salt here
+    * derives from (partition id, row position) — NOT deterministic across
+    * runs or repartitionings (unlike [[addSalt]]); only the phase-2 result
+    * is replay-stable, phase-1 intermediates are not comparable between
+    * runs. Use [[addSalt]] when the salt itself must be stable. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
                       buckets: Int = 16): DataFrame = {
     require(aggs.nonEmpty)

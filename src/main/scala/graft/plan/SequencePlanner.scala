@@ -84,7 +84,7 @@ object SequencePlanner {
     * intersection would miss the conflict and fuse a reader onto the wrong
     * image. (Under spark.sql.caseSensitive=true this is merely conservative:
     * a few extra stage breaks, never a wrong fusion.) */
-  private def lc(s: Set[String]): Set[String] = s.map(_.toLowerCase)
+  private def lc(s: Set[String]): Set[String] = s.map(_.toLowerCase(java.util.Locale.ROOT))
 
   def plan(rules: Seq[CompiledRule]): Seq[Segment] = {
     val bySeq = rules.groupBy(_.binding.sequence).toSeq.sortBy(_._1)

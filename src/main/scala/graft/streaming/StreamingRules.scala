@@ -27,12 +27,17 @@ object StreamingRules {
 
   /** Per-window rule-hit metrics: the streaming analogue of the audit
     * summary table — count + drop/flag tallies per event-time window with a
-    * watermark bounding state. */
+    * watermark bounding state. Keep/drop filters are NOT applied here
+    * (applyKeepFilters = false): the reference counts deletes BEFORE
+    * deleting, and with the filters on, a drop rule's own hits could never
+    * be tallied — the matched rows would be gone before the aggregation.
+    * `rows` therefore counts ALL input rows of the window, not survivors. */
   def windowedRuleMetrics(stream: DataFrame, bindings: Seq[RuleBinding],
                           tsCol: String, windowDur: String, watermark: String,
                           hitCols: Seq[(String, Column)]): DataFrame = {
     val applied = StageExec.lazyApply(
-      stream.withWatermark(tsCol, watermark), bindings, keepInternal = true)
+      stream.withWatermark(tsCol, watermark), bindings, keepInternal = true,
+      applyKeepFilters = false)
     val aggs = hitCols.map { case (name, c) =>
       sum(when(c, 1L).otherwise(0L)).as(name)
     } :+ count(lit(1)).as("rows")
@@ -67,21 +72,36 @@ object StreamingRules {
     * windowed aggs can't express — e.g. "emit when a repo's drop-rate
     * exceeds a threshold"). Emits (key, seen, dropped) on every update. */
   case class KeyCounts(key: String, seen: Long, dropped: Long)
-  def runningDropCounts(stream: DataFrame, keyCol: String, droppedCol: String): DataFrame = {
+  /** @param stateTtl optional processing-time TTL (e.g. "1 hour"): a key's
+    *        counters are evicted after that long without new events —
+    *        REQUIRED for high-cardinality keys (path, fingerprint), where
+    *        NoTimeout state grows without bound. Null flags count as
+    *        not-dropped (a `when(cond, true)` flag without `.otherwise` is
+    *        null off-condition; a primitive decoder would kill the query). */
+  def runningDropCounts(stream: DataFrame, keyCol: String, droppedCol: String,
+                        stateTtl: Option[String] = None): DataFrame = {
     import stream.sparkSession.implicits._
-    stream.select(col(keyCol).cast("string").as("k"),
-      col(droppedCol).cast("boolean").as("d"))
+    val timeout = if (stateTtl.nonEmpty) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    stream.select(coalesce(col(keyCol).cast("string"), lit("NULL")).as("k"),
+      coalesce(col(droppedCol).cast("boolean"), lit(false)).as("d"))
       .as[(String, Boolean)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[KeyCounts, KeyCounts](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (key: String, rows: Iterator[(String, Boolean)], state: GroupState[KeyCounts]) =>
-          val prev = state.getOption.getOrElse(KeyCounts(key, 0L, 0L))
-          var seen = prev.seen; var dropped = prev.dropped
-          rows.foreach { case (_, d) => seen += 1; if (d) dropped += 1 }
-          val next = KeyCounts(key, seen, dropped)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(KeyCounts(key, 0L, 0L))
+            var seen = prev.seen; var dropped = prev.dropped
+            rows.foreach { case (_, d) => seen += 1; if (d) dropped += 1 }
+            val next = KeyCounts(key, seen, dropped)
+            state.update(next)
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator(next)
+          }
       }.toDF()
   }
 }
