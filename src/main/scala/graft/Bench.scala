@@ -316,7 +316,7 @@ object Bench {
         f"engine eff: $eff%.3f (${eff / ceiling}%.3f of cpu, ${eff / bwCeil}%.3f of membw)")
       def arr(xs: Seq[Double]) = xs.map(s => f"$s%.2f").mkString("[", ",", "]")
       scalingJson =
-        f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":$thrN%.1f,"files_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f,"cpu_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"mem_bw_ceiling_efficiency":$bwCeil%.3f,"efficiency_vs_bw_ceiling":${eff / bwCeil}%.3f,"rep_secs_4n":${arr(reps4N)},"rep_secs_n":${arr(repsN)},"plan_serial_secs":${arr(planSecs.toSeq)},"scaling_mode":"${if (fork) "forked-fresh-jvm-per-arm" else "in-process-sessions"}","estimator":"median, A/B-alternated ${if (fork) "fresh-JVM" else "in-process"} sessions, plan-once-execute-many (serial planning published separately; a production job plans once per 10^5 tasks); ceilings = same-session pure-CPU and memory-bandwidth N-vs-4N microbenchmarks"}"""
+        f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":$thrN%.1f,"files_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f,"cpu_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"mem_bw_ceiling_efficiency":$bwCeil%.3f,"efficiency_vs_bw_ceiling":${eff / bwCeil}%.3f,"rep_secs_4n":${arr(reps4N)},"rep_secs_n":${arr(repsN)},"plan_serial_secs":${arr(planSecs.toSeq)},"scaling_mode":"${if (fork) "forked-fresh-jvm-per-arm" else "in-process-sessions"}","estimator":"median, A/B-alternated ${if (fork) "fresh-JVM" else "in-process"} sessions, plan-once-execute-many (serial planning published separately; a production job plans once per 10^5 tasks); ceilings = pure-CPU and memory-bandwidth N-vs-4N microbenchmarks run in the parent JVM immediately after the arms (same host window, not the same process as forked arms)"}"""
     }
     if (spark.sparkContext.isStopped) { // in-process scaling consumed it
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -341,20 +341,29 @@ object Bench {
         // the north-rule criterion as one oracle row: flagship keep/drop +
         // scrubbed-content sha256 on the documents table
         "pipeline_decision")
+    // a misspelled/renamed headline entry must not silently vanish from the
+    // JSON (round-over-round totals would become incomparable with no signal)
+    val unknown = headline.filterNot(QueryCatalog.byName.contains)
+    require(unknown.isEmpty, s"headline names not in QueryCatalog: ${unknown.mkString(", ")}")
+    val failedQueries = scala.collection.mutable.ArrayBuffer[String]()
     val queries = headline.flatMap { name =>
-      QueryCatalog.byName.get(name).map { q =>
-        // best-of-2: first run pays JIT + codegen compile (~10x at sf0.1);
-        // report steady-state per-query time
-        val secs = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          try {
-            val df = q.run(spark, sfDir)
-            df.queryExecution.toRdd.count() // execute fully, no row copy to driver
-          } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-          (System.nanoTime() - t0) / 1e9
+      val q = QueryCatalog.byName(name)
+      // best-of-2: first run pays JIT + codegen compile (~10x at sf0.1);
+      // report steady-state per-query time. A query that THROWS is excluded
+      // from the queries map and total (recording its time-to-failure would
+      // publish a bogus speedup) and lands in failed_queries instead.
+      val secs = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val df = q.run(spark, sfDir)
+          df.queryExecution.toRdd.count() // execute fully, no row copy to driver
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); None
         }
-        name -> secs.min
       }
+      if (secs.isEmpty) { failedQueries += name; None }
+      else Some(name -> secs.min)
     }
 
     // warm-up + timed run of the pipeline job at the requested parallelism
@@ -396,7 +405,7 @@ object Bench {
     val total = queries.map(_._2).sum + pipeSec
     val thrAtCpus = benchRows / pipeSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_rows":$benchRows,"pipeline_sec":$pipeSec%.3f,"pipeline_files_per_sec":$thrAtCpus%.1f,"pipeline_write_sec":$pipeWriteSec%.3f,"pipeline_with_audit_sec":$auditSec%.3f$scalingJson}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_rows":$benchRows,"pipeline_sec":$pipeSec%.3f,"pipeline_files_per_sec":$thrAtCpus%.1f,"pipeline_write_sec":$pipeWriteSec%.3f,"pipeline_with_audit_sec":$auditSec%.3f${if (failedQueries.nonEmpty) failedQueries.map(n => "\"" + n + "\"").mkString(",\"failed_queries\":[", ",", "]") else ""}$scalingJson}""")
     spark.stop()
   }
 }

@@ -70,9 +70,18 @@ object Main {
         errs.foreach(e => System.err.println(s"[graft] FATAL pre-check: $e"))
         (loaded, errs)
     }
-    // single-rule mode ≡ DQ.sExecuteStandAloneRule
+    // single-rule mode ≡ DQ.sExecuteStandAloneRule — the reference proc
+    // errors on an unknown rule; silently running a ZERO-rule pipeline here
+    // would overwrite --output with the unvalidated input passthrough
     val bindings = opts.get("rule-code") match {
-      case Some(code) => bindings0.filter(_.code == code.toInt)
+      case Some(code) =>
+        val c = code.toIntOption.getOrElse(
+          sys.error(s"--rule-code must be an integer association code, got '$code'"))
+        val matched = bindings0.filter(_.code == c)
+        if (matched.isEmpty)
+          sys.error(s"--rule-code $c matches no association in the catalog " +
+            s"(codes: ${bindings0.map(_.code).sorted.take(20).mkString(",")}${if (bindings0.size > 20) ",…" else ""})")
+        matched
       case None => bindings0
     }
     // ≡ MDS.DQAppParameters via fnGetParameterValue
@@ -88,8 +97,15 @@ object Main {
       resume = opts.get("resume").contains("true"),
       repartitionOn = keys,
       partitionLineage = true,
-      rowHistory = catalog.Parameters
-        .fnGetParameterValue(params, "RowHistoryMode").getOrElse("violations"),
+      rowHistory = {
+        // normalize + validate: 'All'/'OFF' must not silently degrade to
+        // violations-only behavior on a case mismatch or typo
+        val v = catalog.Parameters.fnGetParameterValue(params, "RowHistoryMode")
+          .getOrElse("violations").toLowerCase(java.util.Locale.ROOT)
+        require(Set("all", "violations", "off")(v),
+          s"RowHistoryMode must be all|violations|off, got '$v'")
+        v
+      },
       asOfDate = opts.get("as-of"))
 
     val result = new PipelineRunner(spark, cfg)
@@ -102,12 +118,26 @@ object Main {
       val retain = catalog.Parameters.getInt(params,
         catalog.Parameters.HistoricalLoadsToRetain, 10)
       val summariesDir = s"${cfg.workDir}/audit/summaries"
+      val retainedDir = s"${cfg.workDir}/audit/summaries_retained"
       val retained = graft.audit.AuditMaintenance.retainHistoricalLoads(
         spark.read.parquet(summariesDir), retain)
-      retained.write.mode("overwrite")
-        .parquet(s"${cfg.workDir}/audit/summaries_retained")
-      println(s"[graft] retention: kept ${retained.count()} summary rows " +
-        s"(HistoricalLoadsToRetain=$retain) -> audit/summaries_retained")
+      // the retained snapshot REPLACES the live store (≡ the reference's
+      // sClearHistoricalRecords DELETE): write the snapshot (keeping the
+      // run= partition layout readers rely on), then swap directories —
+      // leaving the live store untouched would make retention a no-op that
+      // nothing reads while the store grows without bound. A crash between
+      // the delete and the move leaves the snapshot intact in
+      // summaries_retained for manual recovery.
+      val kept = retained.count()
+      retained.write.mode("overwrite").partitionBy("run").parquet(retainedDir)
+      val live = java.nio.file.Paths.get(summariesDir)
+      val walk = java.nio.file.Files.walk(live)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      finally walk.close()
+      java.nio.file.Files.move(java.nio.file.Paths.get(retainedDir), live)
+      println(s"[graft] retention: live store rewritten to $kept summary rows " +
+        s"(HistoricalLoadsToRetain=$retain)")
     }
 
     println(s"[graft] plan:\n${result.planDescription}")

@@ -20,6 +20,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any STALE output from a previous run into the same outDir:
+        // leaving it would let the correctness gate read the old parquet and
+        // validate a broken query against the (unchanged) oracle
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          val walk = Files.walk(stale)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p): Unit)
+          finally walk.close()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -124,6 +124,13 @@ object CatalogValidator {
           Some(EmptyRule(b.code, "expression rule has empty predicate"))
         case RuleSpec.Reference(_, _, RefMode.ListReference(vs), _) if vs.isEmpty =>
           Some(EmptyRule(b.code, "list reference has empty list"))
+        // an unsupported date-format name would otherwise throw INSIDE
+        // RuleCompiler.compile, crashing the run instead of becoming a
+        // FATAL audit row like every other bad-catalog-data path
+        case RuleSpec.Harmonize(_, _, HarmonizeOp.CheckDateFormatOfString(fmt))
+            if !graft.functions.TextFunctions.isSupportedDateFormat(fmt) =>
+          Some(EmptyRule(b.code, s"unknown date format '$fmt' (supported: " +
+            graft.functions.TextFunctions.SupportedDateFormats.toSeq.sorted.mkString(", ") + ")"))
         case _ => None
       }
       val refErr: Option[CatalogError] = b.spec match {

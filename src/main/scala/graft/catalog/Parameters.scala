@@ -22,9 +22,12 @@ object Parameters {
   val defaults: Seq[AppParameter] = Seq(
     AppParameter(HistoricalLoadsToRetain, "10"))
 
-  /** ≡ DQ.fnGetParameterValue: value by name, NULL→None when absent. */
+  /** ≡ DQ.fnGetParameterValue: value by name, NULL→None when absent.
+    * Name matching is case-INSENSITIVE — the reference resolves parameter
+    * names under the database's CI collation, so 'rowhistorymode' must find
+    * 'RowHistoryMode' here too (a silent default fallback otherwise). */
   def fnGetParameterValue(params: Seq[AppParameter], name: String): Option[String] =
-    params.find(_.name == name).map(_.value)
+    params.find(_.name.equalsIgnoreCase(name)).map(_.value)
 
   def getInt(params: Seq[AppParameter], name: String, default: Int): Int =
     fnGetParameterValue(params, name).flatMap(_.toIntOption).getOrElse(default)

@@ -373,9 +373,12 @@ class PipelineRunner(spark: SparkSession, config: EngineConfig) {
     * projection as the rule (no predicate re-evaluation, unlike the
     * reference which re-runs each predicate 2-3×, SURVEY.md §4.1). */
   private def writeRowHits(ckpt: DataFrame, seg: Segment, loadId: Long): Unit = {
-    if (config.rowHistory == "off") return
+    // case-normalized: a caller passing "All"/"OFF" must not silently get
+    // violations-only behavior
+    val mode = config.rowHistory.toLowerCase(java.util.Locale.ROOT)
+    if (mode == "off") return
     val hitRules = seg.rules.flatMap(r => r.hit.map(h => (r, h))).filter { case (r, _) =>
-      config.rowHistory == "all" || r.keepPredicate.nonEmpty ||
+      mode == "all" || r.keepPredicate.nonEmpty ||
         r.scalarSummaries.headOption.exists(s =>
           s.meta.severityName == Severity.Fatal.name ||
           s.meta.severityName == Severity.Issue.name)

@@ -9,6 +9,21 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Canonical date-format names [[checkDateFormat]] accepts (after
+    * separator normalization — see [[normalizeDateFormatName]]). Exposed so
+    * CatalogValidator can FATAL an unsupported catalog value instead of the
+    * compile step crashing the whole run. */
+  val SupportedDateFormats: Set[String] =
+    Set("DD/MM/YYYY", "DD/MM/YY", "MM/DD/YYYY", "MM/DD/YY", "YYYYMMDD")
+
+  /** Uppercase + normalize every separator the data normalizer accepts
+    * (- . \ , space → '/'), so pattern spelling matches data spelling. */
+  def normalizeDateFormatName(pattern: String): String =
+    pattern.toUpperCase(java.util.Locale.ROOT).replaceAll("[-.\\\\, ]", "/")
+
+  def isSupportedDateFormat(pattern: String): Boolean =
+    SupportedDateFormats.contains(normalizeDateFormatName(pattern))
+
   /** ≡ DQ.fnIsLeapYear ($F/DQ.fnIsLeapYear.sql:13-19), arithmetic form. */
   def isLeapYear(year: Column): Column =
     (year % 4 === 0 && year % 100 =!= 0) || (year % 400 === 0)
@@ -50,8 +65,12 @@ object TextFunctions {
       ok && mi.between(1, 12) && di.between(1, daysInMonth(mi, yi))
     }
 
-    val res = pattern.toUpperCase(java.util.Locale.ROOT) match {
-      case "DD/MM/YYYY" | "DD-MM-YYYY" =>
+    // the PATTERN gets the same separator normalization as the data (the
+    // reference's @DateFormat values vary in separator spelling): any of
+    // - . \ , space → '/' — so "MM-DD-YYYY" and "DD.MM.YYYY" resolve to
+    // their canonical names instead of throwing asymmetrically
+    val res = normalizeDateFormatName(pattern) match {
+      case "DD/MM/YYYY" =>
         nParts === 3 && validDmy(parts(0), parts(1), parts(2), 4)
       case "DD/MM/YY" =>
         nParts === 3 && validDmy(parts(0), parts(1), parts(2), 2)

@@ -70,7 +70,11 @@ class MainSpec extends SparkSpec {
     val excluded = summaries.where($"checkName" === "ActivationWindow")
       .select("ruleAssocCode").collect().map(_.getInt(0)).toSet
     assert(excluded == Set(2001, 2002))
-    assert(spark.read.parquet(s"$dir/work/audit/summaries_retained").count() > 0)
+    // retention REWRITES the live store (≡ reference DELETE): the snapshot
+    // side-dir is swapped in, so the live summaries ARE the retained set
+    assert(summaries.count() > 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/work/audit/summaries_retained")))
   }
 
   test("Main single-rule mode (≡ DQ.sExecuteStandAloneRule)") {
@@ -94,5 +98,21 @@ class MainSpec extends SparkSpec {
       org.apache.spark.sql.functions.expr(
         "NOT(content IS NULL OR length(trim(content)) = 0)")).count()
     assert(out.count() == expected)
+  }
+
+  test("unknown --rule-code errors instead of running a zero-rule passthrough") {
+    val dir = tmpDir("main-badrule")
+    CatalogIO.write(spark, CodeQualityCatalog.bindings, s"$dir/catalog")
+    CorpusFixture.generate(spark, 50).toDF
+      .write.mode("overwrite").parquet(s"$dir/input")
+    val args = Array(
+      "--catalog", s"$dir/catalog", "--input", s"$dir/input",
+      "--output", s"$dir/output", "--work-dir", s"$dir/work")
+    val e = intercept[RuntimeException] { Main.run(args ++ Array("--rule-code", "99999")) }
+    assert(e.getMessage.contains("matches no association"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/output")),
+      "output must not be overwritten by a zero-rule run")
+    val e2 = intercept[RuntimeException] { Main.run(args ++ Array("--rule-code", "abc")) }
+    assert(e2.getMessage.contains("integer"))
   }
 }

@@ -154,6 +154,28 @@ class RuleEdgeCasesSpec extends SparkSpec {
     assert(rows(2) == "FAILURE: Join established but attribute comparison failed")
   }
 
+  test("H9 date-format name: separators normalize symmetrically; unknown formats FATAL in validation") {
+    // "MM-DD-YYYY" must behave exactly like "MM/DD/YYYY" (the data
+    // normalizer accepts those separators, so the pattern must too)
+    val got = Seq("12/25/2020", "25/12/2020").toDF("s")
+      .select($"s", TextFunctions.checkDateFormat($"s", "MM-DD-YYYY"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("12/25/2020") == 1 && got("25/12/2020") == 0)
+    // an unsupported format is a FATAL catalog error, not a compile crash
+    val df = Seq(("2020-12-25", 1)).toDF("d", "id")
+    val bad = RuleBinding(1, "t", 1, "d",
+      RuleSpec.Harmonize(1, "chk", HarmonizeOp.CheckDateFormatOfString("YYYY-MM-DD")))
+    val v = CatalogValidator.validate(Seq(bad), df.schema)
+    assert(v.ok.isEmpty)
+    assert(v.errors.exists(_.message.contains("unknown date format")))
+  }
+
+  test("parameters resolve case-insensitively (reference CI collation)") {
+    val params = Seq(graft.catalog.AppParameter("RowHistoryMode", "all"))
+    assert(graft.catalog.Parameters.fnGetParameterValue(params, "rowhistorymode")
+      .contains("all"))
+  }
+
   test("E2 Flag on an EXISTING column preserves the pre-image of non-matching rows") {
     // reference semantics: UPDATE … SET flag='1' WHERE pred leaves other
     // rows untouched; a bare when(pred,'1') would null them out
