@@ -85,9 +85,39 @@ object QueryCatalog {
     * fixtures hash-exact-oracle-able at all. Validated missing=0/extra=0 at
     * sf0.001/0.01/0.1 with and without frequency pruning. */
   private def saltedDupDocs(s: SparkSession, dir: String): DataFrame =
-    dupDocs(s, dir).withColumn("text", concat(col("text"), lit(" "),
+    withTextSalt(dupDocs(s, dir))
+
+  /** The salt transform of [[saltedDupDocs]] as a reusable step (applied to
+    * a (doc_id, text) frame; salt is a pure function of the text). */
+  private def withTextSalt(df: DataFrame): DataFrame =
+    df.withColumn("text", concat(col("text"), lit(" "),
       expr("array_join(transform(sequence(1, greatest(cast(floor(length(text)/4) as int), 1)), " +
         "i -> substring(md5(concat(text, cast(i as string))), 1, 8)), ' ')")))
+
+  /** Incremental-dedup fixture, salted (see [[saltedDupDocs]]): the INDEX
+    * side is the raw documents table; the DELTA is (a) exact copies of
+    * every doc_id % 50 == 0 base doc at +1M ids — must drop against the
+    * index — (b) suffix-modified (genuinely new) texts of doc_id % 50 == 7
+    * docs at +2M ids — must survive — and (c) second copies of the
+    * doc_id % 100 == 7 modified texts at +3M ids — delta-internal dups
+    * that must drop against their +2M siblings. Ids are banded so the
+    * monotonic-id contract (delta > index high-water) holds by
+    * construction. */
+  private def deltaBaseDocs(s: SparkSession, dir: String): DataFrame =
+    withTextSalt(t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  private def deltaDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    withTextSalt(
+      d.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      .unionAll(d.where(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" uqdelta")).as("text")))
+      .unionAll(d.where(col("doc_id") % 100 === 7)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" uqdelta")).as("text"))))
+  }
 
   /** Position-index ceiling for the character-exploding LM oracles: must
     * exceed the longest document text (fixture max ≈ 577 chars; the join
@@ -1073,6 +1103,45 @@ object QueryCatalog {
         .select("doc_id"),
       Some(s"""SELECT MIN(doc_id) AS doc_id
               |FROM ($dupDocsSql) GROUP BY text""".stripMargin)),
+
+    // INCREMENTAL dedup (DedupIndex): the corpus is fingerprinted once into
+    // a persisted signature index; the delta batch dedups against the index
+    // and itself without re-reading corpus text. Hash-exact oracle via the
+    // salted fixture at θ=0.9 (same argument as dedup_minhash_hi: drops ≡
+    // exact text equality), so the survivors are plain SQL over the
+    // UNSALTED texts: delta rows whose text is not in the base and not a
+    // smaller delta id's text. See deltaBaseDocs/deltaDocs for the planted
+    // index-dup / new / internal-dup structure.
+    Q("dedup_delta_hi",
+      (s, dir) => {
+        // deterministic keyed index path (fresh temp dirs would leak a copy
+        // per invocation); mtime folds testdata regeneration into the key;
+        // the meta file is written LAST by build(), so its existence is the
+        // completeness check. (Single-JVM use — queries run sequentially.)
+        val mtime = java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(dir, "documents.parquet")).toMillis.toHexString
+        val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val ix = s"/tmp/graft_dedup_ix_v1_${key}_$mtime"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ix, "meta")))
+          graft.operators.DedupIndex.build(
+            deltaBaseDocs(s, dir), col("text"), col("doc_id"), ix,
+            numHashes = 64, bands = 8, shingleSize = 5)
+        graft.operators.DedupIndex.dedupDelta(
+            deltaDocs(s, dir), col("text"), col("doc_id"), ix,
+            jaccardThreshold = 0.9)
+          .select("doc_id")
+      },
+      Some("""WITH delta AS (
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000 AS doc_id, text || ' uqdelta' AS text FROM documents WHERE doc_id % 50 = 7
+             |  UNION ALL
+             |  SELECT doc_id + 3000000 AS doc_id, text || ' uqdelta' AS text FROM documents WHERE doc_id % 100 = 7
+             |)
+             |SELECT d.doc_id AS doc_id FROM delta d
+             |WHERE NOT EXISTS (SELECT 1 FROM documents b WHERE b.text = d.text)
+             |  AND NOT EXISTS (SELECT 1 FROM delta d2
+             |                  WHERE d2.text = d.text AND d2.doc_id < d.doc_id)""".stripMargin)),
 
     Q("dedup_simhash",
       (s, dir) => graft.operators.Dedup.simHashDedup(

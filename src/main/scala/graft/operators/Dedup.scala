@@ -127,6 +127,30 @@ object Dedup {
     smallPairs.unionAll(bigPairs).dropDuplicates(idA, idB)
   }
 
+  /** Banded LSH bucket relation from a MinHash signature frame: one row per
+    * (id, band) with the band's bucket key = hash of the band's slice of the
+    * signature. The output carries ONLY (__id, __band, __bucket) — 3 small
+    * ints — so the bucket shuffle never moves signatures or text. ONE source
+    * of truth for the band keying: [[minHashDedup]], [[ngramJaccardPairs]]
+    * and [[DedupIndex]] all derive buckets here, which is what makes a
+    * signature index built by one operator probe-compatible with the
+    * others. Input must have columns (__id, __sig). */
+  private[graft] def minHashBanded(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    sigs.select(col("__id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
+        .as(Seq("__band", "__bucket")))
+  }
+
+  /** Estimated Jaccard of two MinHash signature columns: the fraction of
+    * agreeing hashes. Shared by [[minHashDedup]] and [[DedupIndex]] so the
+    * inline and indexed paths verify with the identical expression. */
+  private[graft] def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+      .cast("double") / lit(numHashes)
+
   /** MinHash signature + banded LSH near-dup removal.
     *
     * shingle→minhash→band→bucket-join: rows sharing any band bucket become
@@ -148,19 +172,13 @@ object Dedup {
                    maxBucketSize: Int = DefaultBucketCap,
                    persistSignatures: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
     val sigs = maybePersist(df.select(idCol.as("__id"),
       HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig")), persistSignatures)
 
-    // band key = hash of the band's slice of the signature. The exploded
-    // band relation carries ONLY (id, band, bucket) — never the signature —
-    // so the bucket shuffle moves 3 small ints per (row × band), not the
-    // full signature ×bands. Signatures re-join by id for verification
-    // (the candidate set is tiny relative to the corpus).
-    val banded = sigs.select(col("__id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
-        .as(Seq("__band", "__bucket")))
+    // (id, band, bucket)-only band relation — see minHashBanded; signatures
+    // re-join by id for verification (the candidate set is tiny relative to
+    // the corpus).
+    val banded = minHashBanded(sigs, numHashes, bands)
 
     val candidates = cappedCandidates(banded, "__id_a", "__id_b", maxBucketSize)
 
@@ -168,8 +186,7 @@ object Dedup {
       .join(sigs.select(col("__id").as("__id_a"), col("__sig").as("__sig_a")), Seq("__id_a"))
       .join(sigs.select(col("__id").as("__id_b"), col("__sig").as("__sig_b")), Seq("__id_b"))
     val est = withSigs.withColumn("__jacc",
-      expr("size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), v -> v))")
-        .cast("double") / lit(numHashes))
+      estJaccard(col("__sig_a"), col("__sig_b"), numHashes))
     val drops = est.where(col("__jacc") >= jaccardThreshold)
       .select(col("__id_b").as("__drop_id")).distinct()
 
@@ -210,7 +227,6 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
         "a floored rows-per-band would silently ignore the trailing hashes")
-    val rowsPerBand = numHashes / bands
     val shingleArr = array_distinct(transform(
       sequence(lit(0), greatest(length(textCol) - shingleSize, lit(0))),
       i => textCol.substr(i + 1, lit(shingleSize))))
@@ -221,10 +237,7 @@ object Dedup {
     // candidate generation on (id, band, bucket) only; the (large) shingle
     // sets re-join by id for the exact-Jaccard verification of the (small)
     // candidate set — text-derived arrays never ride the ×bands explode
-    val banded = prepped.select(col("__id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
-        .as(Seq("__band", "__bucket")))
+    val banded = minHashBanded(prepped, numHashes, bands)
     val shingles = prepped.select(col("__id"), col("__shingles"))
     cappedCandidates(banded, "doc_id_a", "doc_id_b", maxBucketSize)
       .join(shingles.select(col("__id").as("doc_id_a"), col("__shingles").as("__sh_a")), Seq("doc_id_a"))

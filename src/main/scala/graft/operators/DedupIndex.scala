@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashSignatures
+
+/** Persisted MinHash signature index + incremental (delta) deduplication.
+  *
+  * At corpus scale a training-data pipeline never re-deduplicates from
+  * scratch: the corpus is fingerprinted ONCE ([[build]] — the only pass
+  * that reads text), and each new crawl/ingest batch deduplicates against
+  * the stored signatures ([[dedupDelta]]) and is then folded in
+  * ([[appendDelta]]). Per-batch cost is O(|delta|) text hashing plus a
+  * signature-only probe of the index — the corpus text is never re-read,
+  * re-shingled, or re-shuffled. This is the signature-domain analogue of
+  * [[Similarity.buildIvfIndex]] / `ivfTopKIndexed` (reference's closest
+  * concept: the run-over-run summary/history tables,
+  * `$REF/DQECodeDeployment/0 Database Deployment/300_Tables/DQ.DataQualitySummaryHistory.sql`,
+  * which also carry prior-run state forward so work is not redone).
+  *
+  * Layout under `dir`:
+  *   - `sigs`: (doc_id: long, sig: array<int>) parquet — the index body.
+  *   - `meta`: key=value text file (num_hashes, bands, shingle_size,
+  *     max_id, rows) — ALWAYS written last via atomic rename, so it is the
+  *     commit marker: a build/append killed mid-write leaves either no
+  *     meta (build) or a meta whose `max_id` predates the partial append,
+  *     and [[dedupDelta]] filters the sigs scan to `doc_id <= max_id`,
+  *     making a torn append invisible (the snapshot-high-water trick of
+  *     [[graft.io.ParquetSnapshotIO]]).
+  *
+  * Scale shape of a delta probe: the index side is SCANNED (doc_id + sig
+  * columns, no text) but its bucket relation is immediately semi-joined
+  * down to the buckets the delta touches before any wide work — the
+  * candidate window and the verify joins see only delta-adjacent rows, so
+  * shuffle volume tracks |delta| and true-dup density, not |corpus|. For
+  * recurring large deltas, persist the banded relation with
+  * [[graft.io.BucketedTables.writeBucketed]] on (__band, __bucket) and the
+  * probe join runs exchange-free on the index side.
+  *
+  * Id contract: delta ids must be strictly greater than every indexed id
+  * (monotonic ingest ids — enforced at probe time). That makes "drop the
+  * larger id of a confirmed pair" mean "the index always wins", so an
+  * incremental pass over (base, delta) returns exactly the delta survivors
+  * that a from-scratch [[Dedup.minHashDedup]] over base ∪ delta would keep
+  * (asserted in OperatorsSpec; bucket caps agree because a touched
+  * bucket's membership is identical in both runs).
+  */
+object DedupIndex {
+
+  private case class Meta(numHashes: Int, bands: Int, shingleSize: Int,
+                          maxId: Long, rows: Long)
+
+  // The commit marker is a tiny key=value text file replaced by ATOMIC
+  // rename (write meta.tmp, move over meta) — a parquet overwrite would
+  // destroy the old marker before the new one lands, so a crash mid-commit
+  // would brick the index instead of rolling it back. On object stores
+  // without atomic rename, point `dir` at a rename-capable tier (the meta
+  // is bytes; the bulk sigs data can live anywhere).
+  private def readMeta(dir: String): Meta = {
+    val p = java.nio.file.Paths.get(dir, "meta")
+    require(java.nio.file.Files.exists(p),
+      s"no committed dedup index at $dir (meta missing — build() writes it last)")
+    val kv = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala
+      .filter(_.contains('=')).map { l =>
+        val Array(k, v) = l.split("=", 2); (k, v)
+      }.toMap
+    Meta(kv("num_hashes").toInt, kv("bands").toInt, kv("shingle_size").toInt,
+      kv("max_id").toLong, kv("rows").toLong)
+  }
+
+  private def writeMeta(dir: String, m: Meta): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val tmp = d.resolve("meta.tmp")
+    java.nio.file.Files.write(tmp, java.util.Arrays.asList(
+      s"num_hashes=${m.numHashes}", s"bands=${m.bands}",
+      s"shingle_size=${m.shingleSize}", s"max_id=${m.maxId}", s"rows=${m.rows}"))
+    java.nio.file.Files.move(tmp, d.resolve("meta"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def sigFrame(df: DataFrame, textCol: Column, idCol: Column,
+                       numHashes: Int, shingleSize: Int): DataFrame =
+    df.select(idCol.cast("long").as("doc_id"),
+      HashSignatures.minHash(textCol, numHashes, shingleSize).as("sig"))
+
+  /** Fingerprint `df` and write the signature index at `dir` (overwrite).
+    * The single text-reading pass of the index's lifetime. Banding params
+    * are frozen into the meta so every later probe derives bit-identical
+    * buckets. */
+  def build(df: DataFrame, textCol: Column, idCol: Column, dir: String,
+            numHashes: Int = 64, bands: Int = 8, shingleSize: Int = 5): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = df.sparkSession
+    val sigs = sigFrame(df, textCol, idCol, numHashes, shingleSize)
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    val ext = spark.read.parquet(s"$dir/sigs")
+      .agg(max(col("doc_id")), count(lit(1))).head()
+    writeMeta(dir, Meta(numHashes, bands, shingleSize,
+      if (ext.isNullAt(0)) Long.MinValue else ext.getLong(0), ext.getLong(1)))
+  }
+
+  /** Deduplicate `delta` against the index at `dir` AND against itself
+    * (smaller delta id wins, index always wins), returning the surviving
+    * rows of `delta` with their original columns. Signature semantics and
+    * thresholding are exactly [[Dedup.minHashDedup]]'s with the index's
+    * frozen parameters. */
+  def dedupDelta(delta: DataFrame, textCol: Column, idCol: Column, dir: String,
+                 jaccardThreshold: Double = 0.8,
+                 maxBucketSize: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val spark = delta.sparkSession
+    val m = readMeta(dir)
+
+    val deltaSigs = sigFrame(delta, textCol, idCol, m.numHashes, m.shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ext = deltaSigs.agg(min(col("doc_id")), count(lit(1))).head()
+    if (ext.getLong(1) == 0L) return delta // empty delta: nothing to drop
+    require(ext.getLong(0) > m.maxId,
+      s"delta ids must exceed the index high-water ${m.maxId} (got ${ext.getLong(0)}) — " +
+        "monotonic ingest ids are what make 'drop the larger id' mean 'the index wins'")
+
+    // high-water filter: ignore sig rows from an uncommitted (torn) append
+    val indexSigs = spark.read.parquet(s"$dir/sigs").where(col("doc_id") <= m.maxId)
+
+    val asBanded = (sigs: DataFrame) => Dedup.minHashBanded(
+      sigs.select(col("doc_id").as("__id"), col("sig").as("__sig")), m.numHashes, m.bands)
+    val deltaBanded = asBanded(deltaSigs)
+    // restrict the index's bucket relation to delta-adjacent buckets BEFORE
+    // the candidate window: everything downstream is sized by the delta
+    val probeKeys = deltaBanded.select(col("__band"), col("__bucket")).distinct()
+    val touchedIndex = asBanded(indexSigs)
+      .join(probeKeys, Seq("__band", "__bucket"), "left_semi")
+
+    // unionByName: the semi-join reorders touchedIndex's columns (join keys
+    // first), so a positional union would shear (__id, __band, __bucket)
+    val candidates = Dedup.cappedCandidates(
+        touchedIndex.unionByName(deltaBanded), "__id_a", "__id_b", maxBucketSize)
+      .where(col("__id_b") > m.maxId) // b must be a delta row; index never drops
+    val allSigs = indexSigs.unionAll(deltaSigs)
+    val drops = candidates
+      .join(allSigs.select(col("doc_id").as("__id_a"), col("sig").as("__sig_a")), Seq("__id_a"))
+      .join(deltaSigs.select(col("doc_id").as("__id_b"), col("sig").as("__sig_b")), Seq("__id_b"))
+      .where(Dedup.estJaccard(col("__sig_a"), col("__sig_b"), m.numHashes) >= jaccardThreshold)
+      .select(col("__id_b").as("__drop_id")).distinct()
+    delta.join(drops, idCol.cast("long") === col("__drop_id"), "left_anti")
+  }
+
+  /** Fold surviving delta rows into the index: append their signatures and
+    * commit by atomically replacing the meta (new high-water). Call with
+    * [[dedupDelta]]'s survivors; a crash between the two writes leaves the
+    * index readable at the OLD high-water (torn rows filtered out by every
+    * probe). A RETRIED append after such a crash re-appends the same
+    * signatures — duplicate sig rows are tolerated by probes (the drop set
+    * is distinct; only join multiplicity and the physical `rows` count
+    * grow), and a compaction is just rewriting `sigs` deduplicated. */
+  def appendDelta(survivors: DataFrame, textCol: Column, idCol: Column,
+                  dir: String): Unit = {
+    val spark = survivors.sparkSession
+    val m = readMeta(dir)
+    sigFrame(survivors, textCol, idCol, m.numHashes, m.shingleSize)
+      .write.mode("append").parquet(s"$dir/sigs")
+    val ext = spark.read.parquet(s"$dir/sigs")
+      .agg(max(col("doc_id")), count(lit(1))).head()
+    writeMeta(dir, m.copy(maxId = math.max(m.maxId, ext.getLong(0)),
+      rows = ext.getLong(1)))
+  }
+}

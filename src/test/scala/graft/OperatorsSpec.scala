@@ -402,4 +402,83 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0 until 4).foreach(i => assert(top1.get(i.toLong).contains(i + 1000L)))
   }
+
+  // ------------------------------------------------------ incremental dedup
+
+  // base = the 20 originals + 5 near-copies; delta = the 5 exact copies,
+  // 3 brand-new docs, and one delta-internal copy of a new doc
+  private def deltaFixture = {
+    val base = docs.where($"doc_id" < 150)
+    val newDocs = (0 until 3).map { j =>
+      val r = new scala.util.Random(900 + j)
+      (300L + j, (0 until 60).map(_ =>
+        (1 to 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString).mkString(" "))
+    }
+    val delta = docs.where($"doc_id" >= 200)
+      .unionAll(newDocs.toDF("doc_id", "text"))
+      .unionAll(Seq((400L, newDocs.head._2)).toDF("doc_id", "text"))
+    (base, delta)
+  }
+
+  test("dedupDelta against a built index equals from-scratch dedup of the union") {
+    val (base, delta) = deltaFixture
+    val dir = tmpDir("dedup_ix")
+    graft.operators.DedupIndex.build(base, $"text", $"doc_id", dir,
+      numHashes = 64, bands = 16, shingleSize = 5)
+    val incremental = graft.operators.DedupIndex.dedupDelta(
+        delta, $"text", $"doc_id", dir, jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the index always wins: exact copies of indexed docs drop …
+    (0 until 5).foreach(k => assert(!incremental.contains(200L + k)))
+    // … new content survives, and the delta-internal copy keeps the min id
+    (0 until 3).foreach(j => assert(incremental.contains(300L + j)))
+    assert(!incremental.contains(400L))
+    // exact equivalence with a from-scratch pass over base ∪ delta
+    val scratch = Dedup.minHashDedup(base.unionAll(delta), $"text", $"doc_id",
+        numHashes = 64, bands = 16, shingleSize = 5, jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incremental == (scratch & deltaIds))
+  }
+
+  test("appendDelta folds survivors in; a second delta dedups against them") {
+    val (base, delta) = deltaFixture
+    val dir = tmpDir("dedup_ix2")
+    graft.operators.DedupIndex.build(base, $"text", $"doc_id", dir,
+      numHashes = 64, bands = 16, shingleSize = 5)
+    val survivors = graft.operators.DedupIndex.dedupDelta(
+      delta, $"text", $"doc_id", dir, jaccardThreshold = 0.7)
+    graft.operators.DedupIndex.appendDelta(survivors, $"text", $"doc_id", dir)
+    val newText = delta.where($"doc_id" === 300L).head().getString(1)
+    val second = Seq((500L, newText), // copy of an APPENDED doc → must drop
+                     (501L, "completely fresh " + "zq ".repeat(40))).toDF("doc_id", "text")
+    val kept2 = graft.operators.DedupIndex.dedupDelta(
+        second, $"text", $"doc_id", dir, jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(501L))
+  }
+
+  test("dedupDelta enforces the monotonic-id contract and torn appends are invisible") {
+    val (base, delta) = deltaFixture
+    val dir = tmpDir("dedup_ix3")
+    graft.operators.DedupIndex.build(base, $"text", $"doc_id", dir,
+      numHashes = 64, bands = 16, shingleSize = 5)
+    // ids at or below the high-water (104) must be rejected
+    val bad = Seq((50L, "whatever text")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.DedupIndex.dedupDelta(bad, $"text", $"doc_id", dir)
+    }
+    assert(ex.getMessage.contains("high-water"))
+    // simulate an append that crashed before the meta commit: sig rows
+    // beyond the committed max_id exist on disk but must not drop anything
+    val tornText = delta.where($"doc_id" === 300L).head().getString(1)
+    Seq((9999L, tornText)).toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.HashSignatures
+        .minHash($"text", 64, 5).as("sig"))
+      .write.mode("append").parquet(s"$dir/sigs")
+    val kept = graft.operators.DedupIndex.dedupDelta(
+        delta, $"text", $"doc_id", dir, jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(300L), "uncommitted index rows must not influence a probe")
+  }
 }
