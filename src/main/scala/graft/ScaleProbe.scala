@@ -28,28 +28,48 @@ object ScaleProbe {
     * or the probe silently re-reads a stale corpus. */
   private val CorpusGenVersion = "g2"
 
+  private def tokens(id: Long, from: Int, count: Int): String =
+    (from until from + count).map { i =>
+      // full avalanche mix (murmur3 finalizer): a LINEAR combination of
+      // (id, i) leaves systematic token collisions at fixed id deltas,
+      // which the 4M probe run surfaced as a superlinear candidate cliff
+      var h = id * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+      h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+      h ^= h >>> 33
+      s"w${(h & 0x7FFFFFFFFFFFFFFFL) % 1000000000000L}"
+    }.mkString(" ")
+
+  /** The per-id text of [[containmentCorpus]] — factored out so the delta
+    * probe can synthesize exact copies of base docs by id. */
+  private def containmentText(id: Long): String = {
+    val own = tokens(id, 0, 20)
+    if (id % 20 == 0 && id >= 20) own + " " + tokens(id - 10, 0, 15) // planted
+    else own
+  }
+
   /** Unique-content docs (~160 chars); every 20th doc (id ≥ 20) embeds a
     * 15-token passage of doc id-10 → planted containment pairs at
     * containment ≈ 0.7-0.8. Deterministic. */
   def containmentCorpus(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
-    def tokens(id: Long, from: Int, count: Int): String =
-      (from until from + count).map { i =>
-        // full avalanche mix (murmur3 finalizer): a LINEAR combination of
-        // (id, i) leaves systematic token collisions at fixed id deltas,
-        // which the 4M probe run surfaced as a superlinear candidate cliff
-        var h = id * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
-        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
-        h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
-        h ^= h >>> 33
-        s"w${(h & 0x7FFFFFFFFFFFFFFFL) % 1000000000000L}"
-      }.mkString(" ")
-    spark.range(0, n, 1, 256).map { id =>
-      val own = tokens(id, 0, 20)
-      val text =
-        if (id % 20 == 0 && id >= 20) own + " " + tokens(id - 10, 0, 15) // planted
-        else own
-      (id, text)
+    spark.range(0, n, 1, 256).map(id => (id, containmentText(id)))
+      .toDF("doc_id", "text")
+  }
+
+  /** Ingest-batch fixture for the incremental-dedup probe: `m` rows with
+    * ids starting at `n` (the monotonic-id contract), alternating exact
+    * copies of base docs (a multiplicative-stride walk over the base id
+    * space so copies touch scattered index buckets) and brand-new unique
+    * docs. Expected survivor count is exactly m/2 (rounded up): copies
+    * carry identical signatures (guaranteed candidacy + est-Jaccard 1),
+    * new docs share no shingles with anything. */
+  def deltaCorpus(spark: SparkSession, n: Long, m: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, m, 1, 64).map { i =>
+      val id = n + i
+      if (i % 2 == 0) (id, containmentText((i * 2654435761L) % n))
+      else (id, tokens(id + 1000000000L, 0, 20))
     }.toDF("doc_id", "text")
   }
 
@@ -276,6 +296,50 @@ object ScaleProbe {
       }
       println(f"[probe] lsh recall@1=${recallAt1(lshTop)}%.2f")
       lshTop.unpersist()
+    }
+    if (ops("delta")) {
+      // INCREMENTAL dedup at corpus scale (DedupIndex): fingerprint an
+      // n-row base once, then dedup an m-row ingest batch against the
+      // index. The claim under probe: delta cost tracks m (plus one
+      // signature-only scan of the index), NOT n — the from-scratch
+      // control below re-pays text shingling and full-corpus candidate
+      // generation every batch. Correctness is deterministic: half the
+      // delta are exact copies of base docs (identical signatures ⇒
+      // guaranteed candidacy, est-Jaccard 1), half are new unique docs, so
+      // survivors must be exactly m/2.
+      val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_DELTA_M", (rows / 100).max(1000).toString).toLong
+      val base = materialize(containmentCorpus(spark, rows),
+        s"/tmp/graft_probe_docs_${CorpusGenVersion}_$rows")
+      val delta = materialize(deltaCorpus(spark, rows, m),
+        s"/tmp/graft_probe_delta_${CorpusGenVersion}_${rows}_$m")
+      val ixDir = s"/tmp/graft_probe_dedupix_${CorpusGenVersion}_$rows"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ixDir, "meta")))
+        time(s"dedup index BUILD ($rows rows — one-time)") {
+          operators.DedupIndex.build(base, col("text"), col("doc_id"), ixDir)
+        }
+      val probeSecs = (1 to 3).map { rep =>
+        val t0 = System.nanoTime()
+        val survivors = operators.DedupIndex.dedupDelta(
+            delta, col("text"), col("doc_id"), ixDir, jaccardThreshold = 0.8)
+          .count()
+        val s = (System.nanoTime() - t0) / 1e9
+        require(survivors == m / 2,
+          s"delta rep $rep: expected ${m / 2} survivors (the new-doc half), got $survivors")
+        s
+      }.sorted
+      println(f"[probe] delta probe ($rows-row index, $m-row delta): med=${probeSecs(1)}%.1f s (reps ${probeSecs.map(s => f"$s%.1f").mkString(",")}), survivors=${m / 2}")
+      // CONTROL: the from-scratch cost the incremental path replaces. Skip
+      // with SPARK_GRAFT_PROBE_DELTA_FULL=0 at sizes where it is known-slow.
+      if (sys.env.getOrElse("SPARK_GRAFT_PROBE_DELTA_FULL", "1") == "1") {
+        val fullSec = time(s"from-scratch minHashDedup control ($rows + $m rows)") {
+          val kept = operators.Dedup.minHashDedup(
+              base.unionByName(delta), col("text"), col("doc_id"))
+            .count()
+          require(kept == rows + m / 2,
+            s"control: expected ${rows + m / 2} survivors, got $kept")
+        }
+        fullSec: Unit
+      }
     }
     if (ops("p7")) {
       // P7 ALL-columns value distribution on a wide entity: measure the
