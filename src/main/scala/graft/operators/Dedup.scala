@@ -135,13 +135,18 @@ object Dedup {
     * and [[DedupIndex]] all derive buckets here, which is what makes a
     * signature index built by one operator probe-compatible with the
     * others. Input must have columns (__id, __sig). */
-  private[graft] def minHashBanded(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** @param carrySig keep the full `__sig` array on every exploded row —
+    *        [[DedupIndex.dedupDelta]] uses it to verify candidates from the
+    *        SAME scan that banded them (its index store is corpus-sized; a
+    *        second scan for the verify join doubles the probe's I/O) */
+  private[graft] def minHashBanded(sigs: DataFrame, numHashes: Int, bands: Int,
+                                   carrySig: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    sigs.select(col("__id"),
-      posexplode(expr(
+    val keep = col("__id") +: (if (carrySig) Seq(col("__sig")) else Nil)
+    sigs.select(keep :+ posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rowsPerBand + 1, $rowsPerBand), b))"))
-        .as(Seq("__band", "__bucket")))
+        .as(Seq("__band", "__bucket")): _*)
   }
 
   /** Estimated Jaccard of two MinHash signature columns: the fraction of

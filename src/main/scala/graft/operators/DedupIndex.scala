@@ -49,7 +49,7 @@ import graft.functions.HashSignatures
 object DedupIndex {
 
   private case class Meta(numHashes: Int, bands: Int, shingleSize: Int,
-                          maxId: Long, rows: Long)
+                          maxId: Long, rows: Long, sigsDir: String = "sigs")
 
   // The commit marker is a tiny key=value text file replaced by ATOMIC
   // rename (write meta.tmp, move over meta) — a parquet overwrite would
@@ -67,7 +67,7 @@ object DedupIndex {
         val Array(k, v) = l.split("=", 2); (k, v)
       }.toMap
     Meta(kv("num_hashes").toInt, kv("bands").toInt, kv("shingle_size").toInt,
-      kv("max_id").toLong, kv("rows").toLong)
+      kv("max_id").toLong, kv("rows").toLong, kv.getOrElse("sigs_dir", "sigs"))
   }
 
   private def writeMeta(dir: String, m: Meta): Unit = {
@@ -76,11 +76,19 @@ object DedupIndex {
     val tmp = d.resolve("meta.tmp")
     java.nio.file.Files.write(tmp, java.util.Arrays.asList(
       s"num_hashes=${m.numHashes}", s"bands=${m.bands}",
-      s"shingle_size=${m.shingleSize}", s"max_id=${m.maxId}", s"rows=${m.rows}"))
+      s"shingle_size=${m.shingleSize}", s"max_id=${m.maxId}", s"rows=${m.rows}",
+      s"sigs_dir=${m.sigsDir}"))
     java.nio.file.Files.move(tmp, d.resolve("meta"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private def sigsPath(dir: String, m: Meta): String = s"$dir/${m.sigsDir}"
+
+  /** The committed high-water id of the index at `dir` — every committed
+    * signature has `doc_id <=` this. [[graft.streaming.StreamingDedup]]
+    * snapshots it before an append to build its replay marker. */
+  def highWater(dir: String): Long = readMeta(dir).maxId
 
   private def sigFrame(df: DataFrame, textCol: Column, idCol: Column,
                        numHashes: Int, shingleSize: Int): DataFrame =
@@ -95,12 +103,23 @@ object DedupIndex {
             numHashes: Int = 64, bands: Int = 8, shingleSize: Int = 5): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = df.sparkSession
+    // REbuild over an existing index: uncommit (delete the meta) before
+    // touching data — a rebuild killed mid-write must read as "no index",
+    // never as the old meta naming a clobbered store. A compacted index's
+    // store lives under sigs_cN; reclaim it once the rebuild commits.
+    val metaP = java.nio.file.Paths.get(dir, "meta")
+    val oldStore = if (java.nio.file.Files.exists(metaP)) {
+      val old = sigsPath(dir, readMeta(dir))
+      java.nio.file.Files.delete(metaP)
+      Some(old).filter(_ != s"$dir/sigs")
+    } else None
     val sigs = sigFrame(df, textCol, idCol, numHashes, shingleSize)
     sigs.write.mode("overwrite").parquet(s"$dir/sigs")
     val ext = spark.read.parquet(s"$dir/sigs")
       .agg(max(col("doc_id")), count(lit(1))).head()
     writeMeta(dir, Meta(numHashes, bands, shingleSize,
       if (ext.isNullAt(0)) Long.MinValue else ext.getLong(0), ext.getLong(1)))
+    oldStore.foreach(p => org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(p)))
   }
 
   /** Deduplicate `delta` against the index at `dir` AND against itself
@@ -108,44 +127,88 @@ object DedupIndex {
     * rows of `delta` with their original columns. Signature semantics and
     * thresholding are exactly [[Dedup.minHashDedup]]'s with the index's
     * frozen parameters. */
+  /** Above this many delta rows the probe-side relations (bucket keys,
+    * candidate pairs, drop ids) stop being broadcast and the probe falls
+    * back to shuffle joins. 2M rows × 8 bands ≈ 16M (band,bucket) entries
+    * ≈ a few hundred MB broadcast — about the executor-memory ceiling. */
+  val DefaultBroadcastDeltaLimit: Long = 2000000L
+
   def dedupDelta(delta: DataFrame, textCol: Column, idCol: Column, dir: String,
                  jaccardThreshold: Double = 0.8,
-                 maxBucketSize: Int = Dedup.DefaultBucketCap): DataFrame = {
+                 maxBucketSize: Int = Dedup.DefaultBucketCap,
+                 asOfMaxId: Option[Long] = None,
+                 broadcastDeltaLimit: Long = DefaultBroadcastDeltaLimit): DataFrame = {
     val spark = delta.sparkSession
     val m = readMeta(dir)
+    // asOfMaxId pins the probe to an EARLIER committed high-water than the
+    // meta's: [[graft.streaming.StreamingDedup]] uses it to replay a
+    // micro-batch whose appendDelta already committed (the batch's own sig
+    // rows sit in the index above the pinned high-water and must not
+    // shadow the re-derivation of its survivors)
+    val hw = asOfMaxId.getOrElse(m.maxId)
+    require(hw <= m.maxId,
+      s"asOfMaxId $hw exceeds the index high-water ${m.maxId} — the caller's " +
+        "state marker and this index's meta disagree (wrong index dir?)")
 
     val deltaSigs = sigFrame(delta, textCol, idCol, m.numHashes, m.shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ext = deltaSigs.agg(min(col("doc_id")), count(lit(1))).head()
     if (ext.getLong(1) == 0L) return delta // empty delta: nothing to drop
-    require(ext.getLong(0) > m.maxId,
-      s"delta ids must exceed the index high-water ${m.maxId} (got ${ext.getLong(0)}) — " +
+    require(ext.getLong(0) > hw,
+      s"delta ids must exceed the index high-water $hw (got ${ext.getLong(0)}) — " +
         "monotonic ingest ids are what make 'drop the larger id' mean 'the index wins'")
 
     // high-water filter: ignore sig rows from an uncommitted (torn) append
-    val indexSigs = spark.read.parquet(s"$dir/sigs").where(col("doc_id") <= m.maxId)
+    val indexSigs = spark.read.parquet(sigsPath(dir, m)).where(col("doc_id") <= hw)
 
     val asBanded = (sigs: DataFrame) => Dedup.minHashBanded(
       sigs.select(col("doc_id").as("__id"), col("sig").as("__sig")), m.numHashes, m.bands)
     val deltaBanded = asBanded(deltaSigs)
+    // The asymmetry that makes a delta probe cheap: every probe-side
+    // relation is a function of the (small) delta, so when the delta is
+    // modest it is BROADCAST and the corpus-sized index relation is never
+    // exchanged — the bucket restriction and the verify-sig lookup both
+    // run map-side over the index scan. Without the hints Catalyst
+    // shuffle-joins the exploded index relation (bands × |index| rows) and
+    // then the sig store again for the verify join, and the probe costs a
+    // corpus-sized shuffle instead of a corpus-sized SCAN (measured 135 s
+    // → 42 s for a 160k-row delta against a 16M-row index, BASELINE.md).
+    // Past `broadcastDeltaLimit` delta rows the hints come off and the
+    // probe degrades gracefully to the shuffle plan, which at that size is
+    // the right plan anyway.
+    val bcast = ext.getLong(1) <= broadcastDeltaLimit
+    val hint = (df: DataFrame) => if (bcast) broadcast(df) else df
     // restrict the index's bucket relation to delta-adjacent buckets BEFORE
-    // the candidate window: everything downstream is sized by the delta
+    // the candidate window, carrying each surviving row's full signature so
+    // the verify join below reads THIS small slice instead of re-scanning
+    // the corpus-sized store (the store is the probe's dominant I/O; one
+    // pass, not two). Persisted because both the candidate window and the
+    // verify-sig lookup consume it.
     val probeKeys = deltaBanded.select(col("__band"), col("__bucket")).distinct()
-    val touchedIndex = asBanded(indexSigs)
-      .join(probeKeys, Seq("__band", "__bucket"), "left_semi")
+    val touchedIndex = Dedup.minHashBanded(
+        indexSigs.select(col("doc_id").as("__id"), col("sig").as("__sig")),
+        m.numHashes, m.bands, carrySig = true)
+      .join(hint(probeKeys), Seq("__band", "__bucket"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // unionByName: the semi-join reorders touchedIndex's columns (join keys
     // first), so a positional union would shear (__id, __band, __bucket)
     val candidates = Dedup.cappedCandidates(
-        touchedIndex.unionByName(deltaBanded), "__id_a", "__id_b", maxBucketSize)
-      .where(col("__id_b") > m.maxId) // b must be a delta row; index never drops
-    val allSigs = indexSigs.unionAll(deltaSigs)
-    val drops = candidates
-      .join(allSigs.select(col("doc_id").as("__id_a"), col("sig").as("__sig_a")), Seq("__id_a"))
+        touchedIndex.select("__id", "__band", "__bucket").unionByName(deltaBanded),
+        "__id_a", "__id_b", maxBucketSize)
+      .where(col("__id_b") > hw) // b must be a delta row; index never drops
+    // any index id in a candidate pair shares a bucket with the delta, so
+    // touchedIndex covers every possible __id_a from the index; delta rows
+    // can be __id_a too (delta-internal duplicates)
+    val sigsA = touchedIndex.select(col("__id").as("doc_id"), col("__sig").as("sig"))
+      .dropDuplicates("doc_id")
+      .unionAll(deltaSigs)
+    val drops = hint(candidates)
+      .join(sigsA.select(col("doc_id").as("__id_a"), col("sig").as("__sig_a")), Seq("__id_a"))
       .join(deltaSigs.select(col("doc_id").as("__id_b"), col("sig").as("__sig_b")), Seq("__id_b"))
       .where(Dedup.estJaccard(col("__sig_a"), col("__sig_b"), m.numHashes) >= jaccardThreshold)
       .select(col("__id_b").as("__drop_id")).distinct()
-    delta.join(drops, idCol.cast("long") === col("__drop_id"), "left_anti")
+    delta.join(hint(drops), idCol.cast("long") === col("__drop_id"), "left_anti")
   }
 
   /** Fold surviving delta rows into the index: append their signatures and
@@ -161,10 +224,35 @@ object DedupIndex {
     val spark = survivors.sparkSession
     val m = readMeta(dir)
     sigFrame(survivors, textCol, idCol, m.numHashes, m.shingleSize)
-      .write.mode("append").parquet(s"$dir/sigs")
-    val ext = spark.read.parquet(s"$dir/sigs")
+      .write.mode("append").parquet(sigsPath(dir, m))
+    val ext = spark.read.parquet(sigsPath(dir, m))
       .agg(max(col("doc_id")), count(lit(1))).head()
     writeMeta(dir, m.copy(maxId = math.max(m.maxId, ext.getLong(0)),
       rows = ext.getLong(1)))
+  }
+
+  /** Rewrite the sig store with exactly one row per doc_id and drop any
+    * rows above the committed high-water. Appends are duplicate-tolerant
+    * (a crash-retried [[appendDelta]] re-appends the same signatures, and
+    * a torn append leaves rows above `max_id`), so over many ingest
+    * batches the store accretes junk that every probe re-filters —
+    * compaction reclaims it. Crash-safe via the sigs_dir indirection: the
+    * compacted copy is written to a NEW directory and the meta (the commit
+    * marker) atomically flips to point at it; a crash at any step leaves
+    * the old meta naming the old, fully-intact store. Duplicate sig rows
+    * are bit-identical (signatures are deterministic in the text and the
+    * frozen params), so keeping any one of them is exact. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val m = readMeta(dir)
+    val next = if (m.sigsDir == "sigs") "sigs_c1"
+               else "sigs_c" + (m.sigsDir.drop(6).toLong + 1)
+    spark.read.parquet(sigsPath(dir, m))
+      .where(col("doc_id") <= m.maxId)
+      .groupBy(col("doc_id")).agg(first(col("sig")).as("sig"))
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    val rows = spark.read.parquet(s"$dir/$next").count()
+    val old = sigsPath(dir, m)
+    writeMeta(dir, m.copy(rows = rows, sigsDir = next)) // <- the commit point
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(old))
   }
 }

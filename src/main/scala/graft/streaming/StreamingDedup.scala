@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.DedupIndex
+
+/** Continuous-ingest near-duplicate removal: the streaming face of the
+  * persisted MinHash index ([[graft.operators.DedupIndex]]).
+  *
+  * Each micro-batch is treated as a delta: probe the index, sink the
+  * surviving rows, fold their signatures in. The corpus text is never
+  * re-read — per-batch cost tracks the batch, not the corpus (the property
+  * the ScaleProbe `delta` op measures), which is what makes dedup-on-ingest
+  * viable at crawl scale where a from-scratch nightly dedup is not.
+  *
+  * Exactly-once protocol. Structured Streaming re-runs a failed
+  * micro-batch with the SAME batchId, so the sink must be a no-op replay
+  * at every crash point. Three durable effects happen per batch, in this
+  * order, each individually replay-tolerant:
+  *
+  *   1. survivors → `outDir/batch=<id>/` (OVERWRITE — a replay rewrites
+  *      the same rows; readers read the parent dir, the per-batch
+  *      partition dirs are the same idempotency shape as the audit sinks);
+  *   2. [[DedupIndex.appendDelta]] (duplicate-tolerant by contract — a
+  *      re-appended signature row changes no probe result; `compact`
+  *      reclaims it);
+  *   3. the `stream_state` marker (`last_batch`, `hw`) via atomic rename —
+  *      the commit point. `hw` records the index high-water AFTER the
+  *      committed batch's append — i.e. the probe horizon for the NEXT
+  *      batch. An uncommitted batch (replayed or first-attempt alike)
+  *      therefore probes the index as of the horizon that PRECEDES its own
+  *      append (`asOfMaxId`), so a replay whose append already committed
+  *      re-derives the SAME survivors: the batch's half-folded signatures
+  *      sit above the pinned horizon and cannot shadow its re-derivation.
+  *      A batch with `batchId <= last_batch` is fully committed and skips
+  *      outright.
+  *
+  * Signatures are deterministic in (text, frozen index params), so every
+  * replay derivation is bit-identical — the survivor set, not just its
+  * size, is stable across crashes.
+  *
+  * Id contract (inherited from DedupIndex): ids must be monotonic across
+  * batches — each batch's ids strictly above everything already indexed.
+  * Crawl/ingest pipelines get this for free from an (epoch, seq) id;
+  * `dedupDelta`'s probe-time require fails fast when it is violated.
+  */
+object StreamingDedup {
+
+  private def statePath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "stream_state")
+
+  /** (lastBatch, hwBeforeItsAppend) — absent before the first commit. */
+  private def readState(indexDir: String): Option[(Long, Long)] = {
+    val p = statePath(indexDir)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val kv = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala
+        .filter(_.contains('=')).map { l =>
+          val Array(k, v) = l.split("=", 2); (k, v)
+        }.toMap
+      Some((kv("last_batch").toLong, kv("hw").toLong))
+    }
+  }
+
+  private def writeState(indexDir: String, batchId: Long, hw: Long): Unit = {
+    val d = java.nio.file.Paths.get(indexDir)
+    val tmp = d.resolve("stream_state.tmp")
+    java.nio.file.Files.write(tmp, java.util.Arrays.asList(
+      s"last_batch=$batchId", s"hw=$hw"))
+    java.nio.file.Files.move(tmp, statePath(indexDir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** A `foreachBatch` function deduplicating a document stream against the
+    * committed index at `indexDir`, writing surviving rows under
+    * `outDir/batch=<id>/` and folding them into the index. Use as:
+    *
+    * {{{
+    * stream.writeStream
+    *   .foreachBatch(StreamingDedup.indexedDedupSink(ix, out, "text", "doc_id"))
+    *   .option("checkpointLocation", ckpt).start()
+    * }}}
+    */
+  def indexedDedupSink(indexDir: String, outDir: String,
+                       textCol: String, idCol: String,
+                       jaccardThreshold: Double = 0.8)
+      : (org.apache.spark.sql.Dataset[Row], Long) => Unit = {
+    (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+      val st = readState(indexDir)
+      if (st.exists(batchId <= _._1)) {
+        // fully committed on a previous attempt — the marker is written
+        // last, so its presence covers the survivor write AND the append
+      } else {
+        val hw0 = st.map(_._2).getOrElse(DedupIndex.highWater(indexDir))
+        val survivors = DedupIndex.dedupDelta(
+            batch.toDF(), col(textCol), col(idCol), indexDir,
+            jaccardThreshold, asOfMaxId = Some(hw0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          DedupIndex.appendDelta(survivors, col(textCol), col(idCol), indexDir)
+          // commit hw AFTER the append — the next batch's probe horizon
+          writeState(indexDir, batchId, DedupIndex.highWater(indexDir))
+        } finally survivors.unpersist()
+      }
+  }
+
+  /** All survivors sunk so far (reads the parent of the per-batch dirs;
+    * Spark's partition discovery adds the `batch` column — dropped). */
+  def survivors(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch")
+}

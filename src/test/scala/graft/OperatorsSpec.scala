@@ -481,4 +481,53 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.contains(300L), "uncommitted index rows must not influence a probe")
   }
+
+  test("compact dedupes retried appends; probes, appends and rebuild survive the dir flip") {
+    import java.nio.file.{Files, Paths}
+    val (base, delta) = deltaFixture
+    val dir = tmpDir("dedup_ix4")
+    graft.operators.DedupIndex.build(base, $"text", $"doc_id", dir,
+      numHashes = 64, bands = 16, shingleSize = 5)
+    val survivors = graft.operators.DedupIndex.dedupDelta(
+      delta, $"text", $"doc_id", dir, jaccardThreshold = 0.7)
+    graft.operators.DedupIndex.appendDelta(survivors, $"text", $"doc_id", dir)
+    graft.operators.DedupIndex.appendDelta(survivors, $"text", $"doc_id", dir) // crash-retry
+    val rowsBefore = spark.read.parquet(s"$dir/sigs").count()
+    val distinctIds = spark.read.parquet(s"$dir/sigs").select("doc_id").distinct().count()
+    assert(rowsBefore > distinctIds, "retried append should leave duplicate sig rows")
+    val newText = delta.where($"doc_id" === 300L).head().getString(1)
+    val probe = Seq((500L, newText), (501L, "completely fresh " + "zq ".repeat(40)))
+      .toDF("doc_id", "text")
+    val keptBefore = graft.operators.DedupIndex.dedupDelta(
+        probe, $"text", $"doc_id", dir, jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBefore == Set(501L))
+
+    graft.operators.DedupIndex.compact(spark, dir)
+    assert(!Files.exists(Paths.get(dir, "sigs")), "old store must be reclaimed")
+    assert(spark.read.parquet(s"$dir/sigs_c1").count() == distinctIds)
+    val keptAfter = graft.operators.DedupIndex.dedupDelta(
+        probe, $"text", $"doc_id", dir, jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAfter == keptBefore, "compaction must not change probe results")
+
+    // append against the compacted store lands in the new dir; a second
+    // compaction advances the generation
+    graft.operators.DedupIndex.appendDelta(
+      probe.where($"doc_id" === 501L), $"text", $"doc_id", dir)
+    assert(graft.operators.DedupIndex.highWater(dir) == 501L)
+    graft.operators.DedupIndex.compact(spark, dir)
+    assert(!Files.exists(Paths.get(dir, "sigs_c1")))
+    assert(Files.exists(Paths.get(dir, "sigs_c2")))
+
+    // rebuild over a compacted index: fresh "sigs" store, old gen reclaimed
+    graft.operators.DedupIndex.build(base, $"text", $"doc_id", dir,
+      numHashes = 64, bands = 16, shingleSize = 5)
+    assert(Files.exists(Paths.get(dir, "sigs")))
+    assert(!Files.exists(Paths.get(dir, "sigs_c2")))
+    val keptRebuilt = graft.operators.DedupIndex.dedupDelta(
+        delta, $"text", $"doc_id", dir, jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (0 until 3).foreach(j => assert(keptRebuilt.contains(300L + j)))
+  }
 }

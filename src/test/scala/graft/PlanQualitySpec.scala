@@ -262,4 +262,85 @@ class PlanQualitySpec extends SparkSpec {
         s"signature kernel evaluated outside the cached relation:\n$plan")
     } finally spark.sharedState.cacheManager.clearCache()
   }
+
+  test("dedupDelta: the index store is scanned ONCE, map-side — never under a shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+    // The probe's scale contract (DedupIndex scaladoc): per-delta cost is
+    // one SCAN of the corpus-sized sig store — the store must appear
+    // exactly once in the executed plan (the verify join reads the carried
+    // __sig from the persisted delta-adjacent slice, not a second scan),
+    // and no ShuffleExchange may sit above it (the bucket restriction is a
+    // broadcast semi-join, so the store is filtered map-side; a shuffled
+    // probe would cost a corpus-sized exchange per micro-batch).
+    val ixDir = tmpDir("plan_ix")
+    val base = (1 to 200).map(i => (i.toLong, s"base text $i payload ${i * 13} tail"))
+      .toDF("doc_id", "text")
+    graft.operators.DedupIndex.build(base, $"text", $"doc_id", ixDir,
+      numHashes = 64, bands = 8, shingleSize = 5)
+    val delta = (1 to 40).map { i =>
+      (1000L + i, if (i % 2 == 0) s"base text $i payload ${i * 13} tail"
+                  else s"fresh delta doc $i with its own payload")
+    }.toDF("doc_id", "text")
+    val out = graft.operators.DedupIndex.dedupDelta(delta, $"text", $"doc_id", ixDir)
+    try {
+      out.collect()
+      // full walk: adaptive stages, reused exchanges, AND cached-relation
+      // bodies (the store scan lives inside the persisted slice's
+      // InMemoryRelation; plain .children does not descend into it). Each
+      // distinct cache is entered ONCE — several InMemoryTableScan nodes
+      // referencing the same InMemoryRelation are one physical
+      // materialization, not repeated scans.
+      def walkFrom(root: SparkPlan, intoCaches: Boolean = true): Seq[SparkPlan] = {
+        val seenCaches = scala.collection.mutable.Set[AnyRef]()
+        def go(p: SparkPlan): Seq[SparkPlan] = {
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case r: ReusedExchangeExec => Seq(r.child)
+            case im: InMemoryTableScanExec =>
+              if (intoCaches && seenCaches.add(im.relation.cacheBuilder))
+                Seq(im.relation.cachedPlan)
+              else Nil
+            case other => other.children
+          }
+          p +: kids.flatMap(go)
+        }
+        go(root)
+      }
+      val all = walkFrom(out.queryExecution.executedPlan)
+      def scansStore(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains(ixDir))
+        case _ => false
+      }
+      val storeScans = all.filter(scansStore)
+      assert(storeScans.size == 1,
+        s"sig store must be scanned exactly once, found ${storeScans.size}:\n" +
+          out.queryExecution.executedPlan.toString)
+      // no shuffle between the store scan and its materialization point:
+      // NOT descending into caches here — the persisted delta-adjacent
+      // slice is a materialization boundary, and shuffling those (small,
+      // already-filtered) cached rows for the candidate window is the
+      // intended delta-sized work, not a corpus-sized exchange
+      val shuffledStore = all.collect {
+        case e: ShuffleExchangeExec
+          if walkFrom(e, intoCaches = false).exists(scansStore) => e
+      }
+      assert(shuffledStore.isEmpty,
+        s"index store must never sit under a ShuffleExchange:\n" +
+          out.queryExecution.executedPlan.toString)
+      // and the restriction join itself is a broadcast LeftSemi
+      val semi = all.collect {
+        case b: BroadcastHashJoinExec
+          if b.joinType.toString == "LeftSemi" && walkFrom(b).exists(scansStore) => b
+      }
+      assert(semi.nonEmpty, "bucket restriction must be a broadcast left-semi join over the store scan")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupIndex
+import graft.streaming.StreamingDedup
+
+/** Continuous-ingest dedup sink: end-to-end over MemoryStream, plus direct
+  * crash-point replays of the exactly-once protocol (the sink function is
+  * deterministic in (batch, batchId, on-disk state), so each crash point
+  * is simulated by performing a prefix of the batch's durable effects and
+  * re-invoking). */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // distinct seeded-random vocabularies (the OperatorsSpec corpus shape)
+  private def mkText(seed: Int): String = {
+    val r = new scala.util.Random(seed * 7919 + 17)
+    (0 until 60).map(_ =>
+      (1 to 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString).mkString(" ")
+  }
+  private lazy val baseDocs =
+    (0 until 20).map(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+  private val freshA = mkText(1001)
+  private val freshB = mkText(1002)
+  private val freshC = mkText(1003)
+
+  private def builtIndex(): String = {
+    val ix = tmpDir("sd_ix")
+    DedupIndex.build(baseDocs, $"text", $"doc_id", ix,
+      numHashes = 64, bands = 16, shingleSize = 5)
+    ix
+  }
+
+  test("MemoryStream end-to-end: batches dedup against the index AND prior batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ix = builtIndex(); val out = tmpDir("sd_out"); val ckpt = tmpDir("sd_ckpt")
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingDedup.indexedDedupSink(ix, out, "text", "doc_id",
+        jaccardThreshold = 0.7))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // batch 0: copy of an INDEXED doc + one fresh doc + in-batch dup pair
+      stream.addData(Seq((100L, mkText(3)), (101L, freshA), (102L, freshA)))
+      q.processAllAvailable()
+      // batch 1: copy of a PRIOR-BATCH survivor + copy of indexed + fresh
+      stream.addData(Seq((200L, freshA), (201L, mkText(7)), (202L, freshB)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val surv = StreamingDedup.survivors(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(101L, 202L))
+    assert(DedupIndex.highWater(ix) == 202L)
+  }
+
+  test("replay protocol: full-commit skip, and post-append crash re-derives identically") {
+    val ix = builtIndex(); val out = tmpDir("sd_out2")
+    val sink = StreamingDedup.indexedDedupSink(ix, out, "text", "doc_id",
+      jaccardThreshold = 0.7)
+    val batch0 = Seq((100L, mkText(2)), (101L, freshA)).toDF("doc_id", "text")
+    val batch1 = Seq((200L, freshA), (201L, freshB)).toDF("doc_id", "text")
+    val batch2 = Seq((300L, freshB), (301L, freshC)).toDF("doc_id", "text")
+
+    sink(batch0, 0L)
+    val sigRows0 = spark.read.parquet(s"$ix/sigs").count()
+    // replay of a FULLY committed batch: every durable effect unchanged
+    sink(batch0, 0L)
+    assert(spark.read.parquet(s"$ix/sigs").count() == sigRows0)
+    assert(spark.read.parquet(s"$out/batch=0").count() == 1) // only 101 survived
+
+    // crash between appendDelta and the state-marker write: perform batch
+    // 1's first two durable effects by hand, then invoke the sink as the
+    // engine's replay would
+    val s1 = DedupIndex.dedupDelta(batch1, $"text", $"doc_id", ix,
+      jaccardThreshold = 0.7)
+    s1.write.mode("overwrite").parquet(s"$out/batch=1")
+    DedupIndex.appendDelta(s1, $"text", $"doc_id", ix)
+    assert(DedupIndex.highWater(ix) == 201L) // append committed, marker did not
+    sink(batch1, 1L) // replay: must pin the pre-append horizon and re-derive
+    val survB1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survB1 == Set(201L), "200 duplicates batch 0's survivor; 201 is fresh")
+
+    // the stream continues: batch 2 dedups against batch 1's survivors
+    sink(batch2, 2L)
+    val survB2 = spark.read.parquet(s"$out/batch=2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survB2 == Set(301L))
+    val all = StreamingDedup.survivors(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(101L, 201L, 301L))
+    // the retried append left duplicate sig rows (tolerated); compaction
+    // reclaims them without changing the index contents
+    val before = spark.read.parquet(s"$ix/sigs").count()
+    DedupIndex.compact(spark, ix)
+    val after = spark.read.parquet(s"$ix/sigs_c1").count()
+    assert(after < before)
+    assert(after == 20 + 3) // base corpus + the three survivors
+  }
+}
