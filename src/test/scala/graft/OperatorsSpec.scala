@@ -482,6 +482,18 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.contains(300L), "uncommitted index rows must not influence a probe")
   }
 
+  test("dedupDelta shuffle fallback (delta above broadcast limit) matches the broadcast path") {
+    val (base, delta) = deltaFixture
+    val dir = tmpDir("dedup_ix5")
+    graft.operators.DedupIndex.build(base, $"text", $"doc_id", dir,
+      numHashes = 64, bands = 16, shingleSize = 5)
+    def run(limit: Long) = graft.operators.DedupIndex.dedupDelta(
+        delta, $"text", $"doc_id", dir, jaccardThreshold = 0.7,
+        broadcastDeltaLimit = limit)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run(0L) == run(graft.operators.DedupIndex.DefaultBroadcastDeltaLimit))
+  }
+
   test("compact dedupes retried appends; probes, appends and rebuild survive the dir flip") {
     import java.nio.file.{Files, Paths}
     val (base, delta) = deltaFixture
