@@ -113,6 +113,9 @@ object DedupIndex {
       java.nio.file.Files.delete(metaP)
       Some(old).filter(_ != s"$dir/sigs")
     } else None
+    // a rebuilt index is a NEW id lineage: a surviving streaming marker
+    // would hand the next micro-batch the OLD index's high-water
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "stream_state"))
     val sigs = sigFrame(df, textCol, idCol, numHashes, shingleSize)
     sigs.write.mode("overwrite").parquet(s"$dir/sigs")
     val ext = spark.read.parquet(s"$dir/sigs")
@@ -137,7 +140,23 @@ object DedupIndex {
                  jaccardThreshold: Double = 0.8,
                  maxBucketSize: Int = Dedup.DefaultBucketCap,
                  asOfMaxId: Option[Long] = None,
-                 broadcastDeltaLimit: Long = DefaultBroadcastDeltaLimit): DataFrame = {
+                 broadcastDeltaLimit: Long = DefaultBroadcastDeltaLimit): DataFrame =
+    probeDelta(delta, textCol, idCol, dir, jaccardThreshold, maxBucketSize,
+      asOfMaxId, broadcastDeltaLimit)._1
+
+  /** [[dedupDelta]] plus a release handle for the probe's internal caches
+    * (delta signatures + the delta-adjacent index slice). One-shot callers
+    * can ignore it — the ContextCleaner reclaims the caches when the
+    * frames are GC'd — but a long-running caller issuing a probe per
+    * micro-batch ([[graft.streaming.StreamingDedup]]) must call it after
+    * fully consuming the survivors, or every batch parks two cached RDDs
+    * until a driver GC happens to run. */
+  private[graft] def probeDelta(
+      delta: DataFrame, textCol: Column, idCol: Column, dir: String,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Int = Dedup.DefaultBucketCap,
+      asOfMaxId: Option[Long] = None,
+      broadcastDeltaLimit: Long = DefaultBroadcastDeltaLimit): (DataFrame, () => Unit) = {
     val spark = delta.sparkSession
     val m = readMeta(dir)
     // asOfMaxId pins the probe to an EARLIER committed high-water than the
@@ -153,7 +172,8 @@ object DedupIndex {
     val deltaSigs = sigFrame(delta, textCol, idCol, m.numHashes, m.shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ext = deltaSigs.agg(min(col("doc_id")), count(lit(1))).head()
-    if (ext.getLong(1) == 0L) return delta // empty delta: nothing to drop
+    if (ext.getLong(1) == 0L) // empty delta: nothing to drop
+      return (delta, () => { deltaSigs.unpersist(); () })
     require(ext.getLong(0) > hw,
       s"delta ids must exceed the index high-water $hw (got ${ext.getLong(0)}) — " +
         "monotonic ingest ids are what make 'drop the larger id' mean 'the index wins'")
@@ -208,7 +228,9 @@ object DedupIndex {
       .join(deltaSigs.select(col("doc_id").as("__id_b"), col("sig").as("__sig_b")), Seq("__id_b"))
       .where(Dedup.estJaccard(col("__sig_a"), col("__sig_b"), m.numHashes) >= jaccardThreshold)
       .select(col("__id_b").as("__drop_id")).distinct()
-    delta.join(hint(drops), idCol.cast("long") === col("__drop_id"), "left_anti")
+    val survivors =
+      delta.join(hint(drops), idCol.cast("long") === col("__drop_id"), "left_anti")
+    (survivors, () => { deltaSigs.unpersist(); touchedIndex.unpersist(); () })
   }
 
   /** Fold surviving delta rows into the index: append their signatures and
@@ -221,14 +243,22 @@ object DedupIndex {
     * grow), and a compaction is just rewriting `sigs` deduplicated. */
   def appendDelta(survivors: DataFrame, textCol: Column, idCol: Column,
                   dir: String): Unit = {
-    val spark = survivors.sparkSession
     val m = readMeta(dir)
+    // extent from the SURVIVORS, not a re-scan of the store: the commit
+    // must stay delta-sized (a corpus-sized reconciliation scan per
+    // ingest batch is the cost this index exists to avoid), and deriving
+    // max_id from only the rows this call fully wrote also means an
+    // abandoned torn append from some earlier crash can never be promoted
+    // below the committed high-water by someone else's commit. `rows` is
+    // therefore an accumulator: crash-retried duplicate appends make the
+    // physical store exceed it; [[compact]] reconciles both exactly.
+    val ext = survivors
+      .agg(max(idCol.cast("long")), count(lit(1))).head()
+    if (ext.getLong(1) == 0L) return // nothing to fold in; meta unchanged
     sigFrame(survivors, textCol, idCol, m.numHashes, m.shingleSize)
       .write.mode("append").parquet(sigsPath(dir, m))
-    val ext = spark.read.parquet(sigsPath(dir, m))
-      .agg(max(col("doc_id")), count(lit(1))).head()
     writeMeta(dir, m.copy(maxId = math.max(m.maxId, ext.getLong(0)),
-      rows = ext.getLong(1)))
+      rows = m.rows + ext.getLong(1)))
   }
 
   /** Rewrite the sig store with exactly one row per doc_id and drop any

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, min}
 
 import graft.operators.DedupIndex
 
@@ -92,19 +92,31 @@ object StreamingDedup {
       val st = readState(indexDir)
       if (st.exists(batchId <= _._1)) {
         // fully committed on a previous attempt — the marker is written
-        // last, so its presence covers the survivor write AND the append
+        // last, so its presence covers the survivor write AND the append.
+        // Sanity-check the claim before skipping: a genuinely replayed
+        // batch contains only already-appended ids, so any id above the
+        // index high-water means this is a NEW stream (fresh checkpoint,
+        // batch ids restarted at 0) running against a marker left by a
+        // PREVIOUS stream — skipping would silently drop its data.
+        val mn = batch.agg(min(col(idCol).cast("long"))).head()
+        require(mn.isNullAt(0) || mn.getLong(0) <= DedupIndex.highWater(indexDir),
+          s"batch $batchId is marked committed (last_batch=${st.get._1}) but " +
+            "contains ids above the index high-water — a restarted stream with " +
+            "a fresh checkpoint is reusing an index whose stream_state belongs " +
+            "to a previous stream; delete the marker (or keep the old checkpoint)")
       } else {
         val hw0 = st.map(_._2).getOrElse(DedupIndex.highWater(indexDir))
-        val survivors = DedupIndex.dedupDelta(
-            batch.toDF(), col(textCol), col(idCol), indexDir,
-            jaccardThreshold, asOfMaxId = Some(hw0))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (raw, release) = DedupIndex.probeDelta(
+          batch.toDF(), col(textCol), col(idCol), indexDir,
+          jaccardThreshold, asOfMaxId = Some(hw0))
+        val survivors =
+          raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           DedupIndex.appendDelta(survivors, col(textCol), col(idCol), indexDir)
           // commit hw AFTER the append — the next batch's probe horizon
           writeState(indexDir, batchId, DedupIndex.highWater(indexDir))
-        } finally survivors.unpersist()
+        } finally { survivors.unpersist(); release() }
       }
   }
 

@@ -100,4 +100,27 @@ class StreamingDedupSpec extends SparkSpec {
     assert(after < before)
     assert(after == 20 + 3) // base corpus + the three survivors
   }
+
+  test("fresh-checkpoint stream on a stale marker fails loudly; rebuild resets the lineage") {
+    val ix = builtIndex(); val out = tmpDir("sd_out3")
+    val sink = StreamingDedup.indexedDedupSink(ix, out, "text", "doc_id",
+      jaccardThreshold = 0.7)
+    sink(Seq((100L, freshA)).toDF("doc_id", "text"), 0L)
+    // a NEW stream (batch ids restarted) with unseen ids must not be
+    // silently skipped as a "replay" — that would drop its data
+    val ex = intercept[IllegalArgumentException] {
+      sink(Seq((300L, freshB)).toDF("doc_id", "text"), 0L)
+    }
+    assert(ex.getMessage.contains("stream_state"))
+    // a true replay (only already-indexed ids) still skips without effects
+    sink(Seq((100L, freshA)).toDF("doc_id", "text"), 0L)
+    assert(DedupIndex.highWater(ix) == 100L)
+    // rebuilding the index starts a new lineage: the marker is cleared and
+    // the new stream's batch 0 is accepted
+    DedupIndex.build(baseDocs, $"text", $"doc_id", ix,
+      numHashes = 64, bands = 16, shingleSize = 5)
+    sink(Seq((300L, freshB)).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(300L))
+  }
 }
