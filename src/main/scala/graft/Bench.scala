@@ -337,7 +337,7 @@ object Bench {
         "prof_dup_flag", "prof_col_dist",
         // round-4 hash-exact-oracle paths (salted/planted fixtures)
         "dedup_minhash_hi", "dedup_winnow_hi", "ann_ivf_indexed",
-        "text_langid_lm", "dedup_delta_hi",
+        "text_langid_lm", "dedup_delta_hi", "vec_delta_hi",
         // the north-rule criterion as one oracle row: flagship keep/drop +
         // scrubbed-content sha256 on the documents table
         "pipeline_decision")

@@ -106,6 +106,25 @@ object QueryCatalog {
   private def deltaBaseDocs(s: SparkSession, dir: String): DataFrame =
     withTextSalt(t(s, dir, "documents").select(col("doc_id"), col("text")))
 
+  /** Vector-delta fixture for vec_delta_hi, mirroring [[deltaDocs]]'
+    * planted structure in embedding space: copies of base vectors (index
+    * dups — cosine exactly 1, identical seeded signatures ⇒ guaranteed
+    * candidacy), NEGATED base vectors as "new" content (the synthetic
+    * embeddings' max pairwise |cosine| is ~0.51, so -v is ≥ 0.39 below the
+    * 0.9 threshold against every base/delta vector except its own exact
+    * negated twin), and repeated negations as delta-internal dups. Float
+    * negation is exact, so twins are bit-identical. */
+  private def deltaVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val neg = expr("transform(embedding, x -> -x)").as("embedding")
+    e.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      .unionAll(e.where(col("vec_id") % 50 === 7)
+        .select((col("vec_id") + 2000000).as("vec_id"), neg))
+      .unionAll(e.where(col("vec_id") % 100 === 7)
+        .select((col("vec_id") + 3000000).as("vec_id"), neg))
+  }
+
   private def deltaDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
     withTextSalt(
@@ -1142,6 +1161,46 @@ object QueryCatalog {
              |WHERE NOT EXISTS (SELECT 1 FROM documents b WHERE b.text = d.text)
              |  AND NOT EXISTS (SELECT 1 FROM delta d2
              |                  WHERE d2.text = d.text AND d2.doc_id < d.doc_id)""".stripMargin)),
+
+    // INCREMENTAL near-dup in EMBEDDING space (VectorIndex) — the vector
+    // twin of dedup_delta_hi, hash-exact by the same argument transposed
+    // to cosine: every SQL-mandated drop has a bit-identical partner
+    // (cosine exactly 1, identical stored signatures ⇒ candidacy certain),
+    // and every surviving row is ≥ 0.39 below the threshold against
+    // everything (see deltaVecs), where the engine's exact-cosine verify
+    // cannot over-drop. DuckDB recomputes all exact cosines.
+    Q("vec_delta_hi",
+      (s, dir) => {
+        val mtime = java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(dir, "embeddings.parquet")).toMillis.toHexString
+        val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val ix = s"/tmp/graft_vec_ix_v1_${key}_$mtime"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ix, "meta")))
+          graft.operators.VectorIndex.build(
+            t(s, dir, "embeddings"), col("embedding"), col("vec_id"), ix)
+        graft.operators.VectorIndex.nearDupDelta(
+            deltaVecs(s, dir), col("embedding"), col("vec_id"), ix,
+            threshold = 0.9)
+          .select("vec_id")
+      },
+      Some("""WITH delta AS (
+             |  SELECT vec_id + 1000000 AS vec_id, embedding
+             |  FROM embeddings WHERE vec_id % 50 = 0
+             |  UNION ALL
+             |  SELECT vec_id + 2000000 AS vec_id, list_transform(embedding, x -> -x)
+             |  FROM embeddings WHERE vec_id % 50 = 7
+             |  UNION ALL
+             |  SELECT vec_id + 3000000 AS vec_id, list_transform(embedding, x -> -x)
+             |  FROM embeddings WHERE vec_id % 100 = 7
+             |)
+             |SELECT d.vec_id AS vec_id FROM delta d
+             |WHERE NOT EXISTS (SELECT 1 FROM embeddings b
+             |        WHERE list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+             |                CAST(d.embedding AS DOUBLE[])) >= 0.9)
+             |  AND NOT EXISTS (SELECT 1 FROM delta d2
+             |        WHERE d2.vec_id < d.vec_id
+             |          AND list_cosine_similarity(CAST(d2.embedding AS DOUBLE[]),
+             |                CAST(d.embedding AS DOUBLE[])) >= 0.9)""".stripMargin)),
 
     Q("dedup_simhash",
       (s, dir) => graft.operators.Dedup.simHashDedup(

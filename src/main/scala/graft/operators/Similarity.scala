@@ -237,20 +237,27 @@ object Similarity {
     * for verification. */
   private[graft] def bandedSignatures(vecs: DataFrame, idCol: String, vecCol: String,
                                           numTables: Int, planesPerTable: Int,
-                                          dim: Int, seed: Long): DataFrame = {
-    // all tables' signatures in ONE codegen'd pass over the vector
-    // (plane ordering identical to the per-plane Column form it replaced,
-    // so seeded signatures — and thus buckets — are unchanged)
+                                          dim: Int, seed: Long): DataFrame =
+    vecs.select(col(idCol).as("__id"),
+        posexplode(tableSigs(col(vecCol), numTables, planesPerTable, dim, seed))
+          .as(Seq("__band", "__bucket")))
+
+  /** All tables' signatures (array<long>, one bucket per table) in ONE
+    * codegen'd pass over the vector — plane ordering identical to the
+    * per-plane Column form it replaced, so seeded signatures (and thus
+    * buckets) are unchanged. [[VectorIndex]] persists this column so index
+    * probes explode stored signatures instead of re-running the
+    * hyperplane flops over the corpus. */
+  private[graft] def tableSigs(vecCol: Column, numTables: Int, planesPerTable: Int,
+                               dim: Int, seed: Long): Column = {
     val flat = new Array[Double](numTables * planesPerTable * dim)
     for (t <- 0 until numTables) {
       val ps = planes(planesPerTable, dim, seed + t)
       for (p <- 0 until planesPerTable)
         System.arraycopy(ps(p), 0, flat, (t * planesPerTable + p) * dim, dim)
     }
-    val sigs = graft.functions.VectorKernels.hyperplaneSigs(
-      col(vecCol), flat, numTables, planesPerTable, dim)
-    vecs.select(col(idCol).as("__id"),
-        posexplode(sigs).as(Seq("__band", "__bucket")))
+    graft.functions.VectorKernels.hyperplaneSigs(
+      vecCol, flat, numTables, planesPerTable, dim)
   }
 
   /** LSH-bucketed top-k with `numTables` independent hash tables (the

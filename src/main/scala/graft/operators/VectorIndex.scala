@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted embedding-LSH index + incremental (delta) near-duplicate
+  * removal — the vector-domain sibling of [[DedupIndex]] (same commit
+  * protocol, same monotonic-id contract, same single-scan probe shape;
+  * see that object's scaladoc for the crash-safety argument, which this
+  * store inherits verbatim).
+  *
+  * What is stored per row: `(vec_id, vec: array<float>, sig:
+  * array<long>)` — the raw vector (needed by the cosine verify) AND the
+  * multi-table hyperplane signature ([[Similarity.tableSigs]], one
+  * 'planesPerTable'-bit bucket per table). Persisting the signature is
+  * what keeps a probe cheap at corpus scale: re-deriving it would run
+  * numTables × planesPerTable × dim flops per corpus row per batch
+  * (~10¹¹ flops at 16M rows with probe-sized params), while exploding a
+  * stored array<long> is a scan. Hyperplanes are a pure function of
+  * (seed, table, dim) frozen in the meta, so delta batches derive
+  * bit-identical buckets forever.
+  *
+  * Probe shape (mirrors [[DedupIndex.dedupDelta]]): ONE map-side scan of
+  * the store — delta bucket keys broadcast into a left-semi restriction,
+  * the vector rides the semi-join so the verify reads the persisted
+  * delta-adjacent slice, candidates/drop-ids broadcast into the final
+  * anti-join; hints come off past `broadcastDeltaLimit` delta rows.
+  *
+  * Reference anchor: like DedupIndex, this is the run-over-run carried
+  * state pattern of the reference's summary/history tables
+  * (`$REF/DQECodeDeployment/0 Database Deployment/300_Tables/DQ.DataQualitySummaryHistory.sql`)
+  * applied to the embedding near-dup operator family.
+  */
+object VectorIndex {
+
+  private case class Meta(numTables: Int, planesPerTable: Int, dim: Int,
+                          seed: Long, maxId: Long, rows: Long,
+                          vecsDir: String = "vecs")
+
+  private def readMeta(dir: String): Meta = {
+    val p = java.nio.file.Paths.get(dir, "meta")
+    require(java.nio.file.Files.exists(p),
+      s"no committed vector index at $dir (meta missing — build() writes it last)")
+    val kv = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala
+      .filter(_.contains('=')).map { l =>
+        val Array(k, v) = l.split("=", 2); (k, v)
+      }.toMap
+    Meta(kv("num_tables").toInt, kv("planes_per_table").toInt, kv("dim").toInt,
+      kv("seed").toLong, kv("max_id").toLong, kv("rows").toLong,
+      kv.getOrElse("vecs_dir", "vecs"))
+  }
+
+  private def writeMeta(dir: String, m: Meta): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val tmp = d.resolve("meta.tmp")
+    java.nio.file.Files.write(tmp, java.util.Arrays.asList(
+      s"num_tables=${m.numTables}", s"planes_per_table=${m.planesPerTable}",
+      s"dim=${m.dim}", s"seed=${m.seed}", s"max_id=${m.maxId}",
+      s"rows=${m.rows}", s"vecs_dir=${m.vecsDir}"))
+    java.nio.file.Files.move(tmp, d.resolve("meta"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def vecsPath(dir: String, m: Meta): String = s"$dir/${m.vecsDir}"
+
+  /** Committed high-water id (see [[DedupIndex.highWater]]). */
+  def highWater(dir: String): Long = readMeta(dir).maxId
+
+  // float-normalize the vector FIRST, then derive the signature from its
+  // double widening: index and delta agree bit-exactly no matter whether a
+  // caller hands float or double input (float→double is exact; double
+  // input is truncated once, identically, on both sides)
+  private def vecFrame(df: DataFrame, vecCol: Column, idCol: Column,
+                       m: Meta): DataFrame =
+    df.select(idCol.cast("long").as("vec_id"),
+        vecCol.cast("array<float>").as("vec"))
+      .withColumn("sig", Similarity.tableSigs(
+        col("vec").cast("array<double>"),
+        m.numTables, m.planesPerTable, m.dim, m.seed))
+
+  /** Vectorize + fingerprint `df` and write the index at `dir`
+    * (overwrite; a torn rebuild reads as "no index" — meta deleted first).
+    * `planesPerTable <= 0` auto-sizes to log₂(n)+4 (the 16M-probe rule:
+    * log₂ n holds MEAN bucket load ~1 but pair volume is tail-dominated;
+    * +4 planes cut every bucket 16×, near-dup recall at cos ≥ 0.99 stays
+    * ≈ 1 with 16 tables — BASELINE.md round-3 probe). */
+  def build(df: DataFrame, vecCol: Column, idCol: Column, dir: String,
+            numTables: Int = 16, planesPerTable: Int = -1, dim: Int = 64,
+            seed: Long = 42L): Unit = {
+    Similarity.requireDim(df.select(vecCol.as("__v")), "__v", dim, "VectorIndex.build")
+    val spark = df.sparkSession
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else math.min(60, math.max(4,
+        math.ceil(math.log(math.max(df.count(), 1L).toDouble) / math.log(2.0)).toInt + 4))
+    val metaP = java.nio.file.Paths.get(dir, "meta")
+    val oldStore = if (java.nio.file.Files.exists(metaP)) {
+      val old = vecsPath(dir, readMeta(dir))
+      java.nio.file.Files.delete(metaP)
+      Some(old).filter(_ != s"$dir/vecs")
+    } else None
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "stream_state"))
+    val m0 = Meta(numTables, planes, dim, seed, Long.MinValue, 0L)
+    vecFrame(df, vecCol, idCol, m0).write.mode("overwrite").parquet(s"$dir/vecs")
+    val ext = spark.read.parquet(s"$dir/vecs")
+      .agg(max(col("vec_id")), count(lit(1))).head()
+    writeMeta(dir, m0.copy(
+      maxId = if (ext.isNullAt(0)) Long.MinValue else ext.getLong(0),
+      rows = ext.getLong(1)))
+    oldStore.foreach(p => org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(p)))
+  }
+
+  /** Remove near-duplicates (cosine ≥ `threshold` against the index or a
+    * smaller-id delta row) from `delta`, returning its surviving rows.
+    * Candidacy is any shared table signature — the frozen index params;
+    * verification is exact cosine on the stored float vectors. */
+  def nearDupDelta(delta: DataFrame, vecCol: Column, idCol: Column, dir: String,
+                   threshold: Double = 0.9,
+                   maxBucketSize: Int = Dedup.DefaultBucketCap,
+                   asOfMaxId: Option[Long] = None,
+                   broadcastDeltaLimit: Long = DedupIndex.DefaultBroadcastDeltaLimit): DataFrame =
+    probeDelta(delta, vecCol, idCol, dir, threshold, maxBucketSize,
+      asOfMaxId, broadcastDeltaLimit)._1
+
+  /** [[nearDupDelta]] plus a cache-release handle — same contract as
+    * [[DedupIndex.probeDelta]]. */
+  private[graft] def probeDelta(
+      delta: DataFrame, vecCol: Column, idCol: Column, dir: String,
+      threshold: Double = 0.9,
+      maxBucketSize: Int = Dedup.DefaultBucketCap,
+      asOfMaxId: Option[Long] = None,
+      broadcastDeltaLimit: Long = DedupIndex.DefaultBroadcastDeltaLimit): (DataFrame, () => Unit) = {
+    val spark = delta.sparkSession
+    val m = readMeta(dir)
+    val hw = asOfMaxId.getOrElse(m.maxId)
+    require(hw <= m.maxId,
+      s"asOfMaxId $hw exceeds the index high-water ${m.maxId} (wrong index dir?)")
+    Similarity.requireDim(delta.select(vecCol.as("__v")), "__v", m.dim,
+      "VectorIndex.nearDupDelta")
+
+    val deltaVecs = vecFrame(delta, vecCol, idCol, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ext = deltaVecs.agg(min(col("vec_id")), count(lit(1))).head()
+    if (ext.getLong(1) == 0L)
+      return (delta, () => { deltaVecs.unpersist(); () })
+    require(ext.getLong(0) > hw,
+      s"delta ids must exceed the index high-water $hw (got ${ext.getLong(0)}) — " +
+        "monotonic ingest ids are what make 'drop the larger id' mean 'the index wins'")
+
+    val bcast = ext.getLong(1) <= broadcastDeltaLimit
+    val hint = (df: DataFrame) => if (bcast) broadcast(df) else df
+
+    val explodeSigs = (vecs: DataFrame, withVec: Boolean) => {
+      val keep = col("vec_id").as("__id") +:
+        (if (withVec) Seq(col("vec").as("__vec")) else Nil)
+      vecs.select(keep :+ posexplode(col("sig")).as(Seq("__band", "__bucket")): _*)
+    }
+    val deltaBanded = explodeSigs(deltaVecs, false)
+    val probeKeys = deltaBanded.select(col("__band"), col("__bucket")).distinct()
+    // high-water filter (torn appends invisible) + broadcast semi
+    // restriction with the vector carried — single scan of the store
+    val touchedIndex = explodeSigs(
+        spark.read.parquet(vecsPath(dir, m)).where(col("vec_id") <= hw),
+        true)
+      .join(hint(probeKeys), Seq("__band", "__bucket"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val candidates = Dedup.cappedCandidates(
+        touchedIndex.select("__id", "__band", "__bucket").unionByName(deltaBanded),
+        "__id_a", "__id_b", maxBucketSize)
+      .where(col("__id_b") > hw)
+    val vecsA = touchedIndex.select(col("__id").as("vec_id"), col("__vec").as("vec"))
+      .dropDuplicates("vec_id")
+      .unionAll(deltaVecs.select("vec_id", "vec"))
+    val drops = hint(candidates)
+      .join(vecsA.select(col("vec_id").as("__id_a"), col("vec").as("__va")), Seq("__id_a"))
+      .join(deltaVecs.select(col("vec_id").as("__id_b"), col("vec").as("__vb")), Seq("__id_b"))
+      .where(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__id_b").as("__drop_id")).distinct()
+    val survivors =
+      delta.join(hint(drops), idCol.cast("long") === col("__drop_id"), "left_anti")
+    (survivors, () => { deltaVecs.unpersist(); touchedIndex.unpersist(); () })
+  }
+
+  /** Fold survivors in — delta-sized commit, duplicate-tolerant retries
+    * (same argument as [[DedupIndex.appendDelta]]). */
+  def appendDelta(survivors: DataFrame, vecCol: Column, idCol: Column,
+                  dir: String): Unit = {
+    val m = readMeta(dir)
+    val ext = survivors.agg(max(idCol.cast("long")), count(lit(1))).head()
+    if (ext.getLong(1) == 0L) return
+    // wrong-dim vectors would store all-zero signatures (silent recall
+    // loss for every future probe) — guard here too, not just build/probe
+    Similarity.requireDim(survivors.select(vecCol.as("__v")), "__v", m.dim,
+      "VectorIndex.appendDelta")
+    vecFrame(survivors, vecCol, idCol, m).write.mode("append").parquet(vecsPath(dir, m))
+    writeMeta(dir, m.copy(maxId = math.max(m.maxId, ext.getLong(0)),
+      rows = m.rows + ext.getLong(1)))
+  }
+
+  /** One row per vec_id, rows above the high-water dropped; crash-safe via
+    * the vecs_dir generation pointer (see [[DedupIndex.compact]]).
+    * Single-writer, like every mutation on this index. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val m = readMeta(dir)
+    val next = if (m.vecsDir == "vecs") "vecs_c1"
+               else "vecs_c" + (m.vecsDir.drop(6).toLong + 1)
+    spark.read.parquet(vecsPath(dir, m))
+      .where(col("vec_id") <= m.maxId)
+      .groupBy(col("vec_id")).agg(first(col("vec")).as("vec"), first(col("sig")).as("sig"))
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    val rows = spark.read.parquet(s"$dir/$next").count()
+    val old = vecsPath(dir, m)
+    writeMeta(dir, m.copy(rows = rows, vecsDir = next))
+    org.apache.spark.network.util.JavaUtils.deleteRecursively(new java.io.File(old))
+  }
+}

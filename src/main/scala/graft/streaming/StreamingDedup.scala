@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.{col, min}
 
-import graft.operators.DedupIndex
+import graft.operators.{DedupIndex, VectorIndex}
 
 /** Continuous-ingest near-duplicate removal: the streaming face of the
   * persisted MinHash index ([[graft.operators.DedupIndex]]).
@@ -87,6 +87,39 @@ object StreamingDedup {
   def indexedDedupSink(indexDir: String, outDir: String,
                        textCol: String, idCol: String,
                        jaccardThreshold: Double = 0.8)
+      : (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+    exactlyOnceSink(indexDir, outDir, idCol,
+      highWater = () => DedupIndex.highWater(indexDir),
+      probe = (batch, hw0) => DedupIndex.probeDelta(
+        batch, col(textCol), col(idCol), indexDir,
+        jaccardThreshold, asOfMaxId = Some(hw0)),
+      append = survivors => DedupIndex.appendDelta(
+        survivors, col(textCol), col(idCol), indexDir))
+
+  /** The vector-domain twin: near-duplicate removal of an embedding
+    * stream against a persisted [[graft.operators.VectorIndex]] — same
+    * exactly-once protocol, cosine-verified candidacy instead of
+    * est-Jaccard. `vecCol` is an `array<float>`/`array<double>` column. */
+  def vectorDedupSink(indexDir: String, outDir: String,
+                      vecCol: String, idCol: String,
+                      threshold: Double = 0.9)
+      : (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+    exactlyOnceSink(indexDir, outDir, idCol,
+      highWater = () => VectorIndex.highWater(indexDir),
+      probe = (batch, hw0) => VectorIndex.probeDelta(
+        batch, col(vecCol), col(idCol), indexDir,
+        threshold, asOfMaxId = Some(hw0)),
+      append = survivors => VectorIndex.appendDelta(
+        survivors, col(vecCol), col(idCol), indexDir))
+
+  /** The exactly-once micro-batch protocol, shared by both index domains:
+    * skip fully-committed batch ids (after verifying the replay claim),
+    * probe at the pre-append horizon, write survivors (overwrite), fold
+    * them in, commit the marker last. */
+  private def exactlyOnceSink(indexDir: String, outDir: String, idCol: String,
+                              highWater: () => Long,
+                              probe: (DataFrame, Long) => (DataFrame, () => Unit),
+                              append: DataFrame => Unit)
       : (org.apache.spark.sql.Dataset[Row], Long) => Unit = {
     (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
       val st = readState(indexDir)
@@ -99,23 +132,21 @@ object StreamingDedup {
         // batch ids restarted at 0) running against a marker left by a
         // PREVIOUS stream — skipping would silently drop its data.
         val mn = batch.agg(min(col(idCol).cast("long"))).head()
-        require(mn.isNullAt(0) || mn.getLong(0) <= DedupIndex.highWater(indexDir),
+        require(mn.isNullAt(0) || mn.getLong(0) <= highWater(),
           s"batch $batchId is marked committed (last_batch=${st.get._1}) but " +
             "contains ids above the index high-water — a restarted stream with " +
             "a fresh checkpoint is reusing an index whose stream_state belongs " +
             "to a previous stream; delete the marker (or keep the old checkpoint)")
       } else {
-        val hw0 = st.map(_._2).getOrElse(DedupIndex.highWater(indexDir))
-        val (raw, release) = DedupIndex.probeDelta(
-          batch.toDF(), col(textCol), col(idCol), indexDir,
-          jaccardThreshold, asOfMaxId = Some(hw0))
+        val hw0 = st.map(_._2).getOrElse(highWater())
+        val (raw, release) = probe(batch.toDF(), hw0)
         val survivors =
           raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          DedupIndex.appendDelta(survivors, col(textCol), col(idCol), indexDir)
+          append(survivors)
           // commit hw AFTER the append — the next batch's probe horizon
-          writeState(indexDir, batchId, DedupIndex.highWater(indexDir))
+          writeState(indexDir, batchId, highWater())
         } finally { survivors.unpersist(); release() }
       }
   }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorIndex
+import graft.streaming.StreamingDedup
+
+/** Persisted embedding-LSH index: incremental near-dup over vector
+  * batches, fold-in, lifecycle (compact/rebuild), and the streaming sink.
+  * Fixture vectors are noisy one-hots in dim 32 (pairwise cosine ≈ 0 for
+  * distinct ids, ≥ 0.999 for perturbed copies) so every expected
+  * keep/drop has a wide deterministic margin at θ = 0.9. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 32
+  /** Noisy one-hot on axis (seed mod Dim), deterministic. */
+  private def vec(seed: Int, perturb: Boolean = false): Array[Float] = {
+    val r = new scala.util.Random(seed * 131 + 7)
+    val v = Array.tabulate(Dim)(j =>
+      (if (j == seed % Dim) 1.0f else 0.0f) + 0.02f * r.nextFloat())
+    if (perturb) {
+      val r2 = new scala.util.Random(seed * 977 + 3)
+      v.map(x => x * 1.01f + 0.001f * r2.nextFloat())
+    } else v
+  }
+  private lazy val baseVecs =
+    (0 until 20).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  private def builtIndex(): String = {
+    val dir = tmpDir("vix")
+    VectorIndex.build(baseVecs, $"embedding", $"vec_id", dir,
+      numTables = 16, planesPerTable = 8, dim = Dim)
+    dir
+  }
+
+  test("nearDupDelta: exact/perturbed copies of indexed vectors drop, new and internal-dup resolve") {
+    val dir = builtIndex()
+    val delta = Seq(
+      (200L, vec(3)),                  // exact copy of indexed 3 → drop
+      (201L, vec(5, perturb = true)),  // cosine ≥ 0.999 vs indexed 5 → drop
+      (202L, vec(25)),                 // new axis → survive
+      (203L, vec(25))                  // delta-internal copy of 202 → drop
+    ).toDF("vec_id", "embedding")
+    val kept = VectorIndex.nearDupDelta(delta, $"embedding", $"vec_id", dir,
+        threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(202L))
+  }
+
+  test("appendDelta folds survivors in; monotonic-id contract enforced; shuffle fallback agrees") {
+    val dir = builtIndex()
+    val delta = Seq((200L, vec(25)), (201L, vec(26))).toDF("vec_id", "embedding")
+    val survivors = VectorIndex.nearDupDelta(delta, $"embedding", $"vec_id", dir)
+    VectorIndex.appendDelta(survivors, $"embedding", $"vec_id", dir)
+    assert(VectorIndex.highWater(dir) == 201L)
+    val second = Seq(
+      (300L, vec(25)),  // copy of an APPENDED survivor → drop
+      (301L, vec(27))   // fresh → survive
+    ).toDF("vec_id", "embedding")
+    val kept2 = VectorIndex.nearDupDelta(second, $"embedding", $"vec_id", dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(301L))
+    // forcing the shuffle path (no broadcast hints) is result-identical
+    val kept2s = VectorIndex.nearDupDelta(second, $"embedding", $"vec_id", dir,
+        broadcastDeltaLimit = 0L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept2s == kept2)
+    // ids at or below the high-water are rejected
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.nearDupDelta(
+        Seq((100L, vec(28))).toDF("vec_id", "embedding"), $"embedding", $"vec_id", dir)
+    }
+    assert(ex.getMessage.contains("high-water"))
+  }
+
+  test("compact reclaims duplicate appends; rebuild flips back to a fresh store") {
+    import java.nio.file.{Files, Paths}
+    val dir = builtIndex()
+    val delta = Seq((200L, vec(25))).toDF("vec_id", "embedding")
+    val s = VectorIndex.nearDupDelta(delta, $"embedding", $"vec_id", dir)
+    VectorIndex.appendDelta(s, $"embedding", $"vec_id", dir)
+    VectorIndex.appendDelta(s, $"embedding", $"vec_id", dir) // crash-retry
+    assert(spark.read.parquet(s"$dir/vecs").count() == 22)   // 20 + 2 dup rows
+    VectorIndex.compact(spark, dir)
+    assert(!Files.exists(Paths.get(dir, "vecs")))
+    assert(spark.read.parquet(s"$dir/vecs_c1").count() == 21)
+    // probe against the compacted store still works
+    val kept = VectorIndex.nearDupDelta(
+        Seq((300L, vec(25)), (301L, vec(26))).toDF("vec_id", "embedding"),
+        $"embedding", $"vec_id", dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(301L))
+    VectorIndex.build(baseVecs, $"embedding", $"vec_id", dir,
+      numTables = 16, planesPerTable = 8, dim = Dim)
+    assert(Files.exists(Paths.get(dir, "vecs")))
+    assert(!Files.exists(Paths.get(dir, "vecs_c1")))
+    assert(VectorIndex.highWater(dir) == 19L)
+  }
+
+  test("vectorDedupSink: MemoryStream end-to-end + post-append crash replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val ix = builtIndex(); val out = tmpDir("vix_out"); val ckpt = tmpDir("vix_ckpt")
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(StreamingDedup.vectorDedupSink(ix, out, "embedding", "vec_id"))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      stream.addData(Seq((100L, vec(3)), (101L, vec(25))))        // dup-of-index, fresh
+      q.processAllAvailable()
+      stream.addData(Seq((200L, vec(25)), (201L, vec(26))))       // dup-of-batch-0, fresh
+      q.processAllAvailable()
+    } finally q.stop()
+    val surv = StreamingDedup.survivors(spark, out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(101L, 201L))
+    // crash between append and marker: replay re-derives identically
+    val sink = StreamingDedup.vectorDedupSink(ix, out, "embedding", "vec_id")
+    val batch2 = Seq((300L, vec(26)), (301L, vec(27))).toDF("vec_id", "embedding")
+    val s2 = VectorIndex.nearDupDelta(batch2, $"embedding", $"vec_id", ix)
+    s2.write.mode("overwrite").parquet(s"$out/batch=2")
+    VectorIndex.appendDelta(s2, $"embedding", $"vec_id", ix)
+    sink(batch2, 2L)
+    assert(spark.read.parquet(s"$out/batch=2")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(301L))
+    assert(VectorIndex.highWater(ix) == 301L)
+  }
+}
