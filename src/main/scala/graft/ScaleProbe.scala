@@ -73,22 +73,51 @@ object ScaleProbe {
     }.toDF("doc_id", "text")
   }
 
+  /** The per-id vector of [[vectorCorpus]] — factored out so the vector
+    * delta probe can synthesize exact copies of base vectors by id. */
+  private def vectorAt(id: Long, dim: Int): Array[Float] = {
+    def vec(i: Long): Array[Float] = {
+      val r = new java.util.Random(i * 0x9E3779B97F4A7C15L + 7L)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    if (id % 20 == 0 && id >= 20) {
+      val base = vec(id - 10)
+      base.indices.map(i =>
+        (base(i) * (1.0 + 0.05 * math.sin((id - 10).toDouble + i))).toFloat).toArray
+    } else vec(id)
+  }
+
   /** Unique pseudo-random unit-ish vectors; every 20th id is a ±5%
     * perturbed copy of id-10 (cosine ≈ 0.999) → planted near-dups. */
   def vectorCorpus(spark: SparkSession, n: Long, dim: Int = 64): DataFrame = {
     import spark.implicits._
-    def vec(id: Long): Array[Float] = {
-      val r = new java.util.Random(id * 0x9E3779B97F4A7C15L + 7L)
-      Array.fill(dim)(r.nextGaussian().toFloat)
-    }
-    spark.range(0, n, 1, 256).map { id =>
-      val v =
-        if (id % 20 == 0 && id >= 20) {
-          val base = vec(id - 10)
-          base.indices.map(i =>
-            (base(i) * (1.0 + 0.05 * math.sin((id - 10).toDouble + i))).toFloat).toArray
-        } else vec(id)
-      (id, v)
+    spark.range(0, n, 1, 256).map(id => (id, vectorAt(id, dim)))
+      .toDF("vec_id", "embedding")
+  }
+
+  /** Ingest-batch fixture for the incremental VECTOR dedup probe —
+    * [[deltaCorpus]] transposed to embedding space. `m` rows with ids from
+    * `n`, alternating (a) exact copies of scattered base vectors
+    * (identical stored signatures ⇒ guaranteed candidacy, cosine exactly
+    * 1 ⇒ always dropped) and (b) NEGATED base vectors (cosine −1 to their
+    * source; ≥ 0.9 against anything else requires a natural anti-aligned
+    * pair in 64-dim gaussian data, probability ~(1−0.81)^31.5 per pair —
+    * never survives the exact-cosine verify). The negated half sources
+    * only ids ≡ 3 (mod 20) via a stride coprime to n/20 (n is 2^a·5^b
+    * here), so its sources are DISTINCT and never members of a planted
+    * near-dup pair (those live at residues 0 and 10) — two negated rows
+    * can't near-dup each other. Expected survivors: exactly m/2. */
+  def vectorDeltaCorpus(spark: SparkSession, n: Long, m: Long,
+                        dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(m / 2 <= n / 20, s"delta $m too large for distinct residue-3 sources over $n")
+    spark.range(0, m, 1, 64).map { i =>
+      val id = n + i
+      if (i % 2 == 0) (id, vectorAt((i * 2654435761L) % n, dim))
+      else {
+        val src = 20L * (((i / 2) * 2654435761L) % (n / 20)) + 3L
+        (id, vectorAt(src, dim).map(x => -x))
+      }
     }.toDF("vec_id", "embedding")
   }
 
@@ -339,6 +368,54 @@ object ScaleProbe {
             s"control: expected ${rows + m / 2} survivors, got $kept")
         }
         fullSec: Unit
+      }
+    }
+    if (ops("vdelta")) {
+      // INCREMENTAL near-dup in EMBEDDING space (VectorIndex): the vector
+      // twin of the `delta` op. Build the signature index over an n-row
+      // vector corpus once (the only full hyperplane-flop pass), then
+      // near-dup an m-row ingest batch against it. Correctness is
+      // deterministic (see vectorDeltaCorpus): survivors must be exactly
+      // m/2, every rep.
+      val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_DELTA_M", (rows / 100).max(1000).toString).toLong
+      val base = materialize(vectorCorpus(spark, rows),
+        s"/tmp/graft_probe_vecs_${CorpusGenVersion}_$rows")
+      val delta = materialize(vectorDeltaCorpus(spark, rows, m),
+        s"/tmp/graft_probe_vdelta_${CorpusGenVersion}_${rows}_$m")
+      val ixDir = s"/tmp/graft_probe_vecix_${CorpusGenVersion}_$rows"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(ixDir, "meta")))
+        time(s"vector index BUILD ($rows rows — one-time)") {
+          operators.VectorIndex.build(base, col("embedding"), col("vec_id"), ixDir)
+        }
+      val probeSecs = (1 to 3).map { rep =>
+        val t0 = System.nanoTime()
+        val survivors = operators.VectorIndex.nearDupDelta(
+            delta, col("embedding"), col("vec_id"), ixDir, threshold = 0.9)
+          .count()
+        val s = (System.nanoTime() - t0) / 1e9
+        require(survivors == m / 2,
+          s"vdelta rep $rep: expected ${m / 2} survivors (the negated half), got $survivors")
+        s
+      }.sorted
+      println(f"[probe] vdelta probe ($rows-row index, $m-row delta): med=${probeSecs(1)}%.1f s (reps ${probeSecs.map(s => f"$s%.1f").mkString(",")}), survivors=${m / 2}")
+      // CONTROL: the from-scratch cost — sized-LSH pair enumeration over
+      // base ∪ delta, dedup by "drop any row with a smaller-id >= θ pair".
+      // Exact-copy drops are candidacy-guaranteed (identical signatures),
+      // but planted base-internal near-dups (cos ≈ 0.999) ride LSH recall
+      // < 1, so the survivor count is bounded, not pinned: within
+      // [n + m/2 − planted, n + m/2].
+      if (sys.env.getOrElse("SPARK_GRAFT_PROBE_DELTA_FULL", "1") == "1") {
+        time(s"from-scratch embedding dedup control ($rows + $m rows)") {
+          val all = base.unionByName(delta)
+          val drops = operators.Dedup.embeddingNearDupPairsLshSized(
+              all, 0.9, rows + m)
+            .select(col("vec_id_b")).distinct().count()
+          val kept = rows + m - drops
+          val planted = rows / 20
+          require(kept >= rows + m / 2 - planted && kept <= rows + m / 2,
+            s"control: expected survivors in [${rows + m / 2 - planted}, ${rows + m / 2}], got $kept")
+          println(s"[probe] vdelta control survivors=$kept (band [${rows + m / 2 - planted}, ${rows + m / 2}])")
+        }
       }
     }
     if (ops("p7")) {

@@ -153,26 +153,36 @@ object VectorIndex {
     val bcast = ext.getLong(1) <= broadcastDeltaLimit
     val hint = (df: DataFrame) => if (bcast) broadcast(df) else df
 
-    val explodeSigs = (vecs: DataFrame, withVec: Boolean) => {
-      val keep = col("vec_id").as("__id") +:
-        (if (withVec) Seq(col("vec").as("__vec")) else Nil)
-      vecs.select(keep :+ posexplode(col("sig")).as(Seq("__band", "__bucket")): _*)
-    }
-    val deltaBanded = explodeSigs(deltaVecs, false)
+    val explodeSigs = (vecs: DataFrame) =>
+      vecs.select(col("vec_id").as("__id"),
+        posexplode(col("sig")).as(Seq("__band", "__bucket")))
+    val deltaBanded = explodeSigs(deltaVecs)
     val probeKeys = deltaBanded.select(col("__band"), col("__bucket")).distinct()
     // high-water filter (torn appends invisible) + broadcast semi
-    // restriction with the vector carried — single scan of the store
-    val touchedIndex = explodeSigs(
-        spark.read.parquet(vecsPath(dir, m)).where(col("vec_id") <= hw),
-        true)
+    // restriction. Unlike DedupIndex — whose signature rides this explode
+    // because re-deriving it means re-hashing the corpus text — the banded
+    // relation here is SIGNATURE-ONLY: parquet column pruning keeps the
+    // 256-byte raw vector out of the numTables-way explode (carrying it
+    // materializes numTables vector copies per store row — ~68 GB in
+    // flight for a 16M-row index at 16 tables, vs ~25 GB sig-only; at 4M
+    // both shapes fit and measure within host noise of each other), and
+    // the verify vectors come off a second, vec-column-only scan
+    // restricted to touched ids below — cheap here precisely because the
+    // vector is STORED (for text the second scan would re-shingle and
+    // re-hash the corpus, measured 88 s vs 2.6 s at 16M in BASELINE.md).
+    // Both scans are map-side; nothing corpus-sized is exchanged.
+    val store = spark.read.parquet(vecsPath(dir, m)).where(col("vec_id") <= hw)
+    val touchedIndex = explodeSigs(store.select("vec_id", "sig"))
       .join(hint(probeKeys), Seq("__band", "__bucket"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = Dedup.cappedCandidates(
-        touchedIndex.select("__id", "__band", "__bucket").unionByName(deltaBanded),
+        touchedIndex.unionByName(deltaBanded),
         "__id_a", "__id_b", maxBucketSize)
       .where(col("__id_b") > hw)
-    val vecsA = touchedIndex.select(col("__id").as("vec_id"), col("__vec").as("vec"))
+    val touchedIds = touchedIndex.select(col("__id").as("vec_id")).distinct()
+    val vecsA = store.select("vec_id", "vec")
+      .join(hint(touchedIds), Seq("vec_id"), "left_semi")
       .dropDuplicates("vec_id")
       .unionAll(deltaVecs.select("vec_id", "vec"))
     val drops = hint(candidates)
