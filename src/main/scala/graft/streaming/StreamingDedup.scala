@@ -17,7 +17,12 @@ import graft.operators.{DedupIndex, VectorIndex}
   * Exactly-once protocol. Structured Streaming re-runs a failed
   * micro-batch with the SAME batchId, so the sink must be a no-op replay
   * at every crash point. Three durable effects happen per batch, in this
-  * order, each individually replay-tolerant:
+  * order, each individually replay-tolerant (plus a zeroth, once per
+  * stream lineage: before the FIRST batch's effects, its pre-batch
+  * horizon is pinned into the marker as `last_batch = batchId-1` — a
+  * first-batch crash after the append would otherwise leave no committed
+  * horizon predating the half-folded rows, and every replay would fail
+  * the probe's monotonic-id check):
   *
   *   1. survivors → `outDir/batch=<id>/` (OVERWRITE — a replay rewrites
   *      the same rows; readers read the parent dir, the per-batch
@@ -64,7 +69,7 @@ object StreamingDedup {
     }
   }
 
-  private def writeState(indexDir: String, batchId: Long, hw: Long): Unit = {
+  private[graft] def writeState(indexDir: String, batchId: Long, hw: Long): Unit = {
     val d = java.nio.file.Paths.get(indexDir)
     val tmp = d.resolve("stream_state.tmp")
     java.nio.file.Files.write(tmp, java.util.Arrays.asList(
@@ -138,7 +143,19 @@ object StreamingDedup {
             "a fresh checkpoint is reusing an index whose stream_state belongs " +
             "to a previous stream; delete the marker (or keep the old checkpoint)")
       } else {
-        val hw0 = st.map(_._2).getOrElse(highWater())
+        val hw0 = st.map(_._2).getOrElse {
+          // FIRST batch of a stream lineage: pin the pre-batch horizon
+          // durably BEFORE any effect. Without the pin, a crash between
+          // this batch's append and its marker leaves the replay deriving
+          // its horizon from highWater() — which by then contains the
+          // batch's own half-folded rows, so the probe's monotonic-id
+          // require fails on every replay: a stuck stream, permanently.
+          // last_batch = batchId-1 means "nothing committed yet" (batch
+          // ids start at 0, so -1 never matches the skip test above).
+          val h = highWater()
+          writeState(indexDir, batchId - 1L, h)
+          h
+        }
         val (raw, release) = probe(batch.toDF(), hw0)
         val survivors =
           raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

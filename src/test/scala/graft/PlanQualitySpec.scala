@@ -343,4 +343,87 @@ class PlanQualitySpec extends SparkSpec {
       assert(semi.nonEmpty, "bucket restriction must be a broadcast left-semi join over the store scan")
     } finally spark.sharedState.cacheManager.clearCache()
   }
+
+  test("VectorIndex probe: two column-pruned store scans, each broadcast-restricted before any shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+
+    // The probe's scale contract (VectorIndex scaladoc): the store is read
+    // by exactly TWO map-side scans — a signature-only scan feeding the
+    // banded explode (the raw vector must NOT ride the numTables-way
+    // explode) and a vec-column-only scan for the touched-id verify fetch
+    // — and any shuffle above a store scan must sit ABOVE its broadcast
+    // semi restriction (i.e. it shuffles delta-adjacent rows, never the
+    // corpus).
+    val ixDir = tmpDir("plan_vix")
+    def vec(i: Int): Array[Float] = {
+      val r = new java.util.Random(i * 7919L + 3L)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val base = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    graft.operators.VectorIndex.build(base, col("embedding"), col("vec_id"), ixDir,
+      numTables = 4, planesPerTable = 6, dim = 8)
+    val delta = (0 until 40).map { i =>
+      (1000L + i, if (i % 2 == 0) vec(i * 3) else vec(i * 3).map(x => -x))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.VectorIndex.nearDupDelta(
+      delta, col("embedding"), col("vec_id"), ixDir, threshold = 0.9)
+    try {
+      out.collect()
+      def walkFrom(root: SparkPlan, intoCaches: Boolean = true): Seq[SparkPlan] = {
+        val seenCaches = scala.collection.mutable.Set[AnyRef]()
+        def go(p: SparkPlan): Seq[SparkPlan] = {
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case r: ReusedExchangeExec => Seq(r.child)
+            case im: InMemoryTableScanExec =>
+              if (intoCaches && seenCaches.add(im.relation.cacheBuilder))
+                Seq(im.relation.cachedPlan)
+              else Nil
+            case other => other.children
+          }
+          p +: kids.flatMap(go)
+        }
+        go(root)
+      }
+      val all = walkFrom(out.queryExecution.executedPlan)
+      def storeScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(ixDir)) => Some(f)
+        case _ => None
+      }
+      val scans = all.flatMap(storeScan)
+      assert(scans.size == 2,
+        s"store must be scanned exactly twice (sig-only + vec-only), found ${scans.size}:\n" +
+          out.queryExecution.executedPlan.toString)
+      val cols = scans.map(_.output.map(_.name).toSet)
+      assert(cols.exists(c => c.contains("sig") && !c.contains("vec")),
+        s"one scan must read sig WITHOUT the vec column, got $cols")
+      assert(cols.exists(c => c.contains("vec") && !c.contains("sig")),
+        s"one scan must read vec WITHOUT the sig column, got $cols")
+      // every shuffle whose subtree reaches a store scan must also contain
+      // the broadcast semi restriction below it — so what is exchanged is
+      // the delta-adjacent slice, not the corpus
+      def semiOverStore(p: SparkPlan): Boolean = p match {
+        case b: BroadcastHashJoinExec =>
+          b.joinType.toString == "LeftSemi" &&
+            walkFrom(b, intoCaches = false).exists(q => storeScan(q).nonEmpty)
+        case _ => false
+      }
+      val unrestrictedShuffles = all.collect {
+        case e: ShuffleExchangeExec
+          if walkFrom(e, intoCaches = false).exists(q => storeScan(q).nonEmpty) &&
+            !walkFrom(e, intoCaches = false).exists(semiOverStore) => e
+      }
+      assert(unrestrictedShuffles.isEmpty,
+        s"a store scan is shuffled without a broadcast-semi restriction below the exchange:\n" +
+          out.queryExecution.executedPlan.toString)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -101,6 +101,32 @@ class StreamingDedupSpec extends SparkSpec {
     assert(after == 20 + 3) // base corpus + the three survivors
   }
 
+  test("FIRST-batch post-append crash: replay re-derives from the pinned pre-batch horizon") {
+    val ix = builtIndex(); val out = tmpDir("sd_out4")
+    val sink = StreamingDedup.indexedDedupSink(ix, out, "text", "doc_id",
+      jaccardThreshold = 0.7)
+    val batch0 = Seq((100L, mkText(2)), (101L, freshA)).toDF("doc_id", "text")
+    // the sink's own first durable act is pinning the pre-batch horizon
+    // (last_batch = -1, hw) — reproduce the crashed attempt's durable
+    // prefix by hand: pin, survivors written, append committed, NO marker
+    StreamingDedup.writeState(ix, -1L, DedupIndex.highWater(ix))
+    val s0 = DedupIndex.dedupDelta(batch0, $"text", $"doc_id", ix,
+      jaccardThreshold = 0.7)
+    s0.write.mode("overwrite").parquet(s"$out/batch=0")
+    DedupIndex.appendDelta(s0, $"text", $"doc_id", ix)
+    assert(DedupIndex.highWater(ix) == 101L) // append committed, marker did not
+    // replay: without the pin, hw0 would be 101 (its own half-append) and
+    // the probe's monotonic-id require would fail on every attempt
+    sink(batch0, 0L)
+    val surv = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(101L), "100 duplicates an indexed doc; 101 is fresh")
+    // the marker is now committed; a further replay is a no-op skip
+    val sigRows = spark.read.parquet(s"$ix/sigs").count()
+    sink(batch0, 0L)
+    assert(spark.read.parquet(s"$ix/sigs").count() == sigRows)
+  }
+
   test("fresh-checkpoint stream on a stale marker fails loudly; rebuild resets the lineage") {
     val ix = builtIndex(); val out = tmpDir("sd_out3")
     val sink = StreamingDedup.indexedDedupSink(ix, out, "text", "doc_id",
