@@ -955,6 +955,41 @@ object QueryCatalog {
         col("doc_id"), md5(lower(trim(col("text")))).as("fingerprint")),
       Some("SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents")),
 
+    // Deterministic id-stable train/val/test split (operators/Sampling):
+    // assignment is a pure function of (id, seed) — md5-hex-prefix vs
+    // cumulative thresholds — so the oracle recomputes it bit-for-bit in
+    // SQL with the engine's own threshold literals interpolated. Hex
+    // STRING comparison on both sides: no integer conversion to diverge.
+    Q("sample_split",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.Sampling.splitAssign(col("doc_id"),
+          Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"), seed = 42L).as("split")),
+      Some {
+        val ts = graft.operators.Sampling.hexThresholds(Seq(0.8, 0.1, 0.1))
+        val h = "substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 12)"
+        s"""SELECT doc_id, CASE WHEN $h < '${ts(0)}' THEN 'train'
+           |WHEN $h < '${ts(1)}' THEN 'val' ELSE 'test' END AS split
+           |FROM documents""".stripMargin
+      }),
+
+    // Per-stratum deterministic sampling — sampleBy without RNG state or
+    // per-stratum jobs: ONE map-side CASE cutoff, id-stable under appends
+    // and repartitioning (Spark's seeded sample moves rows when the
+    // partition layout changes; this never does).
+    Q("sample_stratified",
+      (s, dir) => graft.operators.Sampling.stratifiedSample(
+          t(s, dir, "documents"), col("source"), col("doc_id"),
+          fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultFraction = 0.1, seed = 7L)
+        .select(col("doc_id"), col("source")),
+      Some {
+        def th(f: Double) = graft.operators.Sampling.hexThresholds(Seq(f, 1 - f)).head
+        s"""SELECT doc_id, source FROM documents
+           |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 12) <
+           |  CASE source WHEN 'src0' THEN '${th(1.0)}' WHEN 'src1' THEN '${th(0.5)}'
+           |  WHEN 'src2' THEN '${th(0.25)}' ELSE '${th(0.1)}' END""".stripMargin
+      }),
+
     Q("scrub_pii",
       (s, dir) => {
         val d = t(s, dir, "documents").withColumn("text2",

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, id-stable dataset splitting and sampling for training
+  * pipelines.
+  *
+  * Spark's own `randomSplit`/`sample` seed a per-partition RNG, so the
+  * assignment of a given row depends on the partition LAYOUT: a
+  * repartition, a compaction, or simply appending new data can silently
+  * move old rows between train and validation — the classic eval-leakage
+  * bug at corpus scale, where files are rewritten continuously. Everything
+  * here is instead a pure function of `(id, seed)`:
+  *
+  *   bucket(id) = substr(md5(id || ':' || seed), 1, 12)   — 48 bits of hex
+  *
+  * compared against fixed hex thresholds. Properties that matter at 100 TB:
+  *
+  *   - **map-side only**: a scan-local projection/filter, no shuffle, no
+  *     RNG state, fully codegen'd (md5 + substring + string compare are
+  *     built-in expressions);
+  *   - **append-stable**: a row's split never changes when the dataset
+  *     grows, shrinks, or is re-partitioned — eval sets stay frozen across
+  *     ingest runs without materializing membership lists;
+  *   - **engine-portable**: any system with md5 recomputes the assignment
+  *     bit-for-bit (the DuckDB oracle for `sample_split`/
+  *     `sample_stratified` does exactly that — hex-string comparison
+  *     avoids any integer-conversion/rounding divergence between engines).
+  *
+  * The 48-bit prefix keeps split-boundary quantization below 2⁻⁴⁸ ≈ 4e-15
+  * of mass per threshold — no realistic corpus notices.
+  */
+object Sampling {
+
+  /** Cumulative-weight thresholds as 12-hex-char lowercase strings (one
+    * per weight). A cumulative weight of exactly 1 maps to the sentinel
+    * `"g"` — lexicographically above every hex string, so `bucket < "g"`
+    * keeps ALL rows (a 12-hex cap would drop buckets equal to it, and the
+    * 13-hex '1000000000000' compares wrongly against 12-char buckets).
+    * Exposed so SQL oracles can interpolate the exact same literals the
+    * engine compares against. */
+  def hexThresholds(weights: Seq[Double]): Seq[String] = {
+    require(weights.nonEmpty && weights.forall(_ >= 0) && weights.sum > 0,
+      s"weights must be non-negative and sum positive: $weights")
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    cum.map(c =>
+      if (c >= 1.0) "g" else f"${(c * 281474976710656.0).toLong}%012x")
+  }
+
+  /** The 48-bit hex bucket of `id` under `seed` — the comparison key every
+    * operation here derives from. */
+  def hexBucket(idCol: Column, seed: Long): Column =
+    substring(md5(concat(idCol.cast("string"), lit(s":$seed"))), 1, 12)
+
+  /** A label column assigning each row to one of `labels` with proportions
+    * `weights` (normalized), deterministically in `(id, seed)`. Use as
+    * `df.withColumn("split", Sampling.splitAssign(col("id"), Seq(0.8, 0.1,
+    * 0.1), Seq("train", "val", "test")))`. */
+  def splitAssign(idCol: Column, weights: Seq[Double], labels: Seq[String],
+                  seed: Long = 42L): Column = {
+    require(weights.size == labels.size,
+      s"${weights.size} weights vs ${labels.size} labels")
+    val h = hexBucket(idCol, seed)
+    val ts = hexThresholds(weights)
+    // the last bucket is the open 'otherwise' arm: threshold rounding can
+    // never orphan a row
+    ts.init.zip(labels.init).foldRight(lit(labels.last): Column) {
+      case ((t, l), acc) => when(h < lit(t), lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Keep a deterministic `fraction` of rows — the id-stable replacement
+    * for `df.sample(fraction, seed)`. Subset-stable: the sample of a
+    * subset equals the subset of the sample. */
+  def stableSample(df: DataFrame, idCol: Column, fraction: Double,
+                   seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
+    df.where(hexBucket(idCol, seed) < lit(hexThresholds(Seq(fraction, 1 - fraction)).head))
+  }
+
+  /** Per-stratum deterministic sampling — the id-stable replacement for
+    * `df.stat.sampleBy`: keep `fractions(stratum)` of each stratum's rows
+    * (strata absent from the map keep `defaultFraction`). One map-side
+    * filter, no shuffle, no per-stratum jobs — at 500 sources this is one
+    * CASE expression, not 500 sampled scans. */
+  def stratifiedSample(df: DataFrame, strataCol: Column, idCol: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       seed: Long = 42L): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      s"fractions outside [0,1]: $fractions / default $defaultFraction")
+    def th(f: Double) = lit(hexThresholds(Seq(f, 1 - f)).head)
+    val cutoff = fractions.foldLeft(th(defaultFraction)) {
+      case (acc, (k, f)) => when(strataCol === lit(k), th(f)).otherwise(acc)
+    }
+    df.where(hexBucket(idCol, seed) < cutoff)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Id-stable splitting/sampling: proportions, the append/subset-stability
+  * property Spark's RNG-based sample lacks, and threshold edge cases. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids =
+    (0L until 10000L).map(i => (i, s"src${i % 20}")).toDF("id", "source")
+
+  test("hexThresholds: cumulative, 12-hex except the keep-all sentinel") {
+    val ts = Sampling.hexThresholds(Seq(0.8, 0.1, 0.1))
+    assert(ts.size == 3 && ts.init.forall(_.length == 12))
+    assert(ts.init == ts.init.sorted)
+    assert(ts.last == "g") // cum = 1.0 → above every hex bucket
+    assert(Sampling.hexThresholds(Seq(2.0, 2.0)).head ==
+      Sampling.hexThresholds(Seq(0.5, 0.5)).head) // normalization
+    intercept[IllegalArgumentException](Sampling.hexThresholds(Seq(-0.1, 1.1)))
+  }
+
+  test("splitAssign: proportions ~ weights, every row labeled") {
+    val got = ids.groupBy(Sampling.splitAssign($"id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")).as("split"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 10000L)
+    assert(math.abs(got("train") - 8000L) < 300, s"train=${got("train")}")
+    assert(math.abs(got("val") - 1000L) < 150, s"val=${got("val")}")
+    assert(math.abs(got("test") - 1000L) < 150, s"test=${got("test")}")
+  }
+
+  test("assignment is a pure function of (id, seed): stable under repartition and subsetting") {
+    val full = ids.select($"id", Sampling.splitAssign($"id",
+        Seq(0.9, 0.1), Seq("a", "b"), seed = 7L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subset = ids.where($"id" % 3 === 0).repartition(13)
+      .select($"id", Sampling.splitAssign($"id",
+        Seq(0.9, 0.1), Seq("a", "b"), seed = 7L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset.forall { case (k, v) => full(k) == v })
+    // a different seed is a different (near-independent) assignment
+    val reseeded = ids.select($"id", Sampling.splitAssign($"id",
+        Seq(0.9, 0.1), Seq("a", "b"), seed = 8L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.count { case (k, v) => reseeded(k) != v } > 500)
+  }
+
+  test("stableSample: fraction edges and subset-stability") {
+    assert(Sampling.stableSample(ids, $"id", 1.0).count() == 10000L)
+    assert(Sampling.stableSample(ids, $"id", 0.0).count() == 0L)
+    val n = Sampling.stableSample(ids, $"id", 0.3, seed = 5L).count()
+    assert(math.abs(n - 3000L) < 200, s"n=$n")
+    val sampleOfSubset = Sampling.stableSample(
+      ids.where($"id" < 5000), $"id", 0.3, seed = 5L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val subsetOfSample = Sampling.stableSample(ids, $"id", 0.3, seed = 5L)
+      .where($"id" < 5000).select("id").collect().map(_.getLong(0)).toSet
+    assert(sampleOfSubset == subsetOfSample)
+  }
+
+  test("stratifiedSample: per-stratum fractions, keep-all and default arms") {
+    val kept = Sampling.stratifiedSample(ids, $"source", $"id",
+      fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+      defaultFraction = 0.1, seed = 7L)
+    val per = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("src0") == 500L) // keep-all arm really keeps ALL
+    assert(math.abs(per("src1") - 250L) < 60, s"src1=${per("src1")}")
+    assert(math.abs(per("src2") - 125L) < 50, s"src2=${per("src2")}")
+    val others = per.collect { case (s, c) if !Set("src0", "src1", "src2")(s) => c }
+    assert(math.abs(others.sum - 0.1 * 500 * 17) < 150, s"others=${others.sum}")
+  }
+}
