@@ -900,6 +900,84 @@ object QueryCatalog {
              |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 10 AS quality_ok
              |FROM documents""".stripMargin)),
 
+    // Repetition quality signals (Gopher §A1.2 "repetition removal"):
+    // duplicate line/paragraph fractions + top word/bigram char fractions,
+    // all from ONE per-row kernel pass (RepetitionStatsExpr) — zero
+    // shuffles at any corpus size. The raw fixture text has no newlines,
+    // so the query injects deterministic line/paragraph structure (the
+    // decisionContent trick): line 1 is re-appended on doc_id%3 (duplicate
+    // line) and a doubled 60-char paragraph on doc_id%5 (duplicate
+    // paragraph); word-level repetition is natural (40-word vocab). The
+    // oracle recomputes every metric relationally (explode + groupBy + a
+    // positional self-join for bigrams) — also a demonstration of why the
+    // kernel exists: the SQL form is 4 aggregations and a join per doc.
+    Q("text_repetition",
+      (s, dir) => {
+        val content = concat(
+          substring(col("text"), 1, 40), lit("\n"), substring(col("text"), 41, 1000000),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("\n"), substring(col("text"), 1, 40))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("\n\n"), substring(col("text"), 1, 60),
+              lit("\n\n"), substring(col("text"), 1, 60))).otherwise(lit("")))
+        t(s, dir, "documents")
+          .select(col("doc_id"), CodeQuality.repetitionStats(content).as("r"))
+          .select(col("doc_id"),
+            col("r.n_lines").as("n_lines"),
+            col("r.dup_line_frac").as("dup_line_frac"),
+            col("r.dup_line_char_frac").as("dup_line_char_frac"),
+            col("r.n_paras").as("n_paras"),
+            col("r.dup_para_frac").as("dup_para_frac"),
+            col("r.top_word_char_frac").as("top_word_char_frac"),
+            col("r.top_bigram_char_frac").as("top_bigram_char_frac"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    substr(text,1,40) || chr(10) || substr(text,41)
+             |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || substr(text,1,40) ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN chr(10)||chr(10) || substr(text,1,60)
+             |            || chr(10)||chr(10) || substr(text,1,60) ELSE '' END AS content
+             |  FROM documents),
+             |lines AS (SELECT doc_id, ln, length(ln) AS len FROM
+             |  (SELECT doc_id, unnest(string_split(content, chr(10))) AS ln FROM docs)
+             |  WHERE length(ln) > 0),
+             |lg AS (SELECT doc_id, ln, len, count(*) AS c FROM lines GROUP BY doc_id, ln, len),
+             |ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+             |        CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_line_frac,
+             |        CAST(sum(CASE WHEN c > 1 THEN (c-1)*len ELSE 0 END) AS DOUBLE) / sum(c*len) AS dup_line_char_frac
+             |      FROM lg GROUP BY doc_id),
+             |paras AS (SELECT doc_id, p FROM
+             |  (SELECT doc_id, unnest(string_split(content, chr(10)||chr(10))) AS p FROM docs)
+             |  WHERE length(p) > 0),
+             |pg AS (SELECT doc_id, p, count(*) AS c FROM paras GROUP BY doc_id, p),
+             |ps AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
+             |        CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_para_frac
+             |      FROM pg GROUP BY doc_id),
+             |words AS (SELECT doc_id, w, i FROM (
+             |    SELECT doc_id, unnest(toks) AS w, unnest(range(1, len(toks)+1)) AS i
+             |    FROM (SELECT doc_id, list_filter(string_split_regex(content, '\s+'),
+             |                                     x -> length(x) > 0) AS toks FROM docs))),
+             |ws AS (SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS wchars FROM words GROUP BY doc_id),
+             |topw AS (SELECT doc_id, max(cl) AS top FROM
+             |  (SELECT doc_id, w, count(*)*length(w) AS cl FROM words GROUP BY doc_id, w)
+             |  GROUP BY doc_id),
+             |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bw
+             |       FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+             |topb AS (SELECT doc_id, max(cnt) AS topb FROM
+             |  (SELECT doc_id, bw, count(*)*(length(bw)-1) AS cnt FROM bg GROUP BY doc_id, bw)
+             |  GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       coalesce(ls.n_lines, 0) AS n_lines,
+             |       coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+             |       coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+             |       coalesce(ps.n_paras, 0) AS n_paras,
+             |       coalesce(ps.dup_para_frac, 0.0) AS dup_para_frac,
+             |       coalesce(CAST(topw.top AS DOUBLE)/ws.wchars, 0.0) AS top_word_char_frac,
+             |       coalesce(CAST(topb.topb AS DOUBLE)/ws.wchars, 0.0) AS top_bigram_char_frac
+             |FROM docs d LEFT JOIN ls USING (doc_id) LEFT JOIN ps USING (doc_id)
+             |  LEFT JOIN ws USING (doc_id) LEFT JOIN topw USING (doc_id)
+             |  LEFT JOIN topb USING (doc_id)""".stripMargin)),
+
     Q("text_langid",
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"), CodeQuality.langId(col("text")).as("lang_pred")),

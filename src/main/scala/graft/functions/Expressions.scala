@@ -361,10 +361,150 @@ case class LexiconScrubExpr(child: Expression, words: Seq[String],
     copy(child = newChild)
 }
 
+/** Single-pass repetition statistics (the Gopher/MassiveText "repetition
+  * removal" quality signals, Rae et al. 2021 §A1.2), per document:
+  *
+  *   - `n_lines`, `dup_line_frac`, `dup_line_char_frac` — lines are the
+  *     non-empty segments of a literal `'\n'` split; a line is "duplicated"
+  *     on its 2nd+ occurrence, so dup_line_frac = (n − distinct)/n and
+  *     dup_line_char_frac = Σ_{groups c>1}(c−1)·len / Σ c·len.
+  *   - `n_paras`, `dup_para_frac` — paragraphs are the non-empty segments
+  *     of a greedy non-overlapping literal `"\n\n"` split (DuckDB
+  *     `string_split` semantics, mirrored exactly).
+  *   - `top_word_char_frac`, `top_bigram_char_frac` — words are maximal
+  *     runs of non-whitespace (ws = the regex `\s` set); the "top" n-gram
+  *     maximizes count·chars, so the fraction is well-defined under count
+  *     ties; denominator is total word chars (spaces excluded). Fewer than
+  *     2 words ⇒ bigram fraction 0.0. All-empty inputs ⇒ all zeros.
+  *
+  * Scale rationale: these are per-row scalars — zero shuffle at any corpus
+  * size — and the natural Column form (split + explode + two groupBys +
+  * a self-join for bigrams) is a multi-shuffle monster per METRIC. One
+  * kernel pass computes all seven. The per-row work (sort of the doc's
+  * line/word arrays) is O(len·log len) on ~KB strings. The generated code
+  * is a one-line static call into this precompiled method — inside
+  * whole-stage codegen, nothing for janino to mis-compile (gate-listed in
+  * CodegenGateSpec regardless).
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStatsExpr.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RepetitionStatsExpr$$.MODULE$$.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("n_paras", IntegerType, nullable = false),
+    StructField("dup_para_frac", DoubleType, nullable = false),
+    StructField("top_word_char_frac", DoubleType, nullable = false),
+    StructField("top_bigram_char_frac", DoubleType, nullable = false)))
+
+  private def isWs(c: Char): Boolean = // the regex \s set (Java ∩ RE2)
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+
+  /** Greedy non-overlapping literal split, empties dropped — exactly
+    * DuckDB `string_split(s, sep)` + a length>0 filter. */
+  private def splitDropEmpty(s: String, sep: String): Array[String] = {
+    val out = new java.util.ArrayList[String]()
+    var from = 0
+    while (from <= s.length) {
+      val i = s.indexOf(sep, from)
+      val end = if (i < 0) s.length else i
+      if (end > from) out.add(s.substring(from, end))
+      if (i < 0) from = s.length + 1 else from = i + sep.length
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** (count, dupFrac, dupCharFrac) over an array of non-empty segments:
+    * sort + run-length scan (grouping needs only equality, order is
+    * irrelevant to the result). Mutates `items`. */
+  private def dupStats(items: Array[String]): (Int, Double, Double) = {
+    val n = items.length
+    if (n == 0) return (0, 0.0, 0.0)
+    java.util.Arrays.sort(items.asInstanceOf[Array[AnyRef]])
+    var distinct = 0; var dupChars = 0L; var totChars = 0L
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && items(j) == items(i)) j += 1
+      val c = j - i; val len = items(i).length.toLong
+      distinct += 1
+      totChars += c * len
+      if (c > 1) dupChars += (c - 1) * len
+      i = j
+    }
+    (n, (n - distinct).toDouble / n,
+      if (totChars == 0L) 0.0 else dupChars.toDouble / totChars)
+  }
+
+  /** max over equal runs of the sorted array of count·weight(key). */
+  private def maxCountWeight(items: Array[String], weight: String => Long): Long = {
+    if (items.isEmpty) return 0L
+    java.util.Arrays.sort(items.asInstanceOf[Array[AnyRef]])
+    var best = 0L; var i = 0
+    while (i < items.length) {
+      var j = i
+      while (j < items.length && items(j) == items(i)) j += 1
+      val cl = (j - i).toLong * weight(items(i))
+      if (cl > best) best = cl
+      i = j
+    }
+    best
+  }
+
+  def compute(s: String): GenericInternalRow = {
+    val (nLines, dupLineFrac, dupLineCharFrac) = dupStats(splitDropEmpty(s, "\n"))
+    val (nParas, dupParaFrac, _) = dupStats(splitDropEmpty(s, "\n\n"))
+    // words: one pass, no regex
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < s.length && !isWs(s.charAt(i))) i += 1
+      if (i > start) words.add(s.substring(start, i))
+    }
+    val nw = words.size
+    var wchars = 0L
+    var k = 0
+    while (k < nw) { wchars += words.get(k).length; k += 1 }
+    val topWordFrac =
+      if (nw == 0) 0.0
+      else maxCountWeight(words.toArray(new Array[String](nw)), _.length.toLong)
+        .toDouble / wchars
+    val topBigramFrac =
+      if (nw < 2) 0.0
+      else {
+        val bgs = new Array[String](nw - 1)
+        var b = 0
+        while (b < nw - 1) { bgs(b) = words.get(b) + " " + words.get(b + 1); b += 1 }
+        // weight = chars of the two words (the joining space excluded)
+        maxCountWeight(bgs, key => (key.length - 1).toLong).toDouble / wchars
+      }
+    new GenericInternalRow(Array[Any](nLines, dupLineFrac, dupLineCharFrac,
+      nParas, dupParaFrac, topWordFrac, topBigramFrac))
+  }
+}
+
 /** Column-level entry points for the custom kernels. */
 object NgramScore {
   def textStats(c: Column): Column =
     ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(c)))
+  def repetitionStats(c: Column): Column =
+    ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(c)))
   def bigramLogPerplexity(c: Column): Column =
     ColumnBridge.column(BigramSurprisalExpr(ColumnBridge.expression(c)))
   def langId(c: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =

@@ -69,6 +69,48 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("RepetitionStatsExpr: hand-computed Gopher repetition signals") {
+    // lines: [aa bb, aa bb, cc, aa bb, aa bb] -> 5 total, 2 distinct
+    //   dup_line_frac = 3/5; chars: "aa bb" group (c=4,len=5) -> 15 dup of
+    //   4*5+2 = 22 total -> 15/22
+    // paras ("\n\n" split): [aa bb\naa bb\ncc, aa bb, aa bb] -> dup 1/3
+    // words: aa*4 bb*4 cc*1 (9 words, 18 chars) -> top word 4*2/18 = 4/9
+    // bigrams: "aa bb"*4 -> 4*4/18 = 8/9
+    val doc = "aa bb\naa bb\ncc\n\naa bb\n\naa bb"
+    val r = Seq(doc).toDF("content")
+      .select(NgramScore.repetitionStats($"content").as("r"))
+      .select($"r.*").collect()(0)
+    assert(r.getInt(0) == 5) // n_lines
+    assert(r.getDouble(1) == 3.0 / 5)
+    assert(r.getDouble(2) == 15.0 / 22)
+    assert(r.getInt(3) == 3) // n_paras
+    assert(r.getDouble(4) == 1.0 / 3)
+    assert(r.getDouble(5) == 4.0 / 9)
+    assert(r.getDouble(6) == 8.0 / 9)
+
+    // degenerate shapes: empty -> zeros; whitespace-only -> lines/paras are
+    // LENGTH-filtered not trim-filtered (" " and "\t " count, words don't);
+    // one word -> top_word 1.0 but no bigram; null -> null row
+    val edge = Seq[Option[String]](Some(""), Some(" \n\n\t "), Some("hello"), None)
+      .toDF("content")
+      .select(NgramScore.repetitionStats($"content").as("r"))
+      .select($"r.*").collect()
+    assert(edge(0).toSeq == Seq(0, 0.0, 0.0, 0, 0.0, 0.0, 0.0))
+    assert(edge(1).toSeq == Seq(2, 0.0, 0.0, 2, 0.0, 0.0, 0.0))
+    assert(edge(2).toSeq == Seq(1, 0.0, 0.0, 1, 0.0, 1.0, 0.0))
+    assert(edge(3).toSeq.forall(_ == null))
+  }
+
+  test("RepetitionStatsExpr: greedy \\n\\n split matches DuckDB string_split") {
+    // "a\n\n\nb": one "\n\n" match at 1-2, remainder "\nb" -> paras
+    // [a, \nb] (the lone \n rides the 2nd paragraph, NOT a separator)
+    val r = Seq("a\n\n\nb").toDF("content")
+      .select(NgramScore.repetitionStats($"content").as("r"))
+      .select($"r.n_paras", $"r.n_lines").collect()(0)
+    assert(r.getInt(0) == 2, "greedy non-overlapping para split")
+    assert(r.getInt(1) == 2)
+  }
+
   test("BigramSurprisalExpr: codegen == interpreted == direct model math") {
     val a = df.select(NgramScore.bigramLogPerplexity($"content")).collect().map(_.getDouble(0))
     // direct recomputation
