@@ -880,6 +880,43 @@ object QueryCatalog {
              |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
              |FROM documents""".stripMargin)),
 
+    // BPE-ish token counting (LLM-cost-shaped): the GPT-2-flavored
+    // lookahead-free pre-tokenizer pattern runs as a single-pass scanner
+    // kernel on the Spark side and as the LITERAL SAME regex in DuckDB
+    // (regexp_extract_all) — the injection varies contractions, digit
+    // runs, punct runs, double-space and tab tokens per doc_id so every
+    // alternation branch is load-bearing.
+    Q("text_tokens_bpe",
+      (s, dir) => {
+        val content = concat(
+          substring(col("text"), 1, 50),
+          lit(" don't x'll it's "),
+          col("doc_id").cast("string"),
+          expr("repeat('!', cast(doc_id % 4 as int))"),
+          when(col("doc_id") % 2 === 0, lit("  end"))
+            .otherwise(lit("\ttab42v2")))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.NgramScore.bpeTokenCounts(content).as("b"))
+          .select(col("doc_id"),
+            col("b.n_bpe").as("n_bpe"),
+            col("b.n_bpe_nonws").as("n_bpe_nonws"))
+      },
+      Some {
+        val pat = graft.functions.BpeTokenCountExpr.Pattern.replace("'", "''")
+        s"""WITH docs AS (
+           |  SELECT doc_id,
+           |    substr(text,1,50) || ' don''t x''ll it''s ' || CAST(doc_id AS VARCHAR)
+           |    || repeat('!', CAST(doc_id % 4 AS INT))
+           |    || CASE WHEN doc_id % 2 = 0 THEN '  end' ELSE chr(9) || 'tab42v2' END AS content
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(content, '$pat')) AS n_bpe,
+           |  len(list_filter(regexp_extract_all(content, '$pat'),
+           |      x -> NOT regexp_matches(x, '^\\s+$$'))) AS n_bpe_nonws
+           |FROM docs""".stripMargin
+      }),
+
     Q("text_quality",
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),

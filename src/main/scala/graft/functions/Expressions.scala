@@ -499,12 +499,110 @@ object RepetitionStatsExpr {
   }
 }
 
+/** BPE-ish pre-tokenizer count (GPT-2-flavored, lookahead-free so the
+  * SAME pattern runs in Java and RE2/DuckDB):
+  *
+  *   `'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+`
+  *
+  * leftmost-first alternation (Java and RE2 agree on this for
+  * backreference/lookahead-free patterns). Returns
+  * struct(n_bpe: all matches, n_bpe_nonws: matches that are not pure
+  * whitespace). The kernel is a hand-rolled scanner equivalent to the
+  * regex (differentially tested against java.util.regex on random
+  * strings) — token counting runs on every document at corpus scale and
+  * a backtracking java.util.regex on code corpora was this repo's
+  * round-2 perf trap (29s of a 37s scrub); the scanner is one allocation-
+  * free pass. */
+case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BpeTokenCountExpr.schema
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokenCountExpr.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeTokenCountExpr$$.MODULE$$.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountExpr =
+    copy(child = newChild)
+}
+
+object BpeTokenCountExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bpe", IntegerType, nullable = false),
+    StructField("n_bpe_nonws", IntegerType, nullable = false)))
+
+  /** The exact pattern the scanner implements (used by the oracle SQL and
+    * the differential test). RE2∩Java subset: no lookahead, no possessive. */
+  val Pattern = "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  private def isWs(c: Char): Boolean = // the regex \s set (Java ∩ RE2)
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+  private def isLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isPunct(c: Char): Boolean = !isWs(c) && !isLetter(c) && !isDigit(c)
+
+  /** Length of the contraction alternative matching at apostrophe position
+    * i (0 = no match). Alternation order s|t|re|ve|m|ll|d — first chars are
+    * distinct, so a first-char dispatch is leftmost-first-exact. */
+  private def contractionLen(s: String, i: Int): Int = {
+    if (i + 1 >= s.length) return 0
+    s.charAt(i + 1) match {
+      case 's' | 't' | 'm' | 'd' => 2
+      case 'r' => if (i + 2 < s.length && s.charAt(i + 2) == 'e') 3 else 0
+      case 'v' => if (i + 2 < s.length && s.charAt(i + 2) == 'e') 3 else 0
+      case 'l' => if (i + 2 < s.length && s.charAt(i + 2) == 'l') 3 else 0
+      case _ => 0
+    }
+  }
+
+  def compute(s: String): GenericInternalRow = {
+    val n = s.length
+    var i = 0; var total = 0; var nonWs = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var end = i
+      var wsToken = false
+      if (c == '\'' && contractionLen(s, i) > 0) {
+        end = i + contractionLen(s, i)
+      } else if (isLetter(c)) {
+        end = i + 1; while (end < n && isLetter(s.charAt(end))) end += 1
+      } else if (isDigit(c)) {
+        end = i + 1; while (end < n && isDigit(s.charAt(end))) end += 1
+      } else if (isWs(c)) {
+        // ' ?' prefix: a single literal space glues to a following run
+        val d = if (c == ' ' && i + 1 < n) s.charAt(i + 1) else ' '
+        if (isLetter(d)) {
+          end = i + 2; while (end < n && isLetter(s.charAt(end))) end += 1
+        } else if (isDigit(d)) {
+          end = i + 2; while (end < n && isDigit(s.charAt(end))) end += 1
+        } else if (d != ' ' && isPunct(d)) {
+          end = i + 2; while (end < n && isPunct(s.charAt(end))) end += 1
+        } else { // maximal whitespace run
+          wsToken = true
+          end = i + 1; while (end < n && isWs(s.charAt(end))) end += 1
+        }
+      } else { // punct run (includes apostrophes that start no contraction)
+        end = i + 1; while (end < n && isPunct(s.charAt(end))) end += 1
+      }
+      total += 1
+      if (!wsToken) nonWs += 1
+      i = end
+    }
+    new GenericInternalRow(Array[Any](total, nonWs))
+  }
+}
+
 /** Column-level entry points for the custom kernels. */
 object NgramScore {
   def textStats(c: Column): Column =
     ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(c)))
   def repetitionStats(c: Column): Column =
     ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(c)))
+  def bpeTokenCounts(c: Column): Column =
+    ColumnBridge.column(BpeTokenCountExpr(ColumnBridge.expression(c)))
   def bigramLogPerplexity(c: Column): Column =
     ColumnBridge.column(BigramSurprisalExpr(ColumnBridge.expression(c)))
   def langId(c: Column, langs: Seq[String], markers: Seq[Seq[String]]): Column =

@@ -43,6 +43,7 @@ class CodegenGateSpec extends SparkSpec {
       Seq("en", "de"), Seq(Seq(" the ", " and "), Seq(" der ", " und "))),
     "LexiconScrubExpr" -> LexiconScrubExpr(strIn, Seq("badword", "worse"), "[*]"),
     "RepetitionStatsExpr" -> RepetitionStatsExpr(strIn),
+    "BpeTokenCountExpr" -> BpeTokenCountExpr(strIn),
     "MinHashExpr" -> MinHashExpr(strIn, numHashes = 16, shingleSize = 5),
     "SimHashExpr" -> SimHashExpr(strIn),
     "WinnowFingerprintExpr" -> WinnowFingerprintExpr(strIn, k = 8, window = 12)

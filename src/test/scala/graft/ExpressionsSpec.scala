@@ -111,6 +111,49 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getInt(1) == 2)
   }
 
+  test("BpeTokenCountExpr scanner ≡ java.util.regex on the same pattern (differential)") {
+    import graft.functions.BpeTokenCountExpr
+    val pat = java.util.regex.Pattern.compile(BpeTokenCountExpr.Pattern)
+    def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+    def regexCounts(s: String): (Int, Int) = {
+      val m = pat.matcher(s)
+      var total = 0; var nonws = 0; var covered = 0
+      while (m.find()) {
+        assert(m.start == covered, s"pattern left a gap at ${m.start} of '$s'")
+        covered = m.end()
+        total += 1
+        if (!m.group.forall(isWs)) nonws += 1
+      }
+      assert(covered == s.length, s"pattern did not cover all of '$s'")
+      (total, nonws)
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab Z9 01\t\n!,.'{}-'sllrevd  \r"
+    val cases = Seq("", "don't", "it's all we've got, we'll do 42 things!!",
+      " 's", "x''ll", "a  b", "\t\n ", "#include <stdio.h> // 0xFF 'r'",
+      "'", "'re'", "x'", "  'll") ++
+      (1 to 500).map(_ =>
+        (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    cases.foreach { s =>
+      val got = BpeTokenCountExpr.compute(s)
+      val (t0, n0) = regexCounts(s)
+      assert(got.getInt(0) == t0 && got.getInt(1) == n0,
+        s"mismatch on '${s.replace("\n", "\\n").replace("\t", "\\t")}': " +
+          s"kernel=(${got.getInt(0)},${got.getInt(1)}) regex=($t0,$n0)")
+    }
+  }
+
+  test("BpeTokenCountExpr: hand cases + column form") {
+    // "don't stop" -> [don]['t][ stop] = 3; "a  b" -> [a][  ][b] = 3 (2 nonws)
+    val r = Seq("don't stop", "a  b", "x=42;").toDF("content")
+      .select(NgramScore.bpeTokenCounts($"content").as("b"))
+      .select($"b.n_bpe", $"b.n_bpe_nonws").collect()
+    assert(r(0).toSeq == Seq(3, 3))
+    assert(r(1).toSeq == Seq(3, 2))
+    assert(r(2).toSeq == Seq(4, 4)) // [x][=][42][;]
+  }
+
   test("BigramSurprisalExpr: codegen == interpreted == direct model math") {
     val a = df.select(NgramScore.bigramLogPerplexity($"content")).collect().map(_.getDouble(0))
     // direct recomputation
