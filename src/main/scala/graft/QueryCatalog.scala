@@ -1237,6 +1237,47 @@ object QueryCatalog {
            |  AND alnum_ratio >= $MinAlnumRatio AND surprisal <= $MaxSurprisal""".stripMargin
       }),
 
+    // Benchmark decontamination (GPT-3 appendix C / The Pile): flag corpus
+    // docs sharing a word 13-gram with the benchmark set (docs with
+    // doc_id%97=0 — a subset of the corpus, so bench docs self-flag, which
+    // is exactly the "benchmark leaked into training" case). A fixed
+    // 13-word phrase is injected on doc_id%41=0 OR %97=0, making CROSS-doc
+    // contamination deterministic (every %41 doc shares the phrase-gram
+    // with the bench set; doc 0 exists and is both). The kernel intersects
+    // per-doc n-gram HASHES against the driver-collected bench set —
+    // map-only over the corpus — while the oracle recomputes the overlap
+    // on n-gram STRINGS (list-slice grams in DuckDB): a hash-exact match
+    // is also evidence the FNV word-tuple hashing is collision-clean here.
+    Q("decontaminate",
+      (s, dir) => {
+        val phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+        val content = concat(col("text"),
+          when(col("doc_id") % 41 === 0 || col("doc_id") % 97 === 0,
+            lit(" " + phrase)).otherwise(lit("")))
+        val docs = t(s, dir, "documents").select(col("doc_id"), content.as("content"))
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        graft.operators.Decontaminate.contaminationReport(
+          docs, col("content"), col("doc_id"), bench, col("content"), n = 13)
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 41 = 0 OR doc_id % 97 = 0
+             |         THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu'
+             |         ELSE '' END AS content
+             |  FROM documents),
+             |toks AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(content), '\s+'), x -> length(x) > 0) AS ws
+             |  FROM docs),
+             |grams AS (SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS g
+             |  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-11, 1))) AS i FROM toks)),
+             |bgrams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+             |hits AS (SELECT d.doc_id, count(*) AS n_hits
+             |         FROM (SELECT DISTINCT doc_id, g FROM grams) d JOIN bgrams USING (g)
+             |         GROUP BY d.doc_id)
+             |SELECT doc_id, coalesce(n_hits, 0) AS n_hits,
+             |       coalesce(n_hits, 0) > 0 AS contaminated
+             |FROM docs LEFT JOIN hits USING (doc_id)""".stripMargin)),
+
     // --------------------------------------------- dedup (exact + fuzzy)
     Q("dedup_exact",
       (s, dir) => graft.operators.Dedup.exactDedupCounts(

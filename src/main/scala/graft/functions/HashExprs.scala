@@ -272,6 +272,84 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, window: Int)
   * which dominated the winnow containment verify (2.5M candidate pairs at
   * sf0.1 spent ~4s in it). Inputs MUST be ascending and duplicate-free;
   * callers own that invariant. */
+/** Distinct, SORTED word-n-gram hashes of a text — the per-document side
+  * of benchmark decontamination (operators/Decontaminate). Words are
+  * maximal non-`\s` runs, optionally ASCII-lowercased; each n-gram hashes
+  * the n words chained through FNV-1a with a 0-byte separator after every
+  * word (words cannot contain the separator, so word-tuple → hash is
+  * injective up to 64-bit collision). Fewer than n words ⇒ empty array.
+  * The sorted-distinct form feeds [[SortedIntersectSizeExpr]] directly.
+  * Per-row cost is O(n·chars) (the window recomputes — FNV is not
+  * removable), fine for n=13 on KB documents. */
+case class WordNgramHashesExpr(child: Expression, n: Int, lowercase: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramHashesExpr.compute(input.asInstanceOf[UTF8String].toString, n, lowercase)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgramHashesExpr$$.MODULE$$" +
+        s".compute($c.toString(), $n, $lowercase);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashesExpr =
+    copy(child = newChild)
+}
+
+object WordNgramHashesExpr {
+  private def isWs(c: Char): Boolean = // the regex \s set (Java ∩ RE2)
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+
+  def compute(s: String, n: Int, lowercase: Boolean): GenericArrayData = {
+    // word boundaries
+    var starts = new Array[Int](16); var ends = new Array[Int](16); var nw = 0
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isWs(s.charAt(i))) i += 1
+      val st = i
+      while (i < s.length && !isWs(s.charAt(i))) i += 1
+      if (i > st) {
+        if (nw == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nw * 2)
+          ends = java.util.Arrays.copyOf(ends, nw * 2)
+        }
+        starts(nw) = st; ends(nw) = i; nw += 1
+      }
+    }
+    if (nw < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = nw - n + 1
+    val hs = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      var h = 0xcbf29ce484222325L
+      var k = g
+      while (k < g + n) {
+        var p = starts(k)
+        while (p < ends(k)) {
+          var c = s.charAt(p)
+          if (lowercase && c >= 'A' && c <= 'Z') c = (c + 32).toChar
+          h ^= c; h *= 0x100000001b3L
+          p += 1
+        }
+        h ^= 0; h *= 0x100000001b3L // word separator (no word contains \0)
+        k += 1
+      }
+      hs(g) = h
+      g += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0; var r = 0
+    while (r < m) { // in-place dedup of the sorted run
+      if (out == 0 || hs(r) != hs(out - 1)) { hs(out) = hs(r); out += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (out == m) hs else java.util.Arrays.copyOf(hs, out))
+  }
+}
+
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -326,4 +404,7 @@ object HashSignatures {
   /** |A∩B| of two sorted-distinct long arrays (merge scan, no allocation). */
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSizeExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  /** Distinct sorted word-n-gram hashes (decontamination per-doc side). */
+  def wordNgramHashes(c: Column, n: Int, lowercase: Boolean = true): Column =
+    ColumnBridge.column(WordNgramHashesExpr(ColumnBridge.expression(c), n, lowercase))
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashSignatures
+
+/** Benchmark decontamination: flag (or drop) training documents that share
+  * a word n-gram with an evaluation/benchmark set — the GPT-3 appendix-C /
+  * The-Pile procedure (13-gram overlap), reference-free and exact.
+  *
+  * 100 TB shape: this is NOT a dedup join. The benchmark side is small by
+  * definition (eval suites are 10^4–10^6 documents, versus 10^12 training
+  * files), so its distinct n-gram hash set is collected once and shipped to
+  * executors; the corpus side is then a MAP-ONLY scan — zero shuffles, no
+  * candidate generation, composable into the same projection as the other
+  * per-row quality signals. At benchmark sizes where the exact set stops
+  * fitting comfortably in an executor heap (≳10^8 n-grams ≈ 800 MB), put a
+  * Bloom filter in front of the same kernel and keep the exact set on disk
+  * for the verify pass — the per-row kernel contract (sorted-distinct hash
+  * array) stays the same.
+  *
+  * Hash semantics: words are maximal non-`\s` runs, ASCII-lowercased;
+  * an n-gram hashes its n words chained through FNV-1a with a 0-byte
+  * separator per word, so word-tuple → hash is injective up to 64-bit
+  * collision (the `decontaminate` oracle recomputes the overlap on n-gram
+  * STRINGS in DuckDB and matches hash-exactly — no collision at fixture
+  * scale, probability ~n²·2⁻⁶⁴ at any realistic benchmark size).
+  */
+object Decontaminate {
+
+  /** Distinct n-gram hash set of the benchmark corpus, collected to the
+    * driver (driver-scale by the argument above; the `distinct()` shuffle
+    * is over the SMALL side only). Sorted for the merge-intersect kernel. */
+  def benchmarkNgramSet(bench: DataFrame, textCol: Column, n: Int = 13): Array[Long] = {
+    val rows = bench
+      .select(explode(HashSignatures.wordNgramHashes(textCol, n)).as("h"))
+      .distinct()
+      .collect()
+    val hs = rows.map(_.getLong(0))
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
+  /** Per-document contamination flag over a pre-collected n-gram set:
+    * `n_hits` = |distinct doc n-grams ∩ benchmark set| (merge intersect of
+    * two sorted arrays), `contaminated` = n_hits > 0. Documents with fewer
+    * than n words are never contaminated. */
+  def flag(corpus: DataFrame, textCol: Column, idCol: Column,
+           benchSet: Array[Long], n: Int = 13): DataFrame =
+    corpus
+      .select(idCol,
+        HashSignatures.sortedIntersectSize(
+          HashSignatures.wordNgramHashes(textCol, n),
+          lit(benchSet)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+
+  /** End-to-end report: collect the benchmark n-gram set, then one
+    * map-only pass over the corpus. */
+  def contaminationReport(corpus: DataFrame, textCol: Column, idCol: Column,
+                          bench: DataFrame, benchTextCol: Column,
+                          n: Int = 13): DataFrame =
+    flag(corpus, textCol, idCol, benchmarkNgramSet(bench, benchTextCol, n), n)
+
+  /** The filtering form: corpus rows whose text shares no n-gram with the
+    * benchmark set (what a training-data pipeline actually writes). */
+  def decontaminate(corpus: DataFrame, textCol: Column,
+                    bench: DataFrame, benchTextCol: Column,
+                    n: Int = 13): DataFrame = {
+    val set = benchmarkNgramSet(bench, benchTextCol, n)
+    corpus.where(
+      HashSignatures.sortedIntersectSize(
+        HashSignatures.wordNgramHashes(textCol, n), lit(set)) === 0)
+  }
+}

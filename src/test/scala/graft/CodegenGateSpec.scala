@@ -46,6 +46,7 @@ class CodegenGateSpec extends SparkSpec {
     "BpeTokenCountExpr" -> BpeTokenCountExpr(strIn),
     "MinHashExpr" -> MinHashExpr(strIn, numHashes = 16, shingleSize = 5),
     "SimHashExpr" -> SimHashExpr(strIn),
+    "WordNgramHashesExpr" -> WordNgramHashesExpr(strIn, n = 3, lowercase = true),
     "WinnowFingerprintExpr" -> WinnowFingerprintExpr(strIn, k = 8, window = 12)
   )
 

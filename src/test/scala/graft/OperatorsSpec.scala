@@ -542,4 +542,37 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     (0 until 3).foreach(j => assert(keptRebuilt.contains(300L + j)))
   }
+
+  test("decontaminate: n-gram overlap flags exact copies, partial spans, case variants") {
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, "one two three four five six seven"),     // = bench doc verbatim
+      (2L, "zz one two three four five qq rr"),      // shares the 5-gram "one two three four five"
+      (3L, "ONE TWO Three Four FIVE tail tail tail"),// case variant of a bench span
+      (4L, "totally different words here entirely now"),
+      (5L, "one two three four"),                    // < 5 words of overlap span... only 4 words
+      (6L, "seven six five four three two one")      // reversed: no shared 5-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "one two three four five six seven")).toDF("bid", "btext")
+
+    val rep = Decontaminate.contaminationReport(
+      corpus, $"text", $"doc_id", bench, $"btext", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(rep(1L) == (3, true))  // 3 distinct 5-grams, all in bench
+    assert(rep(2L)._2 && rep(2L)._1 == 1)
+    assert(rep(3L)._2, "lowercasing must make the case variant hit")
+    assert(rep(4L) == (0, false))
+    assert(rep(5L) == (0, false), "doc with fewer than n words is never contaminated")
+    assert(rep(6L) == (0, false))
+
+    val kept = Decontaminate.decontaminate(corpus, $"text", bench, $"btext", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L, 6L))
+
+    // 100 TB shape: the corpus side of flag() is map-only — zero exchanges
+    val plan = Decontaminate.flag(corpus, $"text", $"doc_id",
+      Decontaminate.benchmarkNgramSet(bench, $"btext", n = 5), n = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"corpus scan must not shuffle:\n$plan")
+  }
 }
