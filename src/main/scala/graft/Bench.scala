@@ -372,7 +372,10 @@ object Bench {
         "text_langid_lm", "dedup_delta_hi", "vec_delta_hi",
         // the north-rule criterion as one oracle row: flagship keep/drop +
         // scrubbed-content sha256 on the documents table
-        "pipeline_decision")
+        "pipeline_decision",
+        // round-4 late additions: repetition signals, BPE-ish token
+        // counting, benchmark decontamination (all map-only kernels)
+        "text_repetition", "text_tokens_bpe", "decontaminate")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -350,6 +350,58 @@ object WordNgramHashesExpr {
   }
 }
 
+/** |doc array ∩ fixed set| for a PLAN-CONSTANT sorted long set (the
+  * decontamination benchmark set): the set rides the serialized expression
+  * as a primitive array (addReferenceObj — same shipping mechanism as
+  * [[BigramSurprisalExpr]]'s model) instead of a child Literal, so (a) the
+  * merge scan reads a raw long[] rather than ArrayData accessors and (b)
+  * plan dumps print a stable `benchSet[n]` tag, not 10^4 literals. */
+case class SortedSetIntersectSizeExpr(child: Expression, set: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def stringArgs: Iterator[Any] = Iterator(child, s"benchSet[${set.length}]")
+
+  override def nullSafeEval(a: Any): Any = {
+    val xa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0; var j = 0; var n = 0
+    val la = xa.numElements()
+    while (i < la && j < set.length) {
+      val va = xa.getLong(i); val vb = set(j)
+      if (va == vb) { n += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("benchSet", set, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val fname = ctx.freshName("sortedSetIntersectSize")
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private int $fname(org.apache.spark.sql.catalyst.util.ArrayData xa) {
+            long[] set = $setRef;
+            int i = 0, j = 0, n = 0;
+            int la = xa.numElements();
+            while (i < la && j < set.length) {
+              long va = xa.getLong(i); long vb = set[j];
+              if (va == vb) { n++; i++; j++; }
+              else if (va < vb) i++;
+              else j++;
+            }
+            return n;
+          }
+        """)
+      s"${ev.value} = $fn($a);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedSetIntersectSizeExpr =
+    copy(child = newChild)
+}
+
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -407,4 +459,7 @@ object HashSignatures {
   /** Distinct sorted word-n-gram hashes (decontamination per-doc side). */
   def wordNgramHashes(c: Column, n: Int, lowercase: Boolean = true): Column =
     ColumnBridge.column(WordNgramHashesExpr(ColumnBridge.expression(c), n, lowercase))
+  /** |A∩set| against a plan-constant sorted set (stable-tagged in plans). */
+  def sortedSetIntersectSize(a: Column, set: Array[Long]): Column =
+    ColumnBridge.column(SortedSetIntersectSizeExpr(ColumnBridge.expression(a), set))
 }

@@ -50,9 +50,9 @@ object Decontaminate {
            benchSet: Array[Long], n: Int = 13): DataFrame =
     corpus
       .select(idCol,
-        HashSignatures.sortedIntersectSize(
+        HashSignatures.sortedSetIntersectSize(
           HashSignatures.wordNgramHashes(textCol, n),
-          lit(benchSet)).as("n_hits"))
+          benchSet).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
 
   /** End-to-end report: collect the benchmark n-gram set, then one
@@ -69,7 +69,7 @@ object Decontaminate {
                     n: Int = 13): DataFrame = {
     val set = benchmarkNgramSet(bench, benchTextCol, n)
     corpus.where(
-      HashSignatures.sortedIntersectSize(
-        HashSignatures.wordNgramHashes(textCol, n), lit(set)) === 0)
+      HashSignatures.sortedSetIntersectSize(
+        HashSignatures.wordNgramHashes(textCol, n), set) === 0)
   }
 }

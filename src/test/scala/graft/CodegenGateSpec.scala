@@ -158,6 +158,26 @@ class CodegenGateSpec extends SparkSpec {
     assert(cells.toSeq == Seq(4, 3, 2), s"NaN fallback cells: ${cells.toSeq}")
   }
 
+  test("SortedSetIntersectSizeExpr (plan-constant set) force-compiles, codegen == interpreted") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arrIn = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
+    val expr = SortedSetIntersectSizeExpr(arrIn, Array(-5L, 2L, 7L, 9L))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val cases = Seq(Array.emptyLongArray, Array(-5L), Array(2L, 7L),
+      Array(1L, 3L, 9L), Array(-9L, -5L, 0L, 2L, 7L, 9L, 11L))
+    cases.foreach { a =>
+      val row = InternalRow(new GenericArrayData(a))
+      assert(proj(row).getInt(0) == expr.eval(row), s"on ${a.toSeq}")
+    }
+    val nullRow = InternalRow(null)
+    assert(proj(nullRow).isNullAt(0) && expr.eval(nullRow) == null)
+    val empty = SortedSetIntersectSizeExpr(arrIn, Array.emptyLongArray)
+    val p2 = GenerateUnsafeProjection.generate(Seq(empty))
+    assert(p2(InternalRow(new GenericArrayData(Array(1L)))).getInt(0) == 0)
+    // the stable plan tag (PLANS.md must not carry 10^4 literal longs)
+    assert(expr.toString.contains("benchSet[4]"), expr.toString)
+  }
+
   test("plan-level: kernels run whole-stage with codegen fallback disabled") {
     // Own SQLConf (shared SparkContext): a whole-stage janino failure here
     // throws instead of logging "falling back to interpreter mode".
