@@ -385,7 +385,10 @@ object Bench {
         "pipeline_decision",
         // round-4 late additions: repetition signals, BPE-ish token
         // counting, benchmark decontamination (all map-only kernels)
-        "text_repetition", "text_tokens_bpe", "decontaminate")
+        "text_repetition", "text_tokens_bpe", "decontaminate",
+        // round-4: transitive dup clustering (large-star/small-star CC)
+        // and the concat-and-chunk pack planner (distributed prefix sum)
+        "dedup_cc", "pack_plan")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -1714,7 +1714,78 @@ object QueryCatalog {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_custkey, c_name
-             |ORDER BY n_orders DESC, c_custkey LIMIT 10""".stripMargin))
+             |ORDER BY n_orders DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    // Connected components (large-star/small-star) — the transitive-cluster
+    // step between pairwise dedup output and a one-survivor-per-cluster
+    // policy. The fixture graph is a deterministic function of doc_id:
+    // 4-node chains (consecutive-id edges where doc_id % 10 < 3), block
+    // merges (d → d+30 where d % 100 = 0, splicing two chains), and a
+    // high-degree hub (d → 7 where d % 97 = 0, a skew-shaped mega
+    // component spanning many chains) — so correctness requires real
+    // TRANSITIVE propagation across several rounds, not clique collapse.
+    // The oracle computes exact min-reachability with a recursive CTE
+    // (bidirected reachability closure, then min per node — components are
+    // small by construction, so the closure is cheap in DuckDB).
+    Q("dedup_cc",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select(col("doc_id"))
+        val edges = ids.where(col("doc_id") % 10 < 3)
+            .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+          .unionAll(ids.where(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("src"), (col("doc_id") + 30).as("dst")))
+          .unionAll(ids.where(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("src"), lit(7L).as("dst")))
+        graft.operators.Graph.connectedComponents(edges, col("src"), col("dst"))
+          .select(col("node").as("doc_id"), col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents WHERE doc_id % 10 < 3
+             |  UNION ALL SELECT doc_id, doc_id + 30 FROM documents WHERE doc_id % 100 = 0
+             |  UNION ALL SELECT doc_id, 7 FROM documents WHERE doc_id % 97 = 0),
+             |bidir AS (
+             |  SELECT u, v FROM edges WHERE u <> v
+             |  UNION SELECT v, u FROM edges WHERE u <> v),
+             |walk(node, reach) AS (
+             |  SELECT u, u FROM bidir
+             |  UNION
+             |  SELECT w.node, b.v FROM walk w JOIN bidir b ON b.u = w.reach)
+             |SELECT node AS doc_id, min(reach) AS cluster_id
+             |FROM walk GROUP BY node""".stripMargin)),
+
+    // Concat-and-chunk sequence-packing plan (GPT-style training export):
+    // exclusive prefix sum of token counts in doc_id order via the
+    // two-phase distributed scan (bucket-local window + tiny broadcast
+    // bucket bases — NOT a global single-partition sort), then pure chunk
+    // arithmetic in integer `div`/`%`. bucketWidth=64 forces many buckets
+    // even at sf0.001, so the cross-bucket base offsets are load-bearing.
+    // The oracle recomputes the same stream with one ordered window (fine
+    // at oracle scale) and DuckDB's `//` integer division.
+    Q("pack_plan",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          CodeQuality.tokenCount(col("text")).cast("long").as("__nt"))
+        graft.operators.Packing.packPlan(docs, col("doc_id"), col("__nt"),
+            seqLen = 512, bucketWidth = 64)
+          .select(col("doc_id"), col("n_tokens"), col("offset").as("tok_offset"),
+            col("start_seq"), col("start_off"), col("end_seq"), col("n_crossings"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+             |  FROM d WHERE n_tokens > 0)
+             |SELECT doc_id, n_tokens, tok_offset,
+             |  tok_offset // 512 AS start_seq,
+             |  tok_offset % 512 AS start_off,
+             |  (tok_offset + n_tokens - 1) // 512 AS end_seq,
+             |  (tok_offset + n_tokens - 1) // 512 - tok_offset // 512 AS n_crossings
+             |FROM p""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

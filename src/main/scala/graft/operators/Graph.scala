@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * missing step between the pairwise dedup operators (which emit confirmed
+  * near-dup PAIRS) and a per-cluster policy (keep ONE canonical document per
+  * transitive duplicate cluster).
+  *
+  * [[Dedup.minHashDedup]]'s per-edge policy (drop the larger id of every
+  * confirmed pair) is safe but keeps locally-minimal nodes: in the star
+  * {1–6, 5–6} it keeps BOTH 1 and 5, though they sit in one near-dup
+  * cluster. Corpus-dedup practice (C4, The Pile, RefinedWeb) collapses each
+  * transitive cluster to one survivor — which needs connected components.
+  *
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+  * Beyond", SoCC 2014): O(log² n) rounds worst-case, 2 shuffles per round,
+  * and — the property that matters at 10⁹-edge scale — per-round
+  * communication proportional to the CURRENT edge count, which contracts
+  * geometrically. Both star operations are expressed as window aggregates
+  * over the edge relation partitioned by node (one exchange each); no
+  * `collect_list` — a mega-cluster's hub row never materializes its whole
+  * adjacency in one buffer, and WindowExec spills, so a 10M-member cluster
+  * (every doc sharing one license header) is safe.
+  *
+  * Iteration runs on the driver (standard for CC: round COUNT is O(log n),
+  * per-round work is distributed); each round `localCheckpoint`s the edge
+  * relation to truncate lineage — without it the plan doubles per round and
+  * planning cost goes exponential. On a real cluster prefer
+  * `spark.sparkContext.setCheckpointDir` + reliable `checkpoint()` for
+  * fault tolerance across executor loss; local checkpointing keeps the
+  * sandbox dependency-free and the round structure identical.
+  */
+object Graph {
+
+  /** Connected components: returns `(node, cluster_id)` for EVERY node
+    * incident to at least one edge, where `cluster_id` is the minimum node
+    * id of the component (so a component's canonical representative is a
+    * member of the component, stable under re-runs). Self-loops and
+    * duplicate/reversed edges are tolerated (normalized away up front).
+    *
+    * @param edges   edge relation; each row one undirected edge
+    * @param srcCol  source node id (integral; cast to long)
+    * @param dstCol  destination node id
+    * @param maxIter hard round cap — the alternation converges in
+    *                O(log² n) rounds (Kiveris et al. §4); 50 covers any
+    *                physically storable graph, and non-convergence inside
+    *                the cap fails loudly rather than returning a partial
+    *                clustering
+    */
+  def connectedComponents(edges: DataFrame, srcCol: Column, dstCol: Column,
+                          maxIter: Int = 50): DataFrame = {
+    // normalize: long ids, (larger, smaller) orientation, no self-loops, no
+    // duplicate edges — the orientation invariant (first col > second col)
+    // is what small-star consumes and both star ops re-establish
+    var cur = edges
+      .select(srcCol.cast("long").as("__u"), dstCol.cast("long").as("__v"))
+      .where(col("__u") =!= col("__v"))
+      .select(greatest(col("__u"), col("__v")).as("__u"),
+        least(col("__u"), col("__v")).as("__v"))
+      .distinct()
+      .localCheckpoint()
+
+    // fixpoint detection: edge-set signature (count, xor of per-edge
+    // hashes). xor is order/partitioning-independent, and the pair
+    // (count, xor) collides only if two DISTINCT edge sets of equal size
+    // xor-agree — with 64-bit per-edge hashes the chance is 2⁻⁶⁴ per round;
+    // the star ops are monotone (component min-reachability only improves),
+    // so a stable signature means a stable edge set, not an oscillation.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(__u, __v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    /** LARGE-STAR: for each node u, attach every LARGER neighbor to
+      * m = min(Γ(u) ∪ {u}). Emitted edges are (larger, smaller) by
+      * construction (v > u ≥ m). */
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.unionAll(e.select(col("__v").as("__u"), col("__u").as("__v")))
+      val w = Window.partitionBy(col("__u"))
+      bidir
+        .withColumn("__m", least(col("__u"), min(col("__v")).over(w)))
+        .where(col("__v") > col("__u"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .distinct()
+    }
+
+    /** SMALL-STAR: input oriented (u, v) with v < u; for each node u attach
+      * u and all its smaller neighbors to m = min of those neighbors.
+      * Output stays (larger, smaller). */
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__u"))
+      val withMin = e.withColumn("__m", min(col("__v")).over(w))
+      val relinked = withMin.where(col("__v") =!= col("__m"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+      val self = withMin.select(col("__u"), col("__m").as("__v")).distinct()
+      relinked.unionAll(self)
+        .where(col("__u") =!= col("__v"))
+        .distinct()
+    }
+
+    var sig = signature(cur)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      cur = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // fixpoint edges are stars (member → component min); roots appear only
+    // on the right side — add their identity rows so every incident node is
+    // assigned
+    cur.select(col("__u").as("node"), col("__v").as("cluster_id"))
+      .unionAll(cur.select(col("__v").as("node"), col("__v").as("cluster_id")).distinct())
+      .distinct()
+  }
+
+  /** Cluster-canonical dedup: collapse each transitive near-dup cluster
+    * (connected component of `pairs`) to its min-id member. Returns the
+    * surviving rows of `df` — nodes assigned to a cluster they don't lead
+    * drop; singletons (no incident pair) survive untouched, without ever
+    * joining the full corpus against itself. */
+  def dedupByClusters(df: DataFrame, idCol: Column,
+                      pairs: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val drops = connectedComponents(pairs, aCol, bCol)
+      .where(col("node") =!= col("cluster_id"))
+      .select(col("node").as("__drop_id"))
+    df.join(drops, idCol === col("__drop_id"), "left_anti")
+  }
+}

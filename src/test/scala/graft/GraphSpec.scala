@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Graph}
+
+/** Connected components (large-star/small-star) + cluster-canonical dedup. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), $"a", $"b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("single edge and isolated components") {
+    assert(cc(Seq((5L, 3L))) == Map(5L -> 3L, 3L -> 3L))
+    assert(cc(Seq((1L, 2L), (10L, 11L))) ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("transitive chain collapses to the chain min") {
+    // 1-2-3-4-5 as a path: every node must label 1 despite no direct edge
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got == (1L to 5L).map(_ -> 1L).toMap)
+  }
+
+  test("deep path (worst case for label propagation) converges") {
+    // a 200-node path in DESCENDING id order — min label must travel the
+    // full diameter; the star alternation does it in O(log n) rounds, the
+    // maxIter guard proves it didn't just walk one hop per round
+    val edges = (1L until 200L).map(i => (i, i + 1))
+    val got = Graph.connectedComponents(edges.toDF("a", "b"), $"a", $"b", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 200L).map(_ -> 1L).toMap)
+  }
+
+  test("self-loops, duplicate and reversed edges normalize away") {
+    val got = cc(Seq((7L, 7L), (2L, 9L), (9L, 2L), (2L, 9L)))
+    assert(got == Map(2L -> 2L, 9L -> 2L)) // self-loop node 7 has no edge
+  }
+
+  test("high-degree hub merges many chains (skew shape)") {
+    // hub 0 connected to the head of 50 chains of length 3
+    val chains = (1 to 50).flatMap { k =>
+      val base = k * 100L
+      Seq((base, base + 1), (base + 1, base + 2), (0L, base))
+    }
+    val got = cc(chains)
+    assert(got.size == 151 && got.values.forall(_ == 0L))
+  }
+
+  test("two merging waves: components joined only through a late edge") {
+    val got = cc(Seq((10L, 11L), (20L, 21L), (11L, 21L)))
+    assert(got == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L))
+  }
+
+  test("empty edge set yields empty assignment") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.connectedComponents(empty, $"a", $"b").count() == 0)
+  }
+
+  test("dedupByClusters keeps one min-id survivor per transitive cluster") {
+    // docs 1,2,3 chained near-dups (1~2, 2~3, but NOT 1~3): per-edge drop
+    // policy keeps {1}, and so must cluster dedup; docs 8,9 another pair;
+    // doc 5 a singleton with no pairs
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"), (8L, "f"), (9L, "g"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val kept = Graph.dedupByClusters(docs, $"doc_id", pairs, $"id_a", $"id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 8L))
+  }
+
+  test("cluster dedup beats per-edge dedup on a star (the motivating case)") {
+    // star {1-6, 5-6}: per-edge policy (drop larger of each pair) keeps
+    // {1, 5}; one-survivor-per-cluster keeps {1}
+    val docs = Seq((1L, "x"), (5L, "y"), (6L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 6L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Graph.dedupByClusters(docs, $"doc_id", pairs, $"id_a", $"id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("end-to-end: minhash pairs -> clusters -> canonical survivors") {
+    // three exact copies of one text + an unrelated doc: the pair set is a
+    // clique; cluster dedup keeps the min id only
+    val r = new scala.util.Random(42)
+    val words = (0 until 60).map(_ =>
+      (1 to 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString).mkString(" ")
+    val other = (0 until 60).map(_ =>
+      (1 to 8).map(_ => ('z' - r.nextInt(26)).toChar).mkString).mkString(" ")
+    val docs = Seq((3L, words), (7L, words), (9L, words), (11L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairsExact(docs, $"text", $"doc_id", threshold = 0.9)
+    val kept = Graph.dedupByClusters(docs, $"doc_id", pairs, $"doc_id_a", $"doc_id_b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 11L))
+  }
+}

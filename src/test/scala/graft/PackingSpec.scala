@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+/** Concat-and-chunk pack planning: distributed prefix sum + chunk math. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, 100L), (2L, 900L), (3L, 24L), (4L, 0L), (5L, 2000L), (6L, 1L)
+  ).toDF("doc_id", "n")
+
+  test("offsets are the exclusive prefix sum in id order; chunk math exact") {
+    val plan = Packing.packPlan(docs, $"doc_id", $"n", seqLen = 1024, bucketWidth = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // doc 4 (0 tokens) is excluded; stream: 1@0, 2@100, 3@1000, 5@1024, 6@3024
+    assert(!plan.contains(4L))
+    assert(plan(1L) == (0L, 0L, 0L, 0L, 0L))
+    assert(plan(2L) == (100L, 0L, 100L, 0L, 0L))       // 100..999: inside seq 0
+    assert(plan(3L) == (1000L, 0L, 1000L, 0L, 0L))     // 1000..1023: flush against the boundary, no crossing
+    assert(plan(5L) == (1024L, 1L, 0L, 2L, 1L))        // exactly seq-aligned, spans 2 seqs
+    assert(plan(6L) == (3024L, 2L, 976L, 2L, 0L))
+  }
+
+  test("plan is invariant to bucketWidth (the tiling is internal)") {
+    val widths = Seq(1L, 3L, 7L, 1L << 20)
+    val plans = widths.map { w =>
+      Packing.packPlan(docs, $"doc_id", $"n", seqLen = 512, bucketWidth = w)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    }
+    plans.tail.foreach(p => assert(p == plans.head, "bucketWidth changed the plan"))
+  }
+
+  test("summary: totals, full sequences, tail") {
+    val plan = Packing.packPlan(docs, $"doc_id", $"n", seqLen = 1000)
+    val s = Packing.packSummary(plan, 1000).head()
+    assert(s.getLong(0) == 3025L && s.getLong(1) == 3L && s.getLong(2) == 25L)
+  }
+
+  test("sparse, shuffled ids across many buckets still order by id") {
+    val rows = Seq(900L, 5L, 312L, 44L, 871L, 13L).map(id => (id, id % 7 + 1))
+    val plan = Packing.packPlan(rows.toDF("doc_id", "n"), $"doc_id", $"n",
+      seqLen = 8, bucketWidth = 10)
+      .orderBy("doc_id").collect()
+    val ids = plan.map(_.getLong(0)).toSeq
+    assert(ids == rows.map(_._1).sorted)
+    val offsets = plan.map(_.getLong(2)).toSeq
+    val expected = rows.sortBy(_._1).map(_._2).scanLeft(0L)(_ + _).init
+    assert(offsets == expected)
+  }
+
+  test("plan: bucket-partitioned corpus window; global sort only on totals") {
+    // write a real parquet source so scan/pruning assertions are meaningful
+    val dir = tmpDir("packing-plan")
+    docs.write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val plan = Packing.packPlan(src, $"doc_id", $"n", seqLen = 1024, bucketWidth = 2)
+    plan.collect() // finalize the adaptive plan
+    // assert on the FINAL adaptive plan only (toString appends the initial
+    // plan as a second section, which would double-count nodes)
+    val physical = plan.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the corpus-side running sum is partitioned BY BUCKET — the window
+    // over the doc relation must carry a partition spec, never a bare
+    // ORDER BY (which would single-partition the whole corpus)
+    val docWindow = physical.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("doc_id")).toSeq
+    assert(docWindow.nonEmpty && docWindow.forall(_.contains("__b")),
+      s"corpus window not bucket-partitioned:\n$physical")
+    // exactly one SinglePartition exchange — the O(#buckets) totals
+    // rollup — and it must sit above an aggregate, not the raw corpus
+    val single = physical.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(single == 1, s"expected exactly 1 single-partition exchange:\n$physical")
+    val totalsBranch = physical.split("Exchange SinglePartition").last
+    assert(totalsBranch.contains("HashAggregate"),
+      s"single-partition exchange not over the totals aggregate:\n$physical")
+    // the totals branch is a column-pruned second scan with a MAP-SIDE
+    // partial aggregate (one row per bucket per task crosses the wire)
+    assert(totalsBranch.contains("partial_sum"),
+      s"bucket totals lack map-side partial aggregation:\n$physical")
+  }
+}
