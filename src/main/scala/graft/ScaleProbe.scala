@@ -418,6 +418,50 @@ object ScaleProbe {
         }
       }
     }
+    if (ops("cc")) {
+      // Connected components at corpus scale: the dedup_cc fixture graph
+      // (4-node chains + per-block merges + one hub node wired to every
+      // 97th id — a mega component whose diameter forces real multi-round
+      // propagation, and whose hub degree n/97 is the skew shape) over an
+      // n-node id space. The expected component count is derivable in
+      // closed form from the generator, so over-merging and under-merging
+      // are both caught without a reference implementation:
+      //   components = 9·(n/100) − |{d ≡ 0 (mod 97), d < n, d mod 10 ≤ 3}| + 1
+      // (10 chains per 100-block, −1 for the block's d→d+30 splice; every
+      // hub-touched chain component folds into the single hub component).
+      // Per-round edge counts print via verbose — the contraction artifact.
+      require(rows % 100 == 0, s"cc probe wants a multiple-of-100 node space, got $rows")
+      val ids = spark.range(0, rows, 1, 256).toDF("doc_id")
+      val edges = materialize(
+        ids.where(col("doc_id") % 10 < 3)
+            .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+          .unionAll(ids.where(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("src"), (col("doc_id") + 30).as("dst")))
+          .unionAll(ids.where(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("src"), lit(7L).as("dst"))),
+        s"/tmp/graft_probe_cc_${CorpusGenVersion}_$rows")
+      val assign = time(s"connected components ($rows-node space)") {
+        val a = operators.Graph.connectedComponents(
+          edges, col("src"), col("dst"), verbose = true)
+        a.cache().count(); a
+      }
+      val hubChainTouches = (0L until rows by 97L).count(d => d % 10 <= 3)
+      val expectedComps = 9L * (rows / 100) - hubChainTouches + 1
+      val comps = assign.select(col("cluster_id")).distinct().count()
+      require(comps == expectedComps,
+        s"cc: expected $expectedComps components, got $comps")
+      // edge consistency: every input edge's endpoints share a label
+      val lbl = assign.select(col("node"), col("cluster_id"))
+      val broken = edges
+        .join(lbl.select(col("node").as("src"), col("cluster_id").as("__ca")), Seq("src"))
+        .join(lbl.select(col("node").as("dst"), col("cluster_id").as("__cb")), Seq("dst"))
+        .where(col("__ca") =!= col("__cb")).count()
+      require(broken == 0, s"cc: $broken edges span two clusters")
+      // hub component: node 7's cluster must hold every hub endpoint
+      val hubSize = assign.where(col("cluster_id") === 0).count()
+      println(s"[probe] cc components=$comps (expected $expectedComps), hub-component size=$hubSize, edge-consistent")
+      assign.unpersist()
+    }
     if (ops("p7")) {
       // P7 ALL-columns value distribution on a wide entity: measure the
       // per-column job storm (the ≤8-column native-groupBy branch applied

@@ -176,6 +176,21 @@ object Dedup {
                    shingleSize: Int = 5, jaccardThreshold: Double = 0.8,
                    maxBucketSize: Int = DefaultBucketCap,
                    persistSignatures: Boolean = true): DataFrame = {
+    val drops = minHashNearDupPairs(df, textCol, idCol, numHashes, bands,
+        shingleSize, jaccardThreshold, maxBucketSize, persistSignatures)
+      .select(col("doc_id_b").as("__drop_id")).distinct()
+    df.join(drops, idCol === col("__drop_id"), "left_anti")
+  }
+
+  /** The confirmed near-dup PAIRS behind [[minHashDedup]]:
+    * (doc_id_a < doc_id_b, est_jaccard ≥ threshold). Feed to
+    * [[Graph.dedupByClusters]] for the one-survivor-per-transitive-cluster
+    * policy, or consume directly for per-edge dropping. */
+  def minHashNearDupPairs(df: DataFrame, textCol: Column, idCol: Column,
+                          numHashes: Int = 64, bands: Int = 8,
+                          shingleSize: Int = 5, jaccardThreshold: Double = 0.8,
+                          maxBucketSize: Int = DefaultBucketCap,
+                          persistSignatures: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sigs = maybePersist(df.select(idCol.as("__id"),
       HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig")), persistSignatures)
@@ -185,17 +200,29 @@ object Dedup {
     // the corpus).
     val banded = minHashBanded(sigs, numHashes, bands)
 
-    val candidates = cappedCandidates(banded, "__id_a", "__id_b", maxBucketSize)
+    val candidates = cappedCandidates(banded, "doc_id_a", "doc_id_b", maxBucketSize)
 
-    val withSigs = candidates
-      .join(sigs.select(col("__id").as("__id_a"), col("__sig").as("__sig_a")), Seq("__id_a"))
-      .join(sigs.select(col("__id").as("__id_b"), col("__sig").as("__sig_b")), Seq("__id_b"))
-    val est = withSigs.withColumn("__jacc",
-      estJaccard(col("__sig_a"), col("__sig_b"), numHashes))
-    val drops = est.where(col("__jacc") >= jaccardThreshold)
-      .select(col("__id_b").as("__drop_id")).distinct()
+    candidates
+      .join(sigs.select(col("__id").as("doc_id_a"), col("__sig").as("__sig_a")), Seq("doc_id_a"))
+      .join(sigs.select(col("__id").as("doc_id_b"), col("__sig").as("__sig_b")), Seq("doc_id_b"))
+      .withColumn("est_jaccard", estJaccard(col("__sig_a"), col("__sig_b"), numHashes))
+      .where(col("est_jaccard") >= jaccardThreshold)
+      .select("doc_id_a", "doc_id_b", "est_jaccard")
+  }
 
-    df.join(drops, idCol === col("__drop_id"), "left_anti")
+  /** [[minHashDedup]] with the CLUSTER-canonical survivor policy: confirmed
+    * pairs collapse to transitive clusters ([[Graph.connectedComponents]])
+    * and each cluster keeps its min-id member only. The per-edge form keeps
+    * every locally-minimal member of a star (see [[Graph]] scaladoc); this
+    * form is the C4/Pile-style one-survivor-per-cluster semantics. */
+  def minHashDedupClustered(df: DataFrame, textCol: Column, idCol: Column,
+                            numHashes: Int = 64, bands: Int = 8,
+                            shingleSize: Int = 5, jaccardThreshold: Double = 0.8,
+                            maxBucketSize: Int = DefaultBucketCap,
+                            persistSignatures: Boolean = true): DataFrame = {
+    val pairs = minHashNearDupPairs(df, textCol, idCol, numHashes, bands,
+      shingleSize, jaccardThreshold, maxBucketSize, persistSignatures)
+    Graph.dedupByClusters(df, idCol, pairs, col("doc_id_a"), col("doc_id_b"))
   }
 
   /** SimHash near-dup removal: 64-bit signatures, candidates via the

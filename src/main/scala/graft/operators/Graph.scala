@@ -50,9 +50,13 @@ object Graph {
     *                physically storable graph, and non-convergence inside
     *                the cap fails loudly rather than returning a partial
     *                clustering
+    * @param verbose log per-round edge counts (the probe artifact: edge
+    *                count should contract toward the star form, and round
+    *                count stay logarithmic in the largest component's
+    *                diameter)
     */
   def connectedComponents(edges: DataFrame, srcCol: Column, dstCol: Column,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50, verbose: Boolean = false): DataFrame = {
     // normalize: long ids, (larger, smaller) orientation, no self-loops, no
     // duplicate edges — the orientation invariant (first col > second col)
     // is what small-star consumes and both star ops re-establish
@@ -103,6 +107,7 @@ object Graph {
     }
 
     var sig = signature(cur)
+    if (verbose) println(s"[cc] round 0: edges=${sig._1}")
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -112,6 +117,7 @@ object Graph {
       sig = nextSig
       cur = next
       it += 1
+      if (verbose) println(s"[cc] round $it: edges=${sig._1}${if (converged) " (fixpoint)" else ""}")
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
 

@@ -50,6 +50,41 @@ class OperatorsSpec extends SparkSpec {
     (5 until 20).foreach(k => assert(kept.contains(k.toLong)))
   }
 
+  test("minHashNearDupPairs + clustered dedup: transitive chain keeps one survivor") {
+    // sliding-window docs: A and B share half their words, B and C share
+    // half, A and C none — a genuine near-dup CHAIN (est-jaccard is
+    // deterministic: seeded minhash over fixed text)
+    val pool = {
+      val r = new scala.util.Random(1234)
+      (0 until 80).map(_ => (1 to 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString)
+    }
+    val chain = Seq(
+      (1L, pool.slice(0, 40).mkString(" ")),
+      (2L, pool.slice(20, 60).mkString(" ")),
+      (3L, pool.slice(40, 80).mkString(" "))).toDF("doc_id", "text")
+    // r=1 banding (64 bands of 1 hash): candidacy fires on ANY agreeing
+    // minhash, so 0.33-jaccard chain pairs are surfaced — the production
+    // r=8 default is TUNED to ignore pairs this dissimilar
+    val pairs = Dedup.minHashNearDupPairs(chain, $"text", $"doc_id",
+        numHashes = 64, bands = 64, jaccardThreshold = 0.2, persistSignatures = false)
+      .select("doc_id_a", "doc_id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"expected the chain edges, got $pairs")
+    val kept = Dedup.minHashDedupClustered(chain, $"text", $"doc_id",
+        numHashes = 64, bands = 64, jaccardThreshold = 0.2, persistSignatures = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    // and the factored pair path leaves minHashDedup's per-edge semantics
+    // unchanged on the shared fixture
+    val perEdge = Dedup.minHashDedup(docs, $"text", $"doc_id",
+      numHashes = 64, bands = 16, shingleSize = 5, jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clustered = Dedup.minHashDedupClustered(docs, $"text", $"doc_id",
+      numHashes = 64, bands = 16, shingleSize = 5, jaccardThreshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the fixture's dup structure is star-free cliques → policies agree
+    assert(clustered == perEdge)
+  }
+
   test("simHashDedup catches exact copies and respects hamming threshold") {
     val kept = Dedup.simHashDedup(docs, $"text", $"doc_id", hammingThreshold = 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
