@@ -462,6 +462,45 @@ object ScaleProbe {
       println(s"[probe] cc components=$comps (expected $expectedComps), hub-component size=$hubSize, edge-consistent")
       assign.unpersist()
     }
+    if (ops("pack")) {
+      // Sequence-packing plan at corpus scale: the two-phase distributed
+      // prefix sum over n docs with deterministic token counts
+      // (hash-mixed, 1..2000). What must hold: wall tracks n (two
+      // bucket-partitioned window passes + a broadcast of O(#buckets)
+      // bases — no global sort), and the plan is BIT-IDENTICAL across
+      // bucket widths (the tiling is internal; checked here by symmetric
+      // EXCEPT at full scale, not just the unit-test sizes).
+      val seqLen = 2048L
+      val docs = materialize(
+        spark.range(0, rows, 1, 256).select(col("id").as("doc_id"),
+          (abs(xxhash64(col("id"))) % 2000 + 1).as("n_tokens")),
+        s"/tmp/graft_probe_pack_${CorpusGenVersion}_$rows")
+      def plan(width: Long) = operators.Packing.packPlan(
+        docs, col("doc_id"), col("n_tokens"), seqLen, bucketWidth = width)
+      val p = time(s"pack plan ($rows docs, width 2^20)") {
+        val df = plan(1L << 20).cache()
+        df.count(); df
+      }
+      // stream invariants: offsets are a permutation-free exclusive prefix
+      // sum — the max end position equals the total token count, and
+      // every offset is distinct (n_tokens ≥ 1)
+      val total = docs.agg(sum(col("n_tokens"))).head().getLong(0)
+      val r = p.agg(max(col("offset") + col("n_tokens")).as("end"),
+        countDistinct(col("offset")).as("d"), count(lit(1)).as("n")).head()
+      require(r.getLong(0) == total && r.getLong(1) == r.getLong(2),
+        s"pack: end=${r.getLong(0)} vs total=$total, ${r.getLong(1)} distinct offsets of ${r.getLong(2)} rows")
+      val summary = operators.Packing.packSummary(p, seqLen).head()
+      println(s"[probe] pack: ${r.getLong(2)} docs, ${summary.getLong(0)} tokens -> " +
+        s"${summary.getLong(1)} full seqs of $seqLen (+${summary.getLong(2)} tail)")
+      // width invariance at full scale (wide tiles vs 512-row tiles)
+      val diff = time(s"pack width-invariance check ($rows docs)") {
+        val q = plan(512L)
+        p.exceptAll(q).count() + q.exceptAll(p).count()
+      }
+      require(diff == 0, s"pack: plans differ across bucket widths ($diff rows)")
+      println(s"[probe] pack: width-invariant (2^20 vs 512) at $rows docs")
+      p.unpersist()
+    }
     if (ops("p7")) {
       // P7 ALL-columns value distribution on a wide entity: measure the
       // per-column job storm (the ≤8-column native-groupBy branch applied
