@@ -395,7 +395,8 @@ object Bench {
         "text_repetition", "text_tokens_bpe", "decontaminate",
         // round-4: transitive dup clustering (large-star/small-star CC)
         // and the concat-and-chunk pack planner (distributed prefix sum)
-        "dedup_cc", "pack_plan")
+        // + its writer-consumable per-sequence manifest
+        "dedup_cc", "pack_plan", "pack_manifest")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -1785,7 +1785,42 @@ object QueryCatalog {
              |  tok_offset % 512 AS start_off,
              |  (tok_offset + n_tokens - 1) // 512 AS end_seq,
              |  (tok_offset + n_tokens - 1) // 512 - tok_offset // 512 AS n_crossings
-             |FROM p""".stripMargin))
+             |FROM p""".stripMargin)),
+
+    // The writer-consumable manifest derived from pack_plan: one row per
+    // (sequence, doc span) — sequence seq_id copies tokens
+    // [doc_from_tok, doc_to_tok) of doc_id to its position seq_off. All
+    // pure integer arithmetic on the plan columns + a bounded explode
+    // (map-only), so the oracle recomputes it exactly with
+    // generate_series.
+    Q("pack_manifest",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          CodeQuality.tokenCount(col("text")).cast("long").as("__nt"))
+        val plan = graft.operators.Packing.packPlan(docs, col("doc_id"),
+          col("__nt"), seqLen = 512, bucketWidth = 64)
+        graft.operators.Packing.sequenceManifest(plan, 512)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+             |  FROM d WHERE n_tokens > 0),
+             |m AS (
+             |  SELECT doc_id, n_tokens, tok_offset,
+             |    unnest(generate_series(tok_offset // 512,
+             |      (tok_offset + n_tokens - 1) // 512)) AS seq_id
+             |  FROM p)
+             |SELECT seq_id, doc_id,
+             |  GREATEST(seq_id * 512, tok_offset) - tok_offset AS doc_from_tok,
+             |  LEAST((seq_id + 1) * 512, tok_offset + n_tokens) - tok_offset AS doc_to_tok,
+             |  GREATEST(seq_id * 512, tok_offset) % 512 AS seq_off
+             |FROM m""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

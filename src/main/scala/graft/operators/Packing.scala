@@ -102,4 +102,25 @@ object Packing {
       coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
       expr(s"coalesce(sum(n_tokens), 0L) div ${seqLen}L").as("full_seqs"),
       (coalesce(sum(col("n_tokens")), lit(0L)) % seqLen).as("tail_tokens"))
+
+  /** The writer-consumable form of a pack plan: one row per
+    * (training sequence, document span) — a writer task building sequence
+    * `seq_id` selects its rows and copies, for each, tokens
+    * `[doc_from_tok, doc_to_tok)` of `doc_id` to position `seq_off` of the
+    * sequence. Pure integer projections + an explode bounded by each doc's
+    * crossing count (Σ rows = total_tokens/seqLen + #docs — map-only, no
+    * shuffle; repartition the OUTPUT by seq_id range when handing whole
+    * sequences to writer tasks). Derived entirely from [[packPlan]]'s
+    * columns, so it inherits the plan's determinism and width-invariance. */
+  def sequenceManifest(plan: DataFrame, seqLen: Long): DataFrame = {
+    val spanStartAbs = greatest(col("seq_id") * seqLen, col("offset"))
+    val spanEndAbs = least((col("seq_id") + 1) * seqLen, col("offset") + col("n_tokens"))
+    plan
+      .select(col("doc_id"), col("n_tokens"), col("offset"),
+        explode(sequence(col("start_seq"), col("end_seq"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (spanStartAbs - col("offset")).as("doc_from_tok"),
+        (spanEndAbs - col("offset")).as("doc_to_tok"),
+        (spanStartAbs % seqLen).as("seq_off"))
+  }
 }

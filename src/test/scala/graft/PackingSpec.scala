@@ -51,6 +51,43 @@ class PackingSpec extends SparkSpec {
     assert(offsets == expected)
   }
 
+  test("sequenceManifest: spans tile each doc exactly; writer view consistent") {
+    val plan = Packing.packPlan(docs, $"doc_id", $"n", seqLen = 1024, bucketWidth = 2)
+    val m = Packing.sequenceManifest(plan, 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 5: offset 1024, n=2000 → seq 1 takes [0,1024) at off 0; seq 2
+    // takes [1024,2000) at off 0
+    assert(m.filter(_._2 == 5L).toSet ==
+      Set((1L, 5L, 0L, 1024L, 0L), (2L, 5L, 1024L, 2000L, 0L)))
+    // doc 6: offset 3024, n=1 → one span at seq 2, off 976
+    assert(m.filter(_._2 == 6L).toSet == Set((2L, 6L, 0L, 1L, 976L)))
+    // every doc's spans tile [0, n) without gap or overlap
+    val byDoc = m.groupBy(_._2)
+    val ns = Map(1L -> 100L, 2L -> 900L, 3L -> 24L, 5L -> 2000L, 6L -> 1L)
+    byDoc.foreach { case (d, spans) =>
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._3 == 0L && sorted.last._4 == ns(d))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"gap in doc $d spans")
+        case _ =>
+      }
+    }
+    // every sequence's spans tile it contiguously (writer view): sorted by
+    // seq_off, spans abut; full seqs cover exactly [0, 1024)
+    val bySeq = m.groupBy(_._1)
+    bySeq.foreach { case (sq, spans) =>
+      val sorted = spans.sortBy(_._5)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + (a._4 - a._3) == b._5, s"gap in seq $sq")
+        case _ =>
+      }
+      if (sq < 2) { // seqs 0 and 1 are full (total 3025 tokens = 2 full + tail)
+        assert(sorted.head._5 == 0L)
+        assert(sorted.map(s => s._4 - s._3).sum == 1024L, s"seq $sq not full")
+      }
+    }
+  }
+
   test("plan: bucket-partitioned corpus window; global sort only on totals") {
     // write a real parquet source so scan/pruning assertions are meaningful
     val dir = tmpDir("packing-plan")
