@@ -54,6 +54,44 @@ object QueryCatalog {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
+  /** Multi-line content for the boilerplate-line family: two injected
+    * corpus-wide header lines (df scales with the corpus), the natural
+    * text line, and a per-doc-unique md5 trailer that must survive
+    * stripping byte-identically. */
+  private def bpContent: Column = concat(
+    when(col("doc_id") % 2 === 0,
+      lit("// Copyright 2026 Example Corp. All rights reserved.\n")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      lit("# This file is auto-generated; do not edit.\n")).otherwise(lit("")),
+    col("text"), lit("\n// id: "), md5(col("doc_id").cast("string")))
+  private val bpContentSql = // plain concat: '||' would collide with stripMargin
+    "CASE WHEN doc_id % 2 = 0" +
+      " THEN '// Copyright 2026 Example Corp. All rights reserved.' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 3 = 0" +
+      " THEN '# This file is auto-generated; do not edit.' || chr(10) ELSE '' END" +
+      " || text || chr(10) || '// id: ' || md5(CAST(doc_id AS VARCHAR))"
+
+  /** Repo-shaped documents for the two-level filter: ~97 repos keyed off
+    * doc_id, one singleton repo ('solo', doc 43 — 43%7≠0 so only the
+    * minDocs gate can drop it), repos r0–r29 salted with 128 '#' per doc
+    * (kills the aggregate alnum ratio), and a doc-level verdict that is
+    * false for every doc of r31 (kills its keep fraction) plus every 7th
+    * doc elsewhere. */
+  private def repoDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") === 43, lit("solo"))
+        .otherwise(concat(lit("r"), (col("doc_id") % 97).cast("string"))).as("repo"),
+      concat(col("text"), when(col("doc_id") % 97 < 30, lit(" " + "#" * 128))
+        .otherwise(lit(""))).as("content"),
+      (col("doc_id") % 7 =!= 0 && col("doc_id") % 97 =!= 31).as("doc_keep"))
+  private val repoDocsSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id = 43 THEN 'solo' ELSE 'r' || CAST(doc_id % 97 AS VARCHAR) END AS repo,
+      |  text || CASE WHEN doc_id % 97 < 30 THEN ' ' || repeat('#', 128) ELSE '' END AS content,
+      |  (doc_id % 7 <> 0 AND doc_id % 97 <> 31) AS doc_keep
+      |FROM documents""".stripMargin
+
   /** [[dupDocs]] with a per-TEXT salt: one 8-char md5-prefix WORD per
     * 4 chars of text (chained md5(text‖i), space-joined) appended to the
     * text. The salt is a pure function of the text, so exact-dup groups are
@@ -1820,7 +1858,134 @@ object QueryCatalog {
              |  GREATEST(seq_id * 512, tok_offset) - tok_offset AS doc_from_tok,
              |  LEAST((seq_id + 1) * 512, tok_offset + n_tokens) - tok_offset AS doc_to_tok,
              |  GREATEST(seq_id * 512, tok_offset) % 512 AS seq_off
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Corpus-frequency boilerplate lines (StarCoder/BigCode preprocessing):
+    // the fixture injects two corpus-wide header lines (on doc_id%2 and
+    // %3 — df 250/167 at sf0.001, scaling with the corpus) plus a
+    // per-doc-unique trailer, onto the naturally single-line texts. The
+    // engine aggregates doc frequency over 8-byte line-key HASHES
+    // (LineKeyHashExpr); the oracle recomputes it on trimmed line STRINGS —
+    // a hash-exact match is also collision-cleanness evidence for the
+    // line-key hashing (same argument as `decontaminate`).
+    Q("boilerplate_lines",
+      (s, dir) => graft.operators.Boilerplate.commonLines(
+        t(s, dir, "documents").select(col("doc_id"), bpContent.as("content")),
+        col("content"), col("doc_id"), minDf = 100L, minLineLen = 10),
+      Some(s"""WITH d AS (SELECT doc_id, $bpContentSql AS content FROM documents),
+              |l AS (SELECT DISTINCT doc_id, trim(line) AS line
+              |      FROM (SELECT doc_id, unnest(string_split(content, chr(10))) AS line FROM d)
+              |      WHERE length(trim(line)) >= 10)
+              |SELECT line, count(*) AS df FROM l
+              |GROUP BY line HAVING count(*) >= 100""".stripMargin)),
+
+    // The strip phase end-to-end: common-line set collected (hash-only
+    // shuffle), then one MAP-ONLY LineStripExpr pass — kept lines emitted
+    // verbatim (the per-doc-unique trailer and the text line survive
+    // byte-identically; exact string equality under the value hash is the
+    // pass-through guarantee). The oracle rebuilds each document with an
+    // explode → df-window → anti-join → ordered string_agg pipeline.
+    Q("strip_boilerplate",
+      (s, dir) => graft.operators.Boilerplate.stripBoilerplate(
+          t(s, dir, "documents").select(col("doc_id"), bpContent.as("content")),
+          "content", col("doc_id"), minDf = 100L, minLineLen = 10)
+        .select("doc_id", "content"),
+      Some(s"""WITH d AS (SELECT doc_id, $bpContentSql AS content FROM documents),
+              |e AS (SELECT doc_id,
+              |        unnest(string_split(content, chr(10))) AS line,
+              |        unnest(range(1, len(string_split(content, chr(10))) + 1)) AS pos
+              |      FROM d),
+              |f AS (SELECT k, count(*) AS n FROM (
+              |        SELECT DISTINCT doc_id, trim(line) AS k FROM e
+              |        WHERE length(trim(line)) >= 10) GROUP BY k),
+              |common AS (SELECT k FROM f WHERE n >= 100)
+              |SELECT e.doc_id, string_agg(e.line, chr(10) ORDER BY e.pos) AS content
+              |FROM e LEFT JOIN common
+              |  ON length(trim(e.line)) >= 10 AND trim(e.line) = common.k
+              |WHERE common.k IS NULL
+              |GROUP BY e.doc_id""".stripMargin)),
+
+    // Repo-level two-level quality filter: per-repo exact aggregates
+    // (counts + integer sums, single IEEE divisions — never double sums,
+    // so the oracle replays them bit-for-bit), three gates each made
+    // load-bearing by construction: repos r0–r29 fail the aggregate
+    // alnum-ratio floor (every doc salted with 128 '#'; measured clusters
+    // ≤0.628 vs ≥0.813 at every sf — 0.72 splits them with margin), repo
+    // r31 fails the keep-fraction gate (every doc's doc-level verdict is
+    // false), and the injected singleton repo 'solo' (doc 43) fails
+    // minDocs. Survivors must pass BOTH levels (doc_keep AND repo kept).
+    Q("repo_filter",
+      (s, dir) => graft.operators.RepoFilter.twoLevelFilter(
+          repoDocs(s, dir), col("repo"), col("doc_keep"),
+          length(regexp_replace(col("content"), "[^A-Za-z0-9]", "")),
+          length(col("content")),
+          minKeepFrac = 0.5, minAggRatio = 0.72, minDocs = 2L)
+        .select("doc_id", "repo"),
+      Some(s"""WITH d AS ($repoDocsSql),
+              |s AS (SELECT repo, count(*) AS n_docs,
+              |        sum(CASE WHEN doc_keep THEN 1 ELSE 0 END) AS n_keep,
+              |        sum(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))) AS sn,
+              |        sum(length(content)) AS sd
+              |      FROM d GROUP BY repo),
+              |k AS (SELECT repo FROM s WHERE n_docs >= 2
+              |        AND CAST(n_keep AS DOUBLE) / n_docs >= 0.5
+              |        AND CAST(sn AS DOUBLE) / sd >= 0.72)
+              |SELECT doc_id, repo FROM d JOIN k USING (repo) WHERE doc_keep""".stripMargin)),
+
+    // The repo-stats surface on its own (what a corpus curator inspects to
+    // tune the gates): all columns are exact integers or single divisions.
+    Q("repo_stats",
+      (s, dir) => graft.operators.RepoFilter.repoStats(
+        repoDocs(s, dir), col("repo"), col("doc_keep"),
+        length(regexp_replace(col("content"), "[^A-Za-z0-9]", "")),
+        length(col("content"))),
+      Some(s"""WITH d AS ($repoDocsSql)
+              |SELECT repo, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN doc_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              |  CAST(sum(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))) AS BIGINT) AS sum_num,
+              |  CAST(sum(length(content)) AS BIGINT) AS sum_den,
+              |  CAST(sum(CASE WHEN doc_keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_frac,
+              |  CASE WHEN sum(length(content)) > 0
+              |       THEN CAST(sum(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))) AS DOUBLE)
+              |            / sum(length(content))
+              |       ELSE 0.0 END AS agg_ratio
+              |FROM d GROUP BY repo""".stripMargin)),
+
+    // Temperature-based mixture sampling (α = 0.5): stratum sizes are made
+    // skewed by integer range buckets on doc_id%127 (64/32/16/15 widths),
+    // so the rates are genuinely data-dependent — and the oracle recomputes
+    // the ENTIRE chain in SQL (counts → min → sqrt of one long/long
+    // division → one multiply → floor·2⁴⁸ hex threshold → md5 bucket
+    // compare), every step a single correctly-rounded IEEE op identical in
+    // both engines. The engine's driver-side rate math is the same ops in
+    // the same order (Sampling.temperatureRates uses sqrt, not pow, for
+    // α = 0.5 precisely because pow is not correctly-rounded).
+    Q("sample_temperature",
+      (s, dir) => {
+        val d = t(s, dir, "documents").withColumn("stratum",
+          when(col("doc_id") % 127 < 64, "big")
+            .when(col("doc_id") % 127 < 96, "mid")
+            .when(col("doc_id") % 127 < 112, "small")
+            .otherwise("tiny"))
+        graft.operators.Sampling.temperatureSample(
+            d, col("stratum"), col("doc_id"), alpha = 0.5, seed = 11L)
+          .select("doc_id", "stratum")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 127 < 64 THEN 'big'
+             |    WHEN doc_id % 127 < 96 THEN 'mid'
+             |    WHEN doc_id % 127 < 112 THEN 'small' ELSE 'tiny' END AS stratum
+             |  FROM documents),
+             |c AS (SELECT stratum, count(*) AS n FROM d GROUP BY stratum),
+             |m AS (SELECT min(n) AS nmin FROM c),
+             |r AS (SELECT stratum,
+             |        sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+             |      FROM c, m),
+             |t AS (SELECT stratum, CASE WHEN rate >= 1.0 THEN 'g'
+             |        ELSE printf('%012x', CAST(floor(rate * 281474976710656.0) AS BIGINT))
+             |        END AS th FROM r)
+             |SELECT d.doc_id, d.stratum FROM d JOIN t USING (stratum)
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 12) < th""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -446,6 +446,103 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** FNV-1a hash of the space-trimmed line, or NULL when the trimmed length
+  * is below `minLen` — the shared key definition of the boilerplate-line
+  * family ([[graft.operators.Boilerplate]]). One metric (UTF-16 units,
+  * ASCII-space trim — the Spark/DuckDB `trim` semantics) decides BOTH the
+  * doc-frequency side and the strip side, so the two phases can never
+  * disagree about what "the same line" means. Short lines return NULL
+  * rather than a hash: structural lines (`}`, blank, `end`) are never
+  * boilerplate candidates, and the NULL keeps them out of the
+  * doc-frequency shuffle entirely. */
+case class LineKeyHashExpr(child: Expression, minLen: Int) extends UnaryExpression {
+  require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // short trimmed lines yield NULL
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    LineKeyHashExpr.compute(input.asInstanceOf[UTF8String].toString, minLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+        java.lang.Long lkh = graft.functions.LineKeyHashExpr$$.MODULE$$
+          .compute($c.toString(), $minLen);
+        if (lkh == null) { ${ev.isNull} = true; } else { ${ev.value} = lkh.longValue(); }
+      """)
+
+  override protected def withNewChildInternal(newChild: Expression): LineKeyHashExpr =
+    copy(child = newChild)
+}
+
+object LineKeyHashExpr {
+  /** null iff the space-trimmed line is shorter than minLen (UTF-16 units). */
+  def compute(s: String, minLen: Int): java.lang.Long = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (b - a < minLen) null
+    else java.lang.Long.valueOf(HashKernels.fnv1a(s, a, b - a))
+  }
+}
+
+/** Remove every line whose [[LineKeyHashExpr]] key (trimmed, length ≥
+  * `minLen`) is in a plan-constant sorted hash set — the map-only strip
+  * phase of corpus-frequency boilerplate removal. The set rides the
+  * serialized expression as a primitive `long[]` (addReferenceObj, stable
+  * `commonLines[n]` plan tag — same mechanism as
+  * [[SortedSetIntersectSizeExpr]]); kept lines are emitted VERBATIM
+  * (untrimmed) and re-joined with `\n`, so pass-through documents are
+  * byte-identical. Per row: one scan + one binary search per qualifying
+  * line — no split-array allocation, no shuffle. */
+case class LineStripExpr(child: Expression, set: Array[Long], minLen: Int)
+    extends UnaryExpression {
+  require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def stringArgs: Iterator[Any] = Iterator(child, s"commonLines[${set.length}]", minLen)
+
+  override def nullSafeEval(input: Any): Any =
+    LineStripExpr.compute(input.asInstanceOf[UTF8String].toString, set, minLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("commonLines", set, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LineStripExpr$$.MODULE$$" +
+        s".compute($c.toString(), $setRef, $minLen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LineStripExpr =
+    copy(child = newChild)
+}
+
+object LineStripExpr {
+  def compute(s: String, set: Array[Long], minLen: Int): UTF8String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var start = 0
+    var first = true
+    while (start <= n) { // `<=`: a trailing '\n' yields a final empty segment
+      val nl = s.indexOf('\n', start)
+      val lineEnd = if (nl < 0) n else nl
+      // trimmed bounds — the LineKeyHashExpr key definition, inlined
+      var a = start; var b = lineEnd
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      val strip = b - a >= minLen &&
+        java.util.Arrays.binarySearch(set, HashKernels.fnv1a(s, a, b - a)) >= 0
+      if (!strip) {
+        if (!first) sb.append('\n')
+        sb.append(s, start, lineEnd)
+        first = false
+      }
+      start = if (nl < 0) n + 1 else nl + 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 object HashSignatures {
   def minHash(c: Column, numHashes: Int, shingleSize: Int): Column =
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(c), numHashes, shingleSize))
@@ -462,4 +559,10 @@ object HashSignatures {
   /** |A∩set| against a plan-constant sorted set (stable-tagged in plans). */
   def sortedSetIntersectSize(a: Column, set: Array[Long]): Column =
     ColumnBridge.column(SortedSetIntersectSizeExpr(ColumnBridge.expression(a), set))
+  /** Boilerplate line key: FNV-1a of the space-trimmed line, NULL below minLen. */
+  def lineKeyHash(c: Column, minLen: Int): Column =
+    ColumnBridge.column(LineKeyHashExpr(ColumnBridge.expression(c), minLen))
+  /** Drop lines whose key is in the plan-constant sorted set (verbatim otherwise). */
+  def stripLines(c: Column, set: Array[Long], minLen: Int): Column =
+    ColumnBridge.column(LineStripExpr(ColumnBridge.expression(c), set, minLen))
 }

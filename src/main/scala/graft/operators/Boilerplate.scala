@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashSignatures
+
+/** Corpus-frequency boilerplate line removal (the StarCoder/BigCode
+  * preprocessing step): lines that recur across ≥ `minDf` distinct
+  * documents — license headers, "do not edit" banners, generated-code
+  * preambles — are stripped from every document, while document-unique
+  * lines pass through byte-identically.
+  *
+  * 100 TB shape, two phases:
+  *
+  *  1. **Doc-frequency aggregation** — explode lines, key them with
+  *     [[graft.functions.LineKeyHashExpr]] (8-byte keys on the wire, never
+  *     the line text; sub-`minLineLen` lines are NULL-keyed out before the
+  *     shuffle), distinct per (key, doc), then a count-per-key aggregate
+  *     with map-side partials. One corpus scan + one hash-key shuffle.
+  *  2. **Map-only strip** — the qualifying key set is driver-collected and
+  *     broadcast inside [[graft.functions.LineStripExpr]]. Its size is
+  *     bounded by Zipf: at doc frequency ≥ K the set holds at most
+  *     (total lines)/K entries, and the useful K scales with the corpus
+  *     (boilerplate is what repeats across a meaningful fraction of it),
+  *     so the 8-byte-per-line set stays executor-heap-sized at any corpus
+  *     size. Should an extreme minDf ever outgrow that, put a Bloom filter
+  *     in front of the same kernel and verify survivors with a join — the
+  *     per-row contract (binary search per qualifying line) is unchanged.
+  *
+  * Key semantics shared by both phases and the DuckDB oracle: a line is
+  * a `\n`-separated segment; its key is the ASCII-space-trimmed text
+  * (Spark/DuckDB `trim` semantics); only keys of trimmed length ≥
+  * `minLineLen` participate (structural lines — `}`, `end`, blanks — are
+  * never candidates). Kept lines are emitted verbatim and re-joined with
+  * `\n`.
+  */
+object Boilerplate {
+
+  /** Human-readable report of the common lines: (line, df) with doc
+    * frequency ≥ `minDf`, string-keyed (this is the path a user inspects
+    * before trusting a strip run — and the oracle surface, since it
+    * recomputes df on line STRINGS where the engine set path uses hashes). */
+  def commonLines(df: DataFrame, contentCol: Column, idCol: Column,
+                  minDf: Long, minLineLen: Int): DataFrame =
+    df.select(idCol.as("__doc"), explode(split(contentCol, "\n", -1)).as("__line"))
+      .select(col("__doc"), trim(col("__line")).as("line"))
+      .where(length(col("line")) >= minLineLen)
+      .distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+
+  /** The qualifying line-key set, hash-only end to end (the scale path of
+    * phase 1: the shuffle carries (long, id) pairs, not line text),
+    * collected sorted for [[graft.functions.LineStripExpr]]'s binary
+    * search. Driver-scale by the Zipf bound above. */
+  def commonLineHashes(df: DataFrame, contentCol: Column, idCol: Column,
+                       minDf: Long, minLineLen: Int): Array[Long] = {
+    val hs = df
+      .select(idCol.as("__doc"), explode(split(contentCol, "\n", -1)).as("__line"))
+      .select(col("__doc"), HashSignatures.lineKeyHash(col("__line"), minLineLen).as("k"))
+      .where(col("k").isNotNull)
+      .distinct()
+      .groupBy("k").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select("k")
+      .collect()
+      .map(_.getLong(0))
+    java.util.Arrays.sort(hs)
+    hs
+  }
+
+  /** Strip a pre-collected key set from a content column (map-only — use
+    * when one common-line set serves many strip passes, e.g. incremental
+    * ingest batches reusing last night's corpus-wide set). */
+  def stripLines(contentCol: Column, commonKeys: Array[Long], minLineLen: Int): Column =
+    HashSignatures.stripLines(contentCol, commonKeys, minLineLen)
+
+  /** End-to-end: aggregate doc frequencies, then rewrite `contentColName`
+    * in place with the common lines removed. Two corpus scans total (one
+    * per phase — phase 2 is map-only); all other columns pass through. */
+  def stripBoilerplate(df: DataFrame, contentColName: String, idCol: Column,
+                       minDf: Long, minLineLen: Int): DataFrame = {
+    val keys = commonLineHashes(df, col(contentColName), idCol, minDf, minLineLen)
+    df.withColumn(contentColName, stripLines(col(contentColName), keys, minLineLen))
+  }
+}

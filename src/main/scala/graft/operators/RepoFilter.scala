@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repo-level (two-level) quality filtering: aggregate per-document
+  * signals to the repository, drop whole repositories whose aggregate
+  * quality is poor, then keep only documents that pass BOTH levels — the
+  * "a repo that is 90% vendored junk poisons its remaining 10%" rule that
+  * per-file filters cannot express.
+  *
+  * Determinism contract (what makes the DuckDB oracle hash-exact): every
+  * repo statistic is either an exact integer aggregate (counts, sums of
+  * integer columns) or a SINGLE IEEE division of two exact integers —
+  * never a sum of doubles, whose value would depend on aggregation order
+  * across partitions.
+  *
+  * 100 TB shape: one corpus shuffle keyed by repo with map-side partial
+  * aggregation (the aggregate state is 4 longs per repo); the verdict
+  * relation is #repos rows (~10⁸ at 10¹² files — kilobytes per executor
+  * after the keep-filter at any realistic drop rate) and is broadcast
+  * back, so the document side is never shuffled for the verdict join.
+  * Mega-repo skew is a non-issue here: sum/count partials commute, so
+  * AQE's partial aggregation already spreads a 10⁷-file repo across its
+  * input partitions before the exchange.
+  */
+object RepoFilter {
+
+  /** Per-repo exact aggregates over a document frame:
+    *   n_docs, n_keep (from the boolean `keepCol` — the doc-level verdict),
+    *   sum_num / sum_den (an integer-valued quality ratio's parts, e.g.
+    *   alphanumeric chars / total chars), plus the two derived single
+    *   divisions keep_frac and agg_ratio. */
+  def repoStats(df: DataFrame, repoCol: Column, keepCol: Column,
+                numCol: Column, denCol: Column): DataFrame =
+    df.groupBy(repoCol.as("repo"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(keepCol.cast("long")).as("n_keep"),
+        sum(numCol.cast("long")).as("sum_num"),
+        sum(denCol.cast("long")).as("sum_den"))
+      .withColumn("keep_frac", col("n_keep").cast("double") / col("n_docs"))
+      .withColumn("agg_ratio",
+        when(col("sum_den") > 0, col("sum_num").cast("double") / col("sum_den"))
+          .otherwise(lit(0.0)))
+
+  /** Repos passing the repo-level gate: enough docs, enough of them
+    * individually good, and an aggregate ratio above the floor. */
+  def keptRepos(stats: DataFrame, minKeepFrac: Double, minAggRatio: Double,
+                minDocs: Long): DataFrame =
+    stats
+      .where(col("n_docs") >= minDocs &&
+        col("keep_frac") >= minKeepFrac && col("agg_ratio") >= minAggRatio)
+      .select("repo")
+
+  /** Keep only rows whose repo is in `kept` (a #repos-scale relation —
+    * broadcast; the corpus side stays un-shuffled). */
+  def filterByRepo(df: DataFrame, repoCol: Column, kept: DataFrame): DataFrame = {
+    val k = kept.select(col("repo").as("__kept_repo"))
+    df.join(broadcast(k), repoCol === col("__kept_repo"), "left_semi")
+  }
+
+  /** The two-level filter end to end: repo stats over ALL docs (doc-level
+    * failures count against their repo), repo gate, then docs passing both
+    * levels. One aggregation shuffle + one broadcast semi-join. */
+  def twoLevelFilter(df: DataFrame, repoCol: Column, keepCol: Column,
+                     numCol: Column, denCol: Column,
+                     minKeepFrac: Double, minAggRatio: Double,
+                     minDocs: Long): DataFrame = {
+    val kept = keptRepos(repoStats(df, repoCol, keepCol, numCol, denCol),
+      minKeepFrac, minAggRatio, minDocs)
+    filterByRepo(df.where(keepCol), repoCol, kept)
+  }
+}

@@ -80,6 +80,65 @@ object Sampling {
     df.where(hexBucket(idCol, seed) < lit(hexThresholds(Seq(fraction, 1 - fraction)).head))
   }
 
+  /** Threshold literal for a single keep-fraction, computed with the exact
+    * operation sequence a SQL oracle can replay (`floor(rate · 2⁴⁸)` → 12
+    * zero-padded hex chars; ≥ 1 → the keep-everything sentinel "g").
+    * Deliberately NOT routed through [[hexThresholds]]: that normalizes by
+    * `f + (1-f)`, which is not always exactly 1.0 in IEEE arithmetic, and
+    * a one-ulp threshold wobble is a cross-engine hash mismatch. */
+  def rateThreshold(rate: Double): String =
+    if (rate >= 1.0) "g" else f"${(rate * 281474976710656.0).toLong}%012x"
+
+  /** Temperature-based mixture rates (the multilingual-LM resampling rule:
+    * post-sample stratum mass ∝ count^alpha): with c_min the smallest
+    * stratum count,
+    *
+    *   rate(s) = min(1, maxRate · (c_min / c_s)^(1-alpha))
+    *
+    * — alpha = 1 keeps natural proportions, alpha → 0 equalizes strata;
+    * the smallest stratum is never downsampled (without-replacement
+    * sampling cannot upsample, so the normalization anchors there). Every
+    * arithmetic step is a single correctly-rounded IEEE op (long→double
+    * division, sqrt for the alpha = 0.5 case, one multiply), so a SQL
+    * engine replays the rates bit-for-bit from the same counts —
+    * `math.pow` is NOT correctly-rounded per IEEE 754, hence the explicit
+    * sqrt special case for the oracle-covered temperature. */
+  def temperatureRates(counts: Seq[(String, Long)], alpha: Double,
+                       maxRate: Double = 1.0): Seq[(String, Double)] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(maxRate > 0 && maxRate <= 1, s"maxRate must be in (0,1], got $maxRate")
+    require(counts.nonEmpty && counts.forall(_._2 > 0), s"need positive counts: $counts")
+    val cmin = counts.map(_._2).min
+    counts.map { case (s, c) =>
+      val base =
+        if (alpha == 1.0) 1.0
+        else if (alpha == 0.5) math.sqrt(cmin.toDouble / c.toDouble)
+        else math.pow(cmin.toDouble / c.toDouble, 1 - alpha)
+      s -> math.min(1.0, maxRate * base)
+    }
+  }
+
+  /** Temperature-based deterministic downsampling: one count aggregate
+    * (driver-scale — strata are sources/languages/domains, not documents),
+    * rates per [[temperatureRates]], then one map-side CASE cutoff over
+    * [[hexBucket]] — id-stable like everything here, so re-running over an
+    * appended corpus re-draws NOTHING retroactively (rates shift with the
+    * counts, but a row's bucket never moves). Rows with a NULL stratum are
+    * dropped (no count, no rate). */
+  def temperatureSample(df: DataFrame, strataCol: Column, idCol: Column,
+                        alpha: Double, maxRate: Double = 1.0,
+                        seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy(strataCol.as("__s")).count()
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .sortBy(_._1) // deterministic CASE shape for stable plan dumps
+    val rates = temperatureRates(counts.toSeq, alpha, maxRate)
+    val cutoff = rates.foldLeft(lit("000000000000"): Column) { // NULL/unseen: keep none
+      case (acc, (k, r)) => when(strataCol === lit(k), lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.where(hexBucket(idCol, seed) < cutoff)
+  }
+
   /** Per-stratum deterministic sampling — the id-stable replacement for
     * `df.stat.sampleBy`: keep `fractions(stratum)` of each stratum's rows
     * (strata absent from the map keep `defaultFraction`). One map-side

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Boilerplate, RepoFilter}
+import graft.functions.{LineKeyHashExpr, LineStripExpr}
+
+/** Corpus-frequency boilerplate stripping and the repo-level two-level
+  * filter: semantics pins on a hand-built fixture (the hash-exact DuckDB
+  * oracles `boilerplate_lines` / `strip_boilerplate` / `repo_filter` /
+  * `repo_stats` carry the cross-engine evidence at fixture scale). */
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val header = "// Copyright Example Corp."
+  private lazy val docs = Seq(
+    (1L, header + "\nalpha body one\n}"),
+    (2L, "  " + header + "  \nbeta body two\n}"), // space-padded header: same key
+    (3L, header + "\ngamma body three"),
+    (4L, "delta only unique lines\n}"),
+    (5L, header) // a doc that is ONLY boilerplate
+  ).toDF("id", "content")
+
+  test("commonLines: trimmed string keys, distinct-per-doc df, minLineLen floor") {
+    val got = Boilerplate.commonLines(docs, $"content", $"id", minDf = 3L, minLineLen = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // '}' recurs in 3 docs but is below minLineLen; bodies are unique
+    assert(got == Map(header -> 4L))
+    // a doc repeating the header twice still counts once
+    val rep = Seq((1L, header + "\n" + header), (2L, header)).toDF("id", "content")
+    val df2 = Boilerplate.commonLines(rep, $"content", $"id", minDf = 1L, minLineLen = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df2 == Map(header -> 2L))
+  }
+
+  test("stripBoilerplate: common lines removed, everything else byte-identical") {
+    val got = Boilerplate.stripBoilerplate(docs, "content", $"id", minDf = 3L, minLineLen = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "alpha body one\n}")
+    assert(got(2L) == "beta body two\n}")     // padded header variant stripped too
+    assert(got(3L) == "gamma body three")
+    assert(got(4L) == "delta only unique lines\n}") // untouched doc is byte-identical
+    assert(got(5L) == "")                      // all-boilerplate doc → empty, row kept
+  }
+
+  test("LineStripExpr edges: trailing newline, empty set, CRLF-agnostic verbatim emit") {
+    val keyOf = (s: String) => LineKeyHashExpr.compute(s, 1).longValue()
+    val set = Array(keyOf("drop me please")).sorted
+    def strip(s: String) = LineStripExpr.compute(s, set, 5).toString
+    assert(strip("keep\ndrop me please\nkeep2") == "keep\nkeep2")
+    assert(strip("drop me please\n") == "")    // trailing empty segment kept, joins to ""
+    assert(strip("a\n\nb") == "a\n\nb")        // blank interior lines survive (below minLen)
+    assert(strip("  drop me please  ") == "")  // trim applies to the key only
+    assert(strip("keep \r\ndrop me please\r tail") == "keep \r\ndrop me please\r tail")
+    // ^ '\r' is NOT a separator and not trimmed: the CR-joined line has a
+    //   different key, so it survives — \n-only line semantics, documented
+    assert(LineStripExpr.compute("x\ny", Array.emptyLongArray, 1).toString == "x\ny")
+  }
+
+  test("repoStats + twoLevelFilter: each gate load-bearing, exact arithmetic") {
+    val d = Seq(
+      // good repo: 3 docs, all keep, high ratio
+      (1L, "g", true, 90L, 100L), (2L, "g", true, 80L, 100L), (3L, "g", true, 85L, 100L),
+      // lowRatio repo: docs keep but aggregate ratio 0.5
+      (4L, "lr", true, 50L, 100L), (5L, "lr", true, 50L, 100L),
+      // lowKeep repo: ratio fine, 1 of 3 docs keeps
+      (6L, "lk", true, 90L, 100L), (7L, "lk", false, 90L, 100L), (8L, "lk", false, 90L, 100L),
+      // singleton repo: everything fine but n_docs < 2
+      (9L, "solo", true, 95L, 100L)
+    ).toDF("id", "repo", "keep", "num", "den")
+    val stats = RepoFilter.repoStats(d, $"repo", $"keep", $"num", $"den")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6))).toMap
+    assert(stats("g") == ((3L, 3L, 1.0, 0.85)))
+    assert(stats("lk")._3 == 1.0 / 3.0)
+    assert(stats("lr")._4 == 0.5)
+    val kept = RepoFilter.twoLevelFilter(d, $"repo", $"keep", $"num", $"den",
+        minKeepFrac = 0.5, minAggRatio = 0.7, minDocs = 2L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L)) // lr: ratio gate; lk: keep gate; solo: minDocs
+    // doc 6 passes doc-level but its repo fails → two-level interaction pinned
+    assert(!kept.contains(6L))
+  }
+
+  test("filterByRepo broadcasts the verdict side (no corpus shuffle for the join)") {
+    val d = (0L until 1000L).map(i => (i, s"r${i % 10}")).toDF("id", "repo")
+    val kept = Seq("r1", "r2").toDF("repo")
+    val out = RepoFilter.filterByRepo(d, $"repo", kept)
+    assert(out.count() == 200L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"verdict join must broadcast:\n$plan")
+  }
+}

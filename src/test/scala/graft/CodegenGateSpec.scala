@@ -47,7 +47,11 @@ class CodegenGateSpec extends SparkSpec {
     "MinHashExpr" -> MinHashExpr(strIn, numHashes = 16, shingleSize = 5),
     "SimHashExpr" -> SimHashExpr(strIn),
     "WordNgramHashesExpr" -> WordNgramHashesExpr(strIn, n = 3, lowercase = true),
-    "WinnowFingerprintExpr" -> WinnowFingerprintExpr(strIn, k = 8, window = 12)
+    "WinnowFingerprintExpr" -> WinnowFingerprintExpr(strIn, k = 8, window = 12),
+    "LineKeyHashExpr" -> LineKeyHashExpr(strIn, minLen = 3),
+    "LineStripExpr" -> LineStripExpr(strIn,
+      Array(LineKeyHashExpr.compute("the quick brown fox jumps over the lazy dog and runs on", 1)
+        .longValue()).sorted, minLen = 3)
   )
 
   private val sampleTexts = Seq(
@@ -194,7 +198,9 @@ class CodegenGateSpec extends SparkSpec {
       NgramScore.lexiconScrub($"text", Seq("badword", "worse"), "[*]").as("scrubbed"),
       HashSignatures.minHash($"text", 16, 5).as("mh"),
       HashSignatures.simHash($"text").as("sh"),
-      HashSignatures.winnowFingerprints($"text").as("wf")
+      HashSignatures.winnowFingerprints($"text").as("wf"),
+      HashSignatures.lineKeyHash($"text", 3).as("lkh"),
+      HashSignatures.stripLines($"text", Array(42L), 3).as("ls")
     ).collect()
     assert(out.length == sampleTexts.length)
     assert(out.forall(r => !r.isNullAt(6) && r.getSeq[Long](6).nonEmpty))

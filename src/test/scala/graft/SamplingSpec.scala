@@ -60,6 +60,64 @@ class SamplingSpec extends SparkSpec {
     assert(sampleOfSubset == subsetOfSample)
   }
 
+  test("temperatureRates: hand-computed α=0.5 rates, anchor and cap semantics") {
+    val rates = Sampling.temperatureRates(
+      Seq("big" -> 400L, "mid" -> 100L, "tiny" -> 25L), alpha = 0.5).toMap
+    assert(rates("tiny") == 1.0)            // smallest stratum never downsampled
+    assert(rates("mid") == 0.5)             // sqrt(25/100)
+    assert(rates("big") == 0.25)            // sqrt(25/400)
+    // α=1 keeps natural proportions (all rates = maxRate)
+    val nat = Sampling.temperatureRates(
+      Seq("a" -> 400L, "b" -> 25L), alpha = 1.0, maxRate = 0.5).toMap
+    assert(nat.values.toSet == Set(0.5))
+    // post-sample mass ∝ count^α: mass/√count is the same constant (√c_min)
+    val cs = Map("big" -> 400L, "mid" -> 100L, "tiny" -> 25L)
+    assert(rates.forall { case (s, r) => r * cs(s) / math.sqrt(cs(s).toDouble) == 5.0 })
+    intercept[IllegalArgumentException](
+      Sampling.temperatureRates(Seq("a" -> 0L), alpha = 0.5))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureRates(Seq("a" -> 1L), alpha = 1.5))
+  }
+
+  test("rateThreshold: floor·2^48 hex, keep-all sentinel, SQL-replayable literals") {
+    assert(Sampling.rateThreshold(1.0) == "g")
+    assert(Sampling.rateThreshold(0.5) == "800000000000")
+    assert(Sampling.rateThreshold(0.0) == "000000000000")
+    assert(Sampling.rateThreshold(0.25) == "400000000000")
+  }
+
+  test("temperatureSample: equalizes skewed strata toward count^α, id-stable under append") {
+    // skewed strata: 8000 / 1600 / 400 rows
+    val skewed = (0L until 10000L).map(i =>
+      (i, if (i % 25 < 20) "big" else if (i % 25 < 24) "mid" else "tiny"))
+      .toDF("id", "stratum")
+    val kept = Sampling.temperatureSample(skewed, $"stratum", $"id",
+      alpha = 0.5, seed = 11L)
+    val per = kept.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("tiny") == 400L) // anchor stratum kept whole
+    // expected: big → 8000·sqrt(400/8000) ≈ 1789, mid → 1600·sqrt(400/1600) = 800
+    assert(math.abs(per("big") - 1789L) < 150, s"big=${per("big")}")
+    assert(math.abs(per("mid") - 800L) < 100, s"mid=${per("mid")}")
+    // id-stability: the kept set restricted to the original ids is UNCHANGED
+    // when the corpus grows (rates shift, but only via the thresholds —
+    // and a grown 'big' only shrinks its rate, never re-draws other strata
+    // upward past their old members... so assert on an append that leaves
+    // counts' ORDER intact and check overlap only where rates increased)
+    val appended = skewed.unionAll(
+      (10000L until 12000L).map(i => (i, "big")).toDF("id", "stratum"))
+    val keptBefore = kept.where($"stratum" === "big")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val keptAfter = Sampling.temperatureSample(appended, $"stratum", $"id",
+        alpha = 0.5, seed = 11L)
+      .where($"stratum" === "big" && $"id" < 10000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // big's rate DROPPED (8000→10000 members): the after-set must be a
+    // subset of the before-set — no row ever re-enters on append
+    assert(keptAfter.subsetOf(keptBefore))
+    assert(keptAfter.size >= (keptBefore.size * 0.85).toInt)
+  }
+
   test("stratifiedSample: per-stratum fractions, keep-all and default arms") {
     val kept = Sampling.stratifiedSample(ids, $"source", $"id",
       fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
