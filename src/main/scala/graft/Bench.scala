@@ -396,7 +396,12 @@ object Bench {
         // round-4: transitive dup clustering (large-star/small-star CC)
         // and the concat-and-chunk pack planner (distributed prefix sum)
         // + its writer-consumable per-sequence manifest
-        "dedup_cc", "pack_plan", "pack_manifest")
+        "dedup_cc", "pack_plan", "pack_manifest",
+        // round-4 close: corpus-frequency boilerplate stripping (hash-key
+        // df shuffle + map-only strip), repo-level two-level filter (one
+        // agg shuffle + broadcast verdict semi-join), temperature sampling
+        // (count agg + map-side cutoff)
+        "strip_boilerplate", "repo_filter", "sample_temperature")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -71,6 +71,37 @@ class PlanQualitySpec extends SparkSpec {
     aggLines.foreach(l => assert(!l.contains("keys=[text#") , l))
   }
 
+  test("boilerplate: df shuffle carries 8-byte keys (never line text); strip is map-only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 50L).map(i => (i, s"// header line shared\nbody $i\n}"))
+      .toDF("doc_id", "content")
+    docs.write.mode("overwrite").parquet("/tmp/graft_bp_plan")
+    val src = spark.read.parquet("/tmp/graft_bp_plan")
+    // phase 1: every Exchange line must be free of the content/line column
+    val hashDf = src
+      .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("content"), "\n", -1)).as("__line"))
+      .select(col("doc_id"), functions.HashSignatures.lineKeyHash(col("__line"), 5).as("k"))
+      .where(col("k").isNotNull).distinct()
+      .groupBy("k").count()
+    val p1 = planOf(hashDf)
+    p1.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("__line#") && !l.contains("content#"),
+        s"line text must not ride the df exchange: $l")
+    }
+    assert(p1.contains("partial_count") || p1.contains("HashAggregate"), p1)
+    // phase 2: the strip pass over a pre-collected set is a pure map —
+    // zero exchanges, inside the scan's codegen span
+    val keys = operators.Boilerplate.commonLineHashes(src, col("content"), col("doc_id"),
+      minDf = 10L, minLineLen = 5)
+    assert(keys.length == 1) // the shared header
+    val p2 = planOf(src.select(col("doc_id"),
+      operators.Boilerplate.stripLines(col("content"), keys, 5).as("content")))
+    assert(!p2.contains("Exchange"), s"strip phase must be map-only:\n$p2")
+    assert(p2.contains("linestripexpr") || p2.contains("LineStrip"), p2)
+  }
+
   test("P8 histogram plan has no unpartitioned window (scalar total broadcast instead)") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i, s"v${i % 7}")).toDF("id", "ev")
