@@ -501,6 +501,47 @@ object ScaleProbe {
       println(s"[probe] pack: width-invariant (2^20 vs 512) at $rows docs")
       p.unpersist()
     }
+    if (ops("bp")) {
+      // Corpus-frequency boilerplate stripping at corpus scale: three
+      // injected header lines at densities 1/2, 1/3, 1/7 of the corpus over
+      // unique avalanche-mixed bodies. Both phases are timed separately —
+      // the df phase (one 8-byte-key shuffle) and the map-only strip — and
+      // correctness is closed-form exact: the common set must hold exactly
+      // the 3 headers, and the stripped corpus must lose exactly
+      // Σ densityCount(p)·(len(header_p)+1) characters (the +1 is each
+      // stripped line's newline).
+      import spark.implicits._
+      val h2 = "// Copyright 2026 Example Corp. All rights reserved. SPDX-License-Identifier: MIT"
+      val h3 = "# This file is auto-generated by the build pipeline; do not edit it by hand."
+      val h7 = "/* Licensed under the Apache License, Version 2.0 - see the LICENSE file. */"
+      val docs = materialize(
+        spark.range(0, rows, 1, 256).map { id =>
+          val sb = new StringBuilder
+          if (id % 2 == 0) sb.append(h2).append('\n')
+          if (id % 3 == 0) sb.append(h3).append('\n')
+          if (id % 7 == 0) sb.append(h7).append('\n')
+          sb.append(tokens(id, 100, 8)).append('\n')
+          sb.append(tokens(id, 200, 8)).append("\n}")
+          (id, sb.toString)
+        }.toDF("doc_id", "text"),
+        s"/tmp/graft_probe_bp_${CorpusGenVersion}_$rows")
+      val minDf = rows / 10 // headers sit at ≥ rows/7; unique lines at 1
+      val keys = time(s"bp df phase ($rows docs, minDf=$minDf)") {
+        operators.Boilerplate.commonLineHashes(docs, col("text"), col("doc_id"),
+          minDf, minLineLen = 10)
+      }
+      require(keys.length == 3, s"bp: expected 3 common lines, got ${keys.length}")
+      val orig = docs.agg(sum(length(col("text")))).head().getLong(0)
+      val got = time(s"bp strip phase ($rows docs, map-only)") {
+        docs.select(operators.Boilerplate.stripLines(col("text"), keys, 10).as("text"))
+          .agg(sum(length(col("text")))).head().getLong(0)
+      }
+      def cnt(p: Long) = (rows - 1) / p + 1 // ids 0..rows-1 divisible by p
+      val expected = orig - (h2.length + 1) * cnt(2) -
+        (h3.length + 1) * cnt(3) - (h7.length + 1) * cnt(7)
+      require(got == expected, s"bp: stripped total $got != expected $expected")
+      println(s"[probe] bp: common set = 3 lines, stripped ${orig - got} of $orig chars, exact")
+    }
     if (ops("p7")) {
       // P7 ALL-columns value distribution on a wide entity: measure the
       // per-column job storm (the ≤8-column native-groupBy branch applied

@@ -465,12 +465,18 @@ case class LineKeyHashExpr(child: Expression, minLen: Int) extends UnaryExpressi
     LineKeyHashExpr.compute(input.asInstanceOf[UTF8String].toString, minLen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName, NOT a fixed local: the same expression inlined twice in
+      // one generated function (filter predicate + projection — exactly the
+      // commonLineHashes plan) redefines a fixed-named local and janino
+      // rejects the whole stage into interpreted fallback
+      val tmp = ctx.freshName("lineKey")
       s"""
-        java.lang.Long lkh = graft.functions.LineKeyHashExpr$$.MODULE$$
+        java.lang.Long $tmp = graft.functions.LineKeyHashExpr$$.MODULE$$
           .compute($c.toString(), $minLen);
-        if (lkh == null) { ${ev.isNull} = true; } else { ${ev.value} = lkh.longValue(); }
-      """)
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): LineKeyHashExpr =
     copy(child = newChild)
@@ -499,6 +505,10 @@ object LineKeyHashExpr {
 case class LineStripExpr(child: Expression, set: Array[Long], minLen: Int)
     extends UnaryExpression {
   require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+  // binary search silently mis-answers on an unsorted set — fail loudly at
+  // plan time instead (O(n) per instantiation; the set is driver-bounded)
+  require(set.length <= 1 || (1 until set.length).forall(i => set(i - 1) <= set(i)),
+    "LineStripExpr set must be sorted (use Boilerplate.commonLineHashes)")
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def stringArgs: Iterator[Any] = Iterator(child, s"commonLines[${set.length}]", minLen)

@@ -128,13 +128,14 @@ object Sampling {
   def temperatureSample(df: DataFrame, strataCol: Column, idCol: Column,
                         alpha: Double, maxRate: Double = 1.0,
                         seed: Long = 42L): DataFrame = {
-    val counts = df.groupBy(strataCol.as("__s")).count()
+    val sc = strataCol.cast("string") // non-string strata (int buckets) work too
+    val counts = df.groupBy(sc.as("__s")).count()
       .collect()
       .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
       .sortBy(_._1) // deterministic CASE shape for stable plan dumps
     val rates = temperatureRates(counts.toSeq, alpha, maxRate)
     val cutoff = rates.foldLeft(lit("000000000000"): Column) { // NULL/unseen: keep none
-      case (acc, (k, r)) => when(strataCol === lit(k), lit(rateThreshold(r))).otherwise(acc)
+      case (acc, (k, r)) => when(sc === lit(k), lit(rateThreshold(r))).otherwise(acc)
     }
     df.where(hexBucket(idCol, seed) < cutoff)
   }

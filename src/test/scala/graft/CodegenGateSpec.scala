@@ -202,6 +202,15 @@ class CodegenGateSpec extends SparkSpec {
       HashSignatures.lineKeyHash($"text", 3).as("lkh"),
       HashSignatures.stripLines($"text", Array(42L), 3).as("ls")
     ).collect()
+    // dual-use regression (bp probe, round 4): the SAME nullable-emitting
+    // kernel inlined into one generated function twice — filter predicate +
+    // projection — redefined its fixed-named local and janino kicked the
+    // stage to interpreted. fallback=false makes that a throw.
+    val dual = df
+      .select(HashSignatures.lineKeyHash($"text", 3).as("k"))
+      .where($"k".isNotNull)
+      .collect()
+    assert(dual.length == sampleTexts.count(t => t.trim.length >= 3))
     assert(out.length == sampleTexts.length)
     assert(out.forall(r => !r.isNullAt(6) && r.getSeq[Long](6).nonEmpty))
   }
