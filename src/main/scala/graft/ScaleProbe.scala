@@ -24,7 +24,9 @@ object ScaleProbe {
   /** Probe-corpus generator version — part of EVERY /tmp cache key this
     * probe writes. Bump when ANY probe corpus generator or its fixed
     * parameters change — [[containmentCorpus]], [[vectorCorpus]], the p7
-    * wide fixture, or [[graft.rules.CorpusFixture]] (pipeline/runner ops) —
+    * wide fixture, the bp op's inline header/body generator (h2/h3/h7
+    * texts, densities, token layout), or [[graft.rules.CorpusFixture]]
+    * (pipeline/runner ops) —
     * or the probe silently re-reads a stale corpus. */
   private val CorpusGenVersion = "g2"
 

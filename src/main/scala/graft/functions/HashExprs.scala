@@ -448,9 +448,10 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
 
 /** FNV-1a hash of the space-trimmed line, or NULL when the trimmed length
   * is below `minLen` — the shared key definition of the boilerplate-line
-  * family ([[graft.operators.Boilerplate]]). One metric (UTF-16 units,
-  * ASCII-space trim — the Spark/DuckDB `trim` semantics) decides BOTH the
-  * doc-frequency side and the strip side, so the two phases can never
+  * family ([[graft.operators.Boilerplate]]). One metric (CODEPOINT length,
+  * ASCII-space trim — matching Spark `length`/`trim` and DuckDB
+  * `length(trim(x))`) decides BOTH the doc-frequency side and the strip
+  * side, so the two phases can never
   * disagree about what "the same line" means. Short lines return NULL
   * rather than a hash: structural lines (`}`, blank, `end`) are never
   * boilerplate candidates, and the NULL keeps them out of the
@@ -483,12 +484,17 @@ case class LineKeyHashExpr(child: Expression, minLen: Int) extends UnaryExpressi
 }
 
 object LineKeyHashExpr {
-  /** null iff the space-trimmed line is shorter than minLen (UTF-16 units). */
+  /** null iff the space-trimmed line is shorter than minLen CODEPOINTS —
+    * the same length metric as Spark's `length()` and DuckDB's
+    * `length(trim(x))`, so the engine report path (Boilerplate.commonLines)
+    * and the SQL oracles agree with the kernel on candidacy even for
+    * non-BMP content. (The fast b-a pre-check is exact for BMP-only lines;
+    * codePointCount only runs when the UTF-16 span could round down.) */
   def compute(s: String, minLen: Int): java.lang.Long = {
     var a = 0; var b = s.length
     while (a < b && s.charAt(a) == ' ') a += 1
     while (b > a && s.charAt(b - 1) == ' ') b -= 1
-    if (b - a < minLen) null
+    if (b - a < minLen || s.codePointCount(a, b) < minLen) null
     else java.lang.Long.valueOf(HashKernels.fnv1a(s, a, b - a))
   }
 }
@@ -540,7 +546,7 @@ object LineStripExpr {
       var a = start; var b = lineEnd
       while (a < b && s.charAt(a) == ' ') a += 1
       while (b > a && s.charAt(b - 1) == ' ') b -= 1
-      val strip = b - a >= minLen &&
+      val strip = b - a >= minLen && s.codePointCount(a, b) >= minLen &&
         java.util.Arrays.binarySearch(set, HashKernels.fnv1a(s, a, b - a)) >= 0
       if (!strip) {
         if (!first) sb.append('\n')

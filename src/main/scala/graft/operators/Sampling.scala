@@ -133,6 +133,9 @@ object Sampling {
       .collect()
       .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
       .sortBy(_._1) // deterministic CASE shape for stable plan dumps
+    // empty input / all-NULL strata: the empty sample, not a rate error
+    // (an ingest micro-batch can legitimately be empty)
+    if (counts.isEmpty) return df.where(lit(false))
     val rates = temperatureRates(counts.toSeq, alpha, maxRate)
     val cutoff = rates.foldLeft(lit("000000000000"): Column) { // NULL/unseen: keep none
       case (acc, (k, r)) => when(sc === lit(k), lit(rateThreshold(r))).otherwise(acc)

@@ -56,6 +56,19 @@ class BoilerplateSpec extends SparkSpec {
     assert(LineStripExpr.compute("x\ny", Array.emptyLongArray, 1).toString == "x\ny")
   }
 
+  test("minLineLen counts CODEPOINTS (the Spark/DuckDB length metric), not UTF-16 units") {
+    // 5 codepoints, 9 UTF-16 units: below a minLen of 6 under the length()
+    // metric the report path and oracles use — the kernel must agree
+    val astral = "😀😀😀😀a"
+    assert(astral.length == 9 && astral.codePointCount(0, 9) == 5)
+    assert(LineKeyHashExpr.compute(astral, 6) == null)
+    assert(LineKeyHashExpr.compute(astral, 5) != null)
+    val set = Array(LineKeyHashExpr.compute(astral, 1).longValue())
+    assert(LineStripExpr.compute(s"keep me\n$astral", set, 6).toString
+      == s"keep me\n$astral") // 5 codepoints < 6 → never a strip candidate
+    assert(LineStripExpr.compute(s"keep me\n$astral", set, 5).toString == "keep me")
+  }
+
   test("repoStats + twoLevelFilter: each gate load-bearing, exact arithmetic") {
     val d = Seq(
       // good repo: 3 docs, all keep, high ratio

@@ -118,6 +118,17 @@ class SamplingSpec extends SparkSpec {
     assert(keptAfter.size >= (keptBefore.size * 0.85).toInt)
   }
 
+  test("temperatureSample: empty input and all-NULL strata yield the empty sample, not an error") {
+    val empty = ids.where($"id" < 0)
+    assert(Sampling.temperatureSample(empty, $"source", $"id", alpha = 0.5).count() == 0L)
+    val allNull = ids.limit(10).select($"id", lit(null).cast("string").as("source"))
+    assert(Sampling.temperatureSample(allNull, $"source", $"id", alpha = 0.5).count() == 0L)
+    // int strata work via the string cast (the CASE compares the same cast)
+    val intStrata = (0L until 1000L).map(i => (i, (i % 3).toInt)).toDF("id", "bucket")
+    val kept = Sampling.temperatureSample(intStrata, $"bucket", $"id", alpha = 0.5, seed = 3L)
+    assert(kept.count() > 900L) // near-equal strata → all rates ≈ 1
+  }
+
   test("stratifiedSample: per-stratum fractions, keep-all and default arms") {
     val kept = Sampling.stratifiedSample(ids, $"source", $"id",
       fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
