@@ -401,7 +401,10 @@ object Bench {
         // df shuffle + map-only strip), repo-level two-level filter (one
         // agg shuffle + broadcast verdict semi-join), temperature sampling
         // (count agg + map-side cutoff)
-        "strip_boilerplate", "repo_filter", "sample_temperature")
+        "strip_boilerplate", "repo_filter", "sample_temperature",
+        // fuzzy (MinHash) benchmark decontamination — broadcast candidacy +
+        // verify; the corpus is never shuffled
+        "decontaminate_fuzzy")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

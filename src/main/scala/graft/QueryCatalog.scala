@@ -1316,6 +1316,31 @@ object QueryCatalog {
              |       coalesce(n_hits, 0) > 0 AS contaminated
              |FROM docs LEFT JOIN hits USING (doc_id)""".stripMargin)),
 
+    // FUZZY benchmark decontamination (Llama-style MinHash overlap): the
+    // bench side is the salted %97 docs, the corpus the salted dupDocs —
+    // salt purity makes exact text copies carry IDENTICAL signatures
+    // (est = 1.0, guaranteed candidacy) while every distinct-text pair's
+    // est-Jaccard collapses far below 0.9 (the saltedDupDocs argument,
+    // p ≈ e⁻⁴⁰/pair), so the seeded fuzzy verdict deterministically equals
+    // exact text membership — which IS SQL over the unsalted texts. The
+    // engine must also get the counts right: n_bench_matches = 1 for every
+    // contaminated doc (distinct salted texts never share signatures).
+    Q("decontaminate_fuzzy",
+      (s, dir) => {
+        val bench = withTextSalt(t(s, dir, "documents")
+          .where(col("doc_id") % 97 === 0).select(col("doc_id"), col("text")))
+        graft.operators.Decontaminate.fuzzyContaminationReport(
+          saltedDupDocs(s, dir), col("text"), col("doc_id"), bench, col("text"),
+          numHashes = 64, bands = 8, shingleSize = 5, threshold = 0.9)
+      },
+      Some(s"""WITH c AS ($dupDocsSql),
+              |b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 97 = 0)
+              |SELECT c.doc_id,
+              |  CAST(CASE WHEN b.text IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_bench_matches,
+              |  CASE WHEN b.text IS NOT NULL THEN CAST(1.0 AS DOUBLE) END AS max_est,
+              |  b.text IS NOT NULL AS contaminated
+              |FROM c LEFT JOIN b ON c.text = b.text""".stripMargin)),
+
     // --------------------------------------------- dedup (exact + fuzzy)
     Q("dedup_exact",
       (s, dir) => graft.operators.Dedup.exactDedupCounts(

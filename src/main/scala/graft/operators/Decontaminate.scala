@@ -72,4 +72,88 @@ object Decontaminate {
       HashSignatures.sortedSetIntersectSize(
         HashSignatures.wordNgramHashes(textCol, n), set) === 0)
   }
+
+  // ------------------------------------------------------------------
+  // Fuzzy (MinHash) decontamination — the Llama-style overlap check that
+  // catches lightly-EDITED benchmark copies the exact n-gram form misses
+  // (one changed word breaks all 13 n-grams through it).
+  // ------------------------------------------------------------------
+
+  /** Per-corpus-doc fuzzy contamination report: (doc_id, n_bench_matches,
+    * max_est, contaminated) where a match is est-Jaccard ≥ `threshold`
+    * against a benchmark doc's MinHash signature.
+    *
+    * 100 TB shape — asymmetric like the exact form, NOT a dedup self-join:
+    * the benchmark side becomes two broadcast relations — (band, bucket,
+    * benchId) for candidacy (24 B × bands × |bench| ≈ 200 MB even at 10⁶
+    * bench docs) and (benchId, signature) for the verify (512 B × |bench|);
+    * the corpus side computes its signature in the scan projection and
+    * band-explodes IN-STAGE (no exchange — the sig rides the projection,
+    * never a shuffle). Both joins are broadcast-hash, so the corpus is
+    * never shuffled; the only exchange is the per-doc aggregate over
+    * CONFIRMED pairs — contamination-sized, not corpus-sized. Band keying
+    * and est-Jaccard are [[Dedup]]'s own ([[Dedup.minHashBanded]] /
+    * [[Dedup.estJaccard]]), so thresholds calibrate identically to the
+    * dedup family's.
+    *
+    * The report join (corpus ← hits) broadcasts the hit relation — sized
+    * by contaminated docs. A corpus that is MOSTLY benchmark copies would
+    * outgrow that broadcast, but then the dataset is broken in a way no
+    * decontamination pass fixes. */
+  def fuzzyContaminationReport(corpus: DataFrame, textCol: Column, idCol: Column,
+                               bench: DataFrame, benchTextCol: Column,
+                               numHashes: Int = 64, bands: Int = 8,
+                               shingleSize: Int = 5,
+                               threshold: Double = 0.9): DataFrame = {
+    val hits = fuzzyHits(corpus, textCol, idCol, bench, benchTextCol,
+      numHashes, bands, shingleSize, threshold)
+    corpus.select(idCol.as("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        col("max_est"),
+        (coalesce(col("n_bench_matches"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The filtering form: corpus rows with no fuzzy benchmark match. */
+  def fuzzyDecontaminate(corpus: DataFrame, textCol: Column, idCol: Column,
+                         bench: DataFrame, benchTextCol: Column,
+                         numHashes: Int = 64, bands: Int = 8,
+                         shingleSize: Int = 5,
+                         threshold: Double = 0.9): DataFrame = {
+    val drops = fuzzyHits(corpus, textCol, idCol, bench, benchTextCol,
+        numHashes, bands, shingleSize, threshold)
+      .select(col("doc_id").as("__fz_drop")) // corpus may have its own doc_id
+    corpus.join(broadcast(drops), idCol === col("__fz_drop"), "left_anti")
+  }
+
+  /** Confirmed fuzzy hits: (doc_id, n_bench_matches, max_est) for docs with
+    * ≥ 1 benchmark signature at est-Jaccard ≥ threshold. */
+  private def fuzzyHits(corpus: DataFrame, textCol: Column, idCol: Column,
+                        bench: DataFrame, benchTextCol: Column,
+                        numHashes: Int, bands: Int, shingleSize: Int,
+                        threshold: Double): DataFrame = {
+    // distinct bench signatures, keyed by a 64-bit content hash (exact-dup
+    // bench entries collapse; xxhash64 collisions at eval-suite sizes are
+    // ~|bench|²·2⁻⁶⁴ — and would only under-count n_bench_matches by one)
+    val bSigs = bench
+      .select(HashSignatures.minHash(benchTextCol, numHashes, shingleSize).as("__sig"))
+      .where(col("__sig").isNotNull).distinct()
+      .select(xxhash64(col("__sig")).as("__bid"), col("__sig"))
+    val bBand = Dedup.minHashBanded(
+        bSigs.select(col("__bid").as("__id"), col("__sig")), numHashes, bands)
+      .select(col("__band"), col("__bucket"), col("__id").as("__bid"))
+    val cBanded = Dedup.minHashBanded(
+      corpus.select(idCol.as("__id"),
+        HashSignatures.minHash(textCol, numHashes, shingleSize).as("__sig")),
+      numHashes, bands, carrySig = true)
+    cBanded
+      .join(broadcast(bBand), Seq("__band", "__bucket"))
+      .join(broadcast(bSigs.select(col("__bid"), col("__sig").as("__bsig"))), Seq("__bid"))
+      .withColumn("__est", Dedup.estJaccard(col("__sig"), col("__bsig"), numHashes))
+      .where(col("__est") >= threshold)
+      .groupBy(col("__id").as("doc_id"))
+      .agg(countDistinct(col("__bid")).as("n_bench_matches"),
+        max(col("__est")).as("max_est"))
+  }
 }

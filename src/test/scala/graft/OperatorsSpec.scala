@@ -610,4 +610,62 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"corpus scan must not shuffle:\n$plan")
   }
+
+  test("fuzzy decontamination: catches the edited copy exact n-grams miss; corpus un-shuffled") {
+    import graft.operators.Decontaminate
+    // 24 words, so EVERY 13-gram spans word 12 ("mu"): one mid-document
+    // edit breaks all exact 13-grams while shingle-Jaccard stays ≈ 0.87
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val edited = benchText.replace(" mu ", " edited ")
+    val corpus = Seq(
+      (1L, benchText),                                     // verbatim copy
+      (2L, edited),                                        // the motivating case
+      (3L, "totally different content with its own words " * 8),
+      (4L, benchText.split(" ").take(13).mkString(" "))    // exact 13-gram prefix only
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("bid", "btext")
+
+    // exact 13-gram form: flags 1 and 4 (verbatim n-gram overlap), NOT 2
+    val exact = Decontaminate.contaminationReport(
+        corpus, $"text", $"doc_id", bench, $"btext", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(exact(1L) && exact(4L) && !exact(2L) && !exact(3L))
+
+    // fuzzy form at θ=0.7: flags 1 and 2 (est-Jaccard = 1 / ≈0.87), not the
+    // 13-word prefix (jaccard vs the full bench doc ≈ 0.5) or unrelated text
+    val fuzzy = Decontaminate.fuzzyContaminationReport(
+        corpus, $"text", $"doc_id", bench, $"btext", threshold = 0.7)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toMap
+    assert(fuzzy(1L)._3 && fuzzy(1L)._1 == 1L && fuzzy(1L)._2.contains(1.0))
+    assert(fuzzy(2L)._3, s"edited copy must be caught: ${fuzzy(2L)}")
+    assert(fuzzy(2L)._2.get >= 0.7 && fuzzy(2L)._2.get < 1.0)
+    assert(!fuzzy(3L)._3 && fuzzy(3L)._2.isEmpty)
+    assert(!fuzzy(4L)._3)
+
+    val kept = Decontaminate.fuzzyDecontaminate(
+        corpus, $"text", $"doc_id", bench, $"btext", threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+
+    // 100 TB shape: both candidacy and verify joins broadcast — no Exchange
+    // anywhere below the confirmed-pair aggregate on the corpus lineage
+    val p = Decontaminate.fuzzyContaminationReport(
+        corpus, $"text", $"doc_id", bench, $"btext", threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p) // band, sig, report joins
+    // every Exchange is either the bench-side signature distinct or the
+    // pair-sized (id, bid) aggregates — keyed ONLY on __sig/__id/__bid.
+    // A corpus-sized exchange would key on doc_id or carry text.
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach { l =>
+      val keys = l.substring(l.indexOf("hashpartitioning(") + "hashpartitioning(".length)
+      assert(!l.contains("text#") && !l.contains("doc_id#"),
+        s"corpus rows must never ride an exchange: $l")
+      assert(keys.startsWith("__sig#") || keys.startsWith("__id#"),
+        s"unexpected exchange key (want bench-distinct or pair agg): $l")
+    }
+  }
 }
