@@ -404,7 +404,9 @@ object Bench {
         "strip_boilerplate", "repo_filter", "sample_temperature",
         // fuzzy (MinHash) benchmark decontamination — broadcast candidacy +
         // verify; the corpus is never shuffled
-        "decontaminate_fuzzy")
+        "decontaminate_fuzzy",
+        // exact top-K vocabulary (word-keyed shuffle + TakeOrdered)
+        "vocab_topk")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -1316,6 +1316,40 @@ object QueryCatalog {
              |       coalesce(n_hits, 0) > 0 AS contaminated
              |FROM docs LEFT JOIN hits USING (doc_id)""".stripMargin)),
 
+    // Exact top-K vocabulary (tokenizer training): one word-keyed shuffle
+    // with map-side partials over the corpus, then TakeOrderedAndProject
+    // over the |vocab|-sized count relation (never a global sort). The
+    // (count desc, word asc) tie-break makes the K-set unique, so the
+    // cross-engine comparison is exact even at the LIMIT boundary.
+    Q("vocab_topk",
+      (s, dir) => graft.operators.Vocab.topWords(
+        t(s, dir, "documents"), col("text"), k = 100),
+      Some("""SELECT word, count(*) AS n
+             |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+             |      FROM documents)
+             |WHERE length(word) > 0
+             |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin)),
+
+    // Vocabulary-budget coverage curve: ranked top-K with each prefix's
+    // exact share of total token mass (cumulative long sum in tie-break
+    // order, one double division — engine-replayable bit-for-bit; the
+    // single-partition ordered window runs over K rows only).
+    Q("vocab_coverage",
+      (s, dir) => graft.operators.Vocab.coverage(
+        t(s, dir, "documents"), col("text"), k = 50),
+      Some("""WITH wc AS (
+             |  SELECT word, count(*) AS n
+             |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+             |        FROM documents)
+             |  WHERE length(word) > 0 GROUP BY word),
+             |top AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT 50)
+             |SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank,
+             |  word, CAST(n AS BIGINT) AS n,
+             |  CAST(sum(n) OVER (ORDER BY n DESC, word
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    / (SELECT CAST(sum(n) AS DOUBLE) FROM wc) AS cum_frac
+             |FROM top""".stripMargin)),
+
     // FUZZY benchmark decontamination (Llama-style MinHash overlap): the
     // bench side is the salted %97 docs, the corpus the salted dupDocs —
     // salt purity makes exact text copies carry IDENTICAL signatures

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary building for tokenizer training: exact word-frequency
+  * tables and deterministic top-K extraction.
+  *
+  * Scale shape: ONE shuffle keyed by the word with map-side partial counts
+  * (the aggregate state per key is one long; the post-shuffle relation is
+  * |vocabulary| rows — Heaps'-law sublinear in the corpus, ~10⁷ words at
+  * web scale). Top-K compiles to TakeOrderedAndProject over that relation:
+  * per-partition heaps + a driver merge of K×partitions rows — never a
+  * global sort materialization. The tie-break (count desc, then word asc)
+  * makes the K-set unique, so two runs — or two engines — always agree on
+  * membership, not just on counts.
+  */
+object Vocab {
+
+  /** Whitespace-token frequency table (word, n) — exact counts. */
+  def wordCounts(df: DataFrame, textCol: Column,
+                 lowercase: Boolean = true): DataFrame = {
+    val t = if (lowercase) lower(textCol) else textCol
+    df.select(explode(split(t, "\\s+")).as("word"))
+      .where(length(col("word")) > 0) // split artifacts at string edges
+      .groupBy("word").agg(count(lit(1)).as("n"))
+  }
+
+  /** The top-K vocabulary, deterministically tie-broken. */
+  def topWords(df: DataFrame, textCol: Column, k: Int,
+               lowercase: Boolean = true): DataFrame =
+    wordCounts(df, textCol, lowercase)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+
+  /** Coverage curve of a candidate vocabulary budget: the ranked top-K
+    * with each prefix's share of total token mass — (rank, word, n,
+    * cum_frac). The single-partition ordered window runs over the K-row
+    * top slice only (K is a tokenizer budget, ≤ ~10⁶ — driver-scale), and
+    * cum_frac is a cumulative sum of exact longs divided once, so it is
+    * engine-replayable bit-for-bit. */
+  def coverage(df: DataFrame, textCol: Column, k: Int,
+               lowercase: Boolean = true): DataFrame = {
+    val total = wordCounts(df, textCol, lowercase)
+      .agg(sum(col("n"))).head().getLong(0)
+    val ord = Window.orderBy(col("n").desc, col("word").asc)
+    topWords(df, textCol, k, lowercase)
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_frac",
+        sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / lit(total.toDouble))
+      .select("rank", "word", "n", "cum_frac")
+  }
+}

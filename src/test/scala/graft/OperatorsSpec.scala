@@ -578,6 +578,32 @@ class OperatorsSpec extends SparkSpec {
     (0 until 3).foreach(j => assert(keptRebuilt.contains(300L + j)))
   }
 
+  test("vocab: exact counts, deterministic tie-break, TakeOrdered (no global sort)") {
+    import graft.operators.Vocab
+    val docs = Seq(
+      (1L, "b b a a  c"), (2L, "A b"), (3L, "  c b ")
+    ).toDF("doc_id", "text")
+    val counts = Vocab.wordCounts(docs, $"text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 3L, "b" -> 4L, "c" -> 2L)) // lowercased, no empties
+    val top2 = Vocab.topWords(docs, $"text", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(top2 == Seq("b" -> 4L, "a" -> 3L))
+    // tie-break: equal counts order by word — the K-set is unique
+    val tied = Seq((1L, "z y z y x")).toDF("doc_id", "text")
+    assert(Vocab.topWords(tied, $"text", 2).collect().map(_.getString(0)).toSeq
+      == Seq("y", "z")) // y and z both 2; x (1) loses; y < z
+    val cov = Vocab.coverage(docs, $"text", 3).collect()
+    assert(cov.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(cov.last.getDouble(3) == 1.0) // full vocab covers all mass
+    assert(cov.map(_.getDouble(3)).toSeq == Seq(4.0 / 9, 7.0 / 9, 1.0))
+    // plan: top-K is TakeOrderedAndProject over the count relation — never
+    // a global Sort materialization of the vocabulary
+    val p = Vocab.topWords(docs, $"text", 2).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort "), s"no global sort:\n$p")
+  }
+
   test("decontaminate: n-gram overlap flags exact copies, partial spans, case variants") {
     import graft.operators.Decontaminate
     val corpus = Seq(
