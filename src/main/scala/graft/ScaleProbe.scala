@@ -544,6 +544,32 @@ object ScaleProbe {
       require(got == expected, s"bp: stripped total $got != expected $expected")
       println(s"[probe] bp: common set = 3 lines, stripped ${orig - got} of $orig chars, exact")
     }
+    if (ops("fz")) {
+      // Fuzzy decontamination at corpus scale: bench = the texts of ids ≡ 0
+      // (mod 1000) — n/1000 docs, the realistic eval-suite:corpus asymmetry.
+      // Every containmentCorpus text is id-unique and the planted partial
+      // overlaps sit at ~0.4 shingle-Jaccard, far under θ=0.9, so the
+      // contaminated set is EXACTLY the bench rows themselves (n/1000,
+      // closed form, checked every rep). What must hold at scale: wall
+      // tracks the corpus scan (the bench relations broadcast; the corpus
+      // is never shuffled — PlanQualitySpec pins the shape, this probe the
+      // cost curve).
+      val docs = materialize(containmentCorpus(spark, rows),
+        s"/tmp/graft_probe_docs_${CorpusGenVersion}_$rows")
+      val bench = docs.where(col("doc_id") % 1000 === 0)
+      val expected = (rows - 1) / 1000 + 1
+      val secs = (1 to 3).map { rep =>
+        val t0 = System.nanoTime()
+        val hits = operators.Decontaminate.fuzzyContaminationReport(
+            docs, col("text"), col("doc_id"), bench, col("text"), threshold = 0.9)
+          .where(col("contaminated")).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        require(hits == expected, s"fz rep $rep: expected $expected contaminated, got $hits")
+        s
+      }.sorted
+      println(f"[probe] fz ($rows docs, ${expected} bench): med=${secs(1)}%.1f s " +
+        f"(reps ${secs.map(s => f"$s%.1f").mkString(",")}), hits=$expected exact")
+    }
     if (ops("p7")) {
       // P7 ALL-columns value distribution on a wide entity: measure the
       // per-column job storm (the ≤8-column native-groupBy branch applied
