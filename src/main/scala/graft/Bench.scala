@@ -406,7 +406,9 @@ object Bench {
         // verify; the corpus is never shuffled
         "decontaminate_fuzzy",
         // exact top-K vocabulary (word-keyed shuffle + TakeOrdered)
-        "vocab_topk")
+        "vocab_topk",
+        // the 4-operator curation chain (strip -> quality -> dedup -> split)
+        "curation_e2e")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -1316,6 +1316,62 @@ object QueryCatalog {
              |       coalesce(n_hits, 0) > 0 AS contaminated
              |FROM docs LEFT JOIN hits USING (doc_id)""".stripMargin)),
 
+    // CURATION COMPOSITION as one oracle row: boilerplate strip → length
+    // quality gate → exact dedup (min-id survivor per stripped content) →
+    // id-stable split assignment, chained over dupDocs (whose +1M copies
+    // carry DIFFERENT injected headers than their sources — %3/%7 parity
+    // shifts — so the dedup only collapses them BECAUSE the strip removed
+    // the headers first: the composition is load-bearing, not decorative).
+    // The DuckDB oracle replays the whole chain in CTEs built from the
+    // per-operator oracle fragments.
+    Q("curation_e2e",
+      (s, dir) => {
+        val base = dupDocs(s, dir).select(col("doc_id"), concat(
+          when(col("doc_id") % 2 === 0,
+            lit("// Copyright 2026 Example Corp. All rights reserved.\n")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("# This file is auto-generated; do not edit.\n")).otherwise(lit("")),
+          col("text")).as("content"))
+        val stripped = graft.operators.Boilerplate.stripBoilerplate(
+          base, "content", col("doc_id"), minDf = 100L, minLineLen = 10)
+        val quality = stripped.where(length(col("content")) >= 250)
+        val survivors = quality.join(
+          graft.operators.Dedup.exactDedup(quality, col("content"), col("doc_id"))
+            .select(col("doc_id").as("__keep")),
+          col("doc_id") === col("__keep"), "left_semi")
+        survivors.select(col("doc_id"), col("content"),
+          graft.operators.Sampling.splitAssign(col("doc_id"),
+            Seq(0.9, 0.1), Seq("train", "val"), seed = 17L).as("split"))
+      },
+      Some {
+        val th = graft.operators.Sampling.hexThresholds(Seq(0.9, 0.1)).head
+        s"""WITH c AS ($dupDocsSql),
+           |d AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 2 = 0
+           |       THEN '// Copyright 2026 Example Corp. All rights reserved.' || chr(10) ELSE '' END
+           |  || CASE WHEN doc_id % 3 = 0
+           |       THEN '# This file is auto-generated; do not edit.' || chr(10) ELSE '' END
+           |  || text AS content FROM c),
+           |e AS (SELECT doc_id,
+           |        unnest(string_split(content, chr(10))) AS line,
+           |        unnest(range(1, len(string_split(content, chr(10))) + 1)) AS pos
+           |      FROM d),
+           |f AS (SELECT k, count(*) AS n FROM (
+           |        SELECT DISTINCT doc_id, trim(line) AS k FROM e
+           |        WHERE length(trim(line)) >= 10) GROUP BY k),
+           |common AS (SELECT k FROM f WHERE n >= 100),
+           |s AS (SELECT e.doc_id, string_agg(e.line, chr(10) ORDER BY e.pos) AS content
+           |      FROM e LEFT JOIN common
+           |        ON length(trim(e.line)) >= 10 AND trim(e.line) = common.k
+           |      WHERE common.k IS NULL GROUP BY e.doc_id),
+           |q AS (SELECT doc_id, content FROM s WHERE length(content) >= 250),
+           |k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY content)
+           |SELECT q.doc_id, q.content,
+           |  CASE WHEN substr(md5(CAST(q.doc_id AS VARCHAR) || ':17'), 1, 12) < '$th'
+           |       THEN 'train' ELSE 'val' END AS split
+           |FROM q JOIN k USING (doc_id)""".stripMargin
+      }),
+
     // Exact top-K vocabulary (tokenizer training): one word-keyed shuffle
     // with map-side partials over the corpus, then TakeOrderedAndProject
     // over the |vocab|-sized count relation (never a global sort). The
