@@ -544,6 +544,31 @@ object ScaleProbe {
       require(got == expected, s"bp: stripped total $got != expected $expected")
       println(s"[probe] bp: common set = 3 lines, stripped ${orig - got} of $orig chars, exact")
     }
+    if (ops("vocab")) {
+      // Top-K vocabulary at corpus scale over the bench-corpus shape (code
+      // text: bounded keyword/identifier vocabulary — the Heaps'-law regime
+      // the operator's scale claim depends on, unlike the avalanche-token
+      // probe corpora where every token is unique). What must hold: wall
+      // tracks the corpus scan; the word-keyed exchange shrinks to the
+      // post-partial |vocab|-sized relation (map-side combine); the top-K
+      // never global-sorts. Determinism gate every rep: identical top-100
+      // (count desc, word asc tie-break) across reps and a stable checksum.
+      val docs = ensurePipeCorpus(spark, rows)
+      var sig0: Int = 0
+      val secs = (1 to 3).map { rep =>
+        val t0 = System.nanoTime()
+        val top = operators.Vocab.topWords(docs, col("content"), k = 100).collect()
+        val s = (System.nanoTime() - t0) / 1e9
+        val sig = top.map(r => r.getString(0) + ":" + r.getLong(1)).mkString("|").hashCode
+        if (rep == 1) sig0 = sig
+        require(sig == sig0, s"vocab rep $rep: top-100 differs across reps")
+        require(top.length == 100, s"vocab rep $rep: ${top.length} rows")
+        s
+      }.sorted
+      val nvocab = operators.Vocab.wordCounts(docs, col("content")).count()
+      println(f"[probe] vocab ($rows docs, |vocab|=$nvocab): med=${secs(1)}%.1f s " +
+        f"(reps ${secs.map(s => f"$s%.1f").mkString(",")}), top-100 stable")
+    }
     if (ops("fz")) {
       // Fuzzy decontamination at corpus scale: bench = the texts of ids ≡ 0
       // (mod 1000) — n/1000 docs, the realistic eval-suite:corpus asymmetry.
