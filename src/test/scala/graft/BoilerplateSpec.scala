@@ -94,6 +94,34 @@ class BoilerplateSpec extends SparkSpec {
     assert(!kept.contains(6L))
   }
 
+  test("streaming ingest composes the map-only strip + fuzzy-decon flags (stateless projections)") {
+    // the production continuous-ingest shape: the common-line set and the
+    // benchmark signature relations are built ONCE on the batch corpus,
+    // then every micro-batch pays only its own scan — both ops must be
+    // legal stateless streaming projections (no unsupported-operation plan)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val keys = Boilerplate.commonLineHashes(docs, $"content", $"id", minDf = 3L, minLineLen = 5)
+    val benchSet = graft.operators.Decontaminate.benchmarkNgramSet(
+      Seq(("alpha body one two three")).toDF("t"), col("t"), n = 3)
+    val stream = MemoryStream[(Long, String)]
+    val flagged = graft.operators.Decontaminate.flag(
+      stream.toDF().toDF("id", "content")
+        .withColumn("content", Boilerplate.stripLines($"content", keys, 5)),
+      $"content", $"id", benchSet, n = 3)
+    val q = flagged.writeStream.format("memory").queryName("bp_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, header + "\nalpha body one two three"), // header stripped, then contaminated
+        (2L, header + "\nsomething else entirely here")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bp_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> true, 2L -> false))
+  }
+
   test("filterByRepo broadcasts the verdict side (no corpus shuffle for the join)") {
     val d = (0L until 1000L).map(i => (i, s"r${i % 10}")).toDF("id", "repo")
     val kept = Seq("r1", "r2").toDF("repo")
