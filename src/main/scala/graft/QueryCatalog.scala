@@ -18,7 +18,12 @@ import graft.rules.CodeQuality
   *  - double SUMs go through DECIMAL(18,2) (exact, order-independent) and
   *    are cast back to DOUBLE;
   *  - ratios are a single division of exact integers (deterministic IEEE);
-  *  - regex patterns restricted to the Java∩RE2 common subset.
+  *  - regex patterns restricted to the Java∩RE2 common subset. Known
+  *    residual: `\s` itself differs at U+000B (vertical tab — in Java's
+  *    set, not RE2's). The `\s+` tokenizing oracles (text_tokens, vocab_*,
+  *    decontaminate) rely on the fixture texts being plain ASCII word
+  *    text with no VT; a fixture carrying U+000B must switch both sides
+  *    to an explicit class.
   */
 object QueryCatalog {
 
@@ -1318,12 +1323,14 @@ object QueryCatalog {
 
     // CURATION COMPOSITION as one oracle row: boilerplate strip → length
     // quality gate → exact dedup (min-id survivor per stripped content) →
-    // id-stable split assignment, chained over dupDocs (whose +1M copies
-    // carry DIFFERENT injected headers than their sources — %3/%7 parity
-    // shifts — so the dedup only collapses them BECAUSE the strip removed
-    // the headers first: the composition is load-bearing, not decorative).
-    // The DuckDB oracle replays the whole chain in CTEs built from the
-    // per-operator oracle fragments.
+    // id-stable split assignment, chained over dupDocs. Copied ids are
+    // ≡ 0 (mod 50), all even, and +1M shifts id mod 3 by +1 — so in 2/3 of
+    // dup groups exactly one side carries the %3 header, and those groups
+    // collapse ONLY because the strip removed it first (the remaining ≡ 1
+    // (mod 3) groups are %3-header-free on both sides): the composition is
+    // load-bearing for most groups, not decorative. The DuckDB oracle
+    // replays the whole chain in CTEs built from the per-operator oracle
+    // fragments.
     Q("curation_e2e",
       (s, dir) => {
         val base = dupDocs(s, dir).select(col("doc_id"), concat(

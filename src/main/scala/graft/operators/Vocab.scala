@@ -42,14 +42,22 @@ object Vocab {
     * engine-replayable bit-for-bit. */
   def coverage(df: DataFrame, textCol: Column, k: Int,
                lowercase: Boolean = true): DataFrame = {
-    val total = wordCounts(df, textCol, lowercase)
-      .agg(sum(col("n"))).head().getLong(0)
+    // ONE word-count aggregation serves both the total and the top slice —
+    // persisted (|vocab|-sized, the module contract) so the corpus is
+    // scanned and word-shuffled once, not twice; registered until session
+    // end like the dedup family's signature frames.
+    val wc = wordCounts(df, textCol, lowercase)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // empty corpus: sum is NULL, the top slice is empty — denominator never
+    // applies to any row, so clamp instead of crashing
+    val total = wc.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val denom = math.max(total, 1L).toDouble
     val ord = Window.orderBy(col("n").desc, col("word").asc)
-    topWords(df, textCol, k, lowercase)
+    wc.orderBy(col("n").desc, col("word").asc).limit(k)
       .withColumn("rank", row_number().over(ord))
       .withColumn("cum_frac",
         sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)).cast("double") / lit(total.toDouble))
+          Window.currentRow)).cast("double") / lit(denom))
       .select("rank", "word", "n", "cum_frac")
   }
 }

@@ -602,6 +602,9 @@ class OperatorsSpec extends SparkSpec {
     val p = Vocab.topWords(docs, $"text", 2).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Sort "), s"no global sort:\n$p")
+    // empty / all-whitespace corpora: empty coverage, not an NPE
+    val empty = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(Vocab.coverage(empty, $"text", 5).count() == 0L)
   }
 
   test("decontaminate: n-gram overlap flags exact copies, partial spans, case variants") {
