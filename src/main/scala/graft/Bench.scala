@@ -408,7 +408,10 @@ object Bench {
         // exact top-K vocabulary (word-keyed shuffle + TakeOrdered)
         "vocab_topk",
         // the 4-operator curation chain (strip -> quality -> dedup -> split)
-        "curation_e2e")
+        "curation_e2e",
+        // repo-context chunked concatenation (repo-partitioned window +
+        // chunk-capped groups)
+        "repo_concat")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -1379,6 +1379,35 @@ object QueryCatalog {
            |FROM q JOIN k USING (doc_id)""".stripMargin
       }),
 
+    // Repo-context chunked concatenation (StarCoder recipe): files of a
+    // repo, path-ordered, concatenated into ≤2000-char training contexts.
+    // The window is repo-PARTITIONED (parallel across repos, never global)
+    // and the collect_list group is capped by the chunk arithmetic BEFORE
+    // the shuffle. ~31 repos × ~16 docs at sf0.001; exact offsets + ordered
+    // string_agg make the chunk bytes a pure function of the input, so the
+    // oracle replays them byte-identically.
+    Q("repo_concat",
+      (s, dir) => graft.operators.RepoConcat.concatByRepo(
+        t(s, dir, "documents").select(
+          concat(lit("r"), (col("doc_id") % 31).cast("string")).as("repo"),
+          lpad(col("doc_id").cast("string"), 8, "0").as("path"),
+          col("text")),
+        col("repo"), col("path"), col("text"), maxChars = 2000L),
+      Some("""WITH d AS (SELECT 'r' || CAST(doc_id % 31 AS VARCHAR) AS repo,
+             |    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+             |    '// FILE: ' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || chr(10)
+             |      || text || chr(10) AS piece
+             |  FROM documents),
+             |o AS (SELECT repo, path, piece,
+             |    COALESCE(SUM(length(piece)) OVER (PARTITION BY repo ORDER BY path
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             |  FROM d)
+             |SELECT repo, CAST(off // 2000 AS BIGINT) AS chunk_id,
+             |  string_agg(piece, '' ORDER BY path) AS content,
+             |  count(*) AS n_files,
+             |  CAST(sum(length(piece)) AS BIGINT) AS n_chars
+             |FROM o GROUP BY repo, off // 2000""".stripMargin)),
+
     // Exact top-K vocabulary (tokenizer training): one word-keyed shuffle
     // with map-side partials over the corpus, then TakeOrderedAndProject
     // over the |vocab|-sized count relation (never a global sort). The

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Repo-level context assembly (the StarCoder recipe): a repository's
+  * files, ordered by path, are concatenated — each prefixed with a path
+  * header — into training contexts ("chunks") of bounded size, so a model
+  * sees whole-repo context without any chunk outgrowing executor memory.
+  *
+  * Scale shape, two phases mirroring [[Packing]]'s philosophy:
+  *
+  *  1. **Offsets** — a window PARTITIONED BY repo (parallel across the
+  *     ~10⁸ repos of a 10¹²-file corpus; an outlier mega-repo streams
+  *     through WindowExec's spill path) computes each file's running
+  *     character offset within its repo, ordered by path.
+  *  2. **Chunk assembly** — chunk = offset / maxChars, then ONE groupBy
+  *     (repo, chunk) whose per-group state is bounded by maxChars + one
+  *     file (a file straddling a boundary belongs wholly to the chunk it
+  *     starts in): `collect_list` here is safe BY CONSTRUCTION, unlike a
+  *     naive whole-repo collect, because the chunk arithmetic capped the
+  *     group before the shuffle.
+  *
+  * Deterministic: offsets are exact integer sums in path order, in-chunk
+  * assembly sorts by offset, so output bytes are a pure function of the
+  * input — the DuckDB oracle replays them with an ordered `string_agg`.
+  */
+object RepoConcat {
+
+  /** One row per (repo, chunk_id): the concatenated context `content`,
+    * with `n_files` and `n_chars` bookkeeping. Each file contributes
+    * `"// FILE: <path>\n<content>\n"`. Chunks hold ≤ maxChars + one file's
+    * length (start-chunk assignment — no file is ever split). */
+  def concatByRepo(df: DataFrame, repoCol: Column, pathCol: Column,
+                   contentCol: Column, maxChars: Long,
+                   header: String = "// FILE: "): DataFrame = {
+    require(maxChars >= 1, s"maxChars must be >= 1, got $maxChars")
+    val piece = concat(lit(header), pathCol, lit("\n"), contentCol, lit("\n"))
+    val perRepo = Window.partitionBy(col("repo")).orderBy(col("__path"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(repoCol.as("repo"), pathCol.as("__path"), piece.as("__piece"))
+      .withColumn("__off", coalesce(
+        sum(length(col("__piece")).cast("long")).over(perRepo), lit(0L)))
+      .withColumn("chunk_id", expr(s"__off DIV $maxChars")) // exact integer division
+      .groupBy(col("repo"), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__off"), col("__piece")))),
+          x => x.getField("__piece")), "").as("content"),
+        count(lit(1)).as("n_files"),
+        sum(length(col("__piece")).cast("long")).as("n_chars"))
+  }
+}

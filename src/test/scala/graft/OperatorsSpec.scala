@@ -607,6 +607,28 @@ class OperatorsSpec extends SparkSpec {
     assert(Vocab.coverage(empty, $"text", 5).count() == 0L)
   }
 
+  test("repo_concat: path order, start-chunk assignment, bounded groups, byte-exact assembly") {
+    import graft.operators.RepoConcat
+    val files = Seq(
+      ("r1", "b.txt", "second"), ("r1", "a.txt", "first"), ("r1", "c.txt", "third"),
+      ("r2", "x.txt", "X" * 50) // alone in its repo
+    ).toDF("repo", "path", "text")
+    // tiny maxChars: pieces are 21/22/21 chars, so r1 splits across chunks
+    val out = RepoConcat.concatByRepo(files, $"repo", $"path", $"text", maxChars = 40L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // r1 offsets: a=0 (chunk 0), b=21 (chunk 0 — starts inside), c=43 (chunk 1)
+    assert(out(("r1", 0L))._1 == "// FILE: a.txt\nfirst\n// FILE: b.txt\nsecond\n")
+    assert(out(("r1", 0L))._2 == 2L)
+    assert(out(("r1", 1L))._1 == "// FILE: c.txt\nthird\n")
+    // a file is never split: r2's 66-char piece exceeds maxChars but stays whole
+    val r2 = out(("r2", 0L))
+    assert(r2._2 == 1L && r2._3 == 66L && r2._1.endsWith("X" * 50 + "\n"))
+    assert(out.size == 3)
+    // n_chars bookkeeping equals assembled length
+    out.values.foreach { case (c, _, n) => assert(c.length.toLong == n) }
+  }
+
   test("decontaminate: n-gram overlap flags exact copies, partial spans, case variants") {
     import graft.operators.Decontaminate
     val corpus = Seq(
