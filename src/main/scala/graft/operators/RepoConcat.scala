@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * Deterministic: offsets are exact integer sums in path order, in-chunk
   * assembly sorts by offset, so output bytes are a pure function of the
   * input — the DuckDB oracle replays them with an ordered `string_agg`.
+  *
+  * Mega-repo limit, stated honestly: one repo = one window partition, so
+  * a single repo is processed by one task (spilling, correct, but serial).
+  * A monorepo beyond a task's practical throughput should be pre-split by
+  * path prefix at ingest — offsets then restart per prefix, which only
+  * moves chunk boundaries to prefix boundaries (each prefix's chunks stay
+  * deterministic and bounded).
   */
 object RepoConcat {
 
