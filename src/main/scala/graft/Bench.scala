@@ -411,7 +411,10 @@ object Bench {
         "curation_e2e",
         // repo-context chunked concatenation (repo-partitioned window +
         // chunk-capped groups)
-        "repo_concat")
+        "repo_concat",
+        // deterministic global shuffle rank (bucketed two-phase, no
+        // single-partition sort)
+        "sample_shuffle_rank")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -1379,6 +1379,20 @@ object QueryCatalog {
            |FROM q JOIN k USING (doc_id)""".stripMargin
       }),
 
+    // Deterministic global shuffle rank (training-order assignment): exact
+    // rank in (md5 key, id) order computed with bucket-partitioned windows
+    // + broadcast base offsets — the oracle recomputes it with the naive
+    // single-window ROW_NUMBER that the distributed form exists to avoid.
+    Q("sample_shuffle_rank",
+      (s, dir) => graft.operators.Sampling.shuffleRank(
+          t(s, dir, "documents").select(col("doc_id")), col("doc_id"), seed = 5L)
+        .select(col("doc_id"), col("shuffle_rank")),
+      Some("""SELECT doc_id,
+             |  CAST(row_number() OVER (
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id) AS BIGINT)
+             |    AS shuffle_rank
+             |FROM documents""".stripMargin)),
+
     // Repo-context chunked concatenation (StarCoder recipe): files of a
     // repo, path-ordered, concatenated into ≤2000-char training contexts.
     // The window is repo-PARTITIONED (parallel across repos, never global)

@@ -143,6 +143,47 @@ object Sampling {
     df.where(hexBucket(idCol, seed) < cutoff)
   }
 
+  /** Deterministic global training order WITHOUT a global sort: every row
+    * gets an exact rank 1..n in (md5(id‖seed), id) order — the id-stable
+    * corpus shuffle a training export needs (feeding rows to the model in
+    * storage order would train on ingest-time correlations).
+    *
+    * Two-phase like [[Packing]]'s prefix sum, but with no sampling pass:
+    * the key's first `prefixChars` hex chars form 16^prefixChars RANGE
+    * buckets that are balanced BY CONSTRUCTION (md5 keys are uniform), a
+    * bucket-partitioned window ranks locally, and the O(#buckets) counts
+    * broadcast back as base offsets. The naive `row_number() OVER (ORDER
+    * BY key)` single-partitions the entire corpus; this never does.
+    * Compose with [[Packing.packPlan]] on the rank column for shuffled
+    * sequence packing. Ties are impossible below an md5 collision and
+    * broken by id anyway, so the rank is a pure function of (id set, seed)
+    * — append-UNstable by design (a global order over more rows must
+    * change), unlike the membership operations above. */
+  def shuffleRank(df: DataFrame, idCol: Column, seed: Long = 42L,
+                  prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 6,
+      s"prefixChars must be in [1,6], got $prefixChars")
+    val keyed = df
+      .withColumn("__sk", md5(concat(idCol.cast("string"), lit(s":$seed"))))
+      .withColumn("__sb", substring(col("__sk"), 1, prefixChars))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sb")).orderBy(col("__sk"), idCol)
+    // bucket base offsets: exclusive running sum over the (sorted) driver-
+    // collected bucket counts — 16^prefixChars rows, broadcast back
+    val counts = keyed.groupBy(col("__sb")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = counts.scanLeft(("", 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .tail.zip(counts).map { case ((b, cumEnd), (_, n)) => (b, cumEnd - n) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = bases.toSeq.toDF("__sb", "__base")
+    keyed
+      .join(broadcast(baseDf), Seq("__sb"))
+      .withColumn("shuffle_rank",
+        col("__base") + row_number().over(w).cast("long"))
+      .drop("__sk", "__sb", "__base")
+  }
+
   /** Per-stratum deterministic sampling — the id-stable replacement for
     * `df.stat.sampleBy`: keep `fractions(stratum)` of each stratum's rows
     * (strata absent from the map keep `defaultFraction`). One map-side

@@ -129,6 +129,31 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() > 900L) // near-equal strata → all rates ≈ 1
   }
 
+  test("shuffleRank: exact 1..n permutation in key order, no single-partition stage") {
+    val ranked = Sampling.shuffleRank(ids, $"id", seed = 9L)
+    val got = ranked.select($"id", $"shuffle_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // a permutation of 1..n
+    assert(got.map(_._2).sorted.toSeq == (1L to 10000L))
+    // rank order equals global (md5 key, id) order — cross-checked against
+    // Spark's own md5 of the same key recipe
+    val byKey = ids.select($"id",
+        md5(concat($"id".cast("string"), lit(":9"))).as("k"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .sorted.zipWithIndex.map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    assert(got.forall { case (id, r) => byKey(id) == r })
+    // partition-layout independence
+    val re = Sampling.shuffleRank(ids.repartition(17), $"id", seed = 9L)
+      .select($"id", $"shuffle_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, r) => re(id) == r })
+    // scale shape: no SinglePartition exchange, no global Sort — the window
+    // partitions on the key-prefix bucket and bases broadcast back
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), s"no single-partition stage:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("stratifiedSample: per-stratum fractions, keep-all and default arms") {
     val kept = Sampling.stratifiedSample(ids, $"source", $"id",
       fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
