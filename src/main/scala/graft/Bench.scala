@@ -414,7 +414,9 @@ object Bench {
         "repo_concat",
         // deterministic global shuffle rank (bucketed two-phase, no
         // single-partition sort)
-        "sample_shuffle_rank")
+        "sample_shuffle_rank",
+        // C4-style corpus-wide paragraph dedup (first occurrence wins)
+        "dedup_paragraphs")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

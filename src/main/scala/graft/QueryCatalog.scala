@@ -1379,6 +1379,46 @@ object QueryCatalog {
            |FROM q JOIN k USING (doc_id)""".stripMargin
       }),
 
+    // C4-style corpus-wide paragraph dedup: every fifth doc carries one
+    // SHARED paragraph (only doc 0's copy may survive), every doc carries
+    // a short '--' separator paragraph (exempt below minChars — must
+    // survive everywhere), plus its natural text and a unique md5 tail.
+    // The engine keys on xxhash64(trim(para)); the oracle recomputes
+    // first-occurrence on the paragraph STRINGS with a ROW_NUMBER window —
+    // hash-exact match doubles as collision evidence (decontaminate
+    // argument).
+    Q("dedup_paragraphs",
+      (s, dir) => {
+        val shared = "this exact paragraph appears in every fifth document of the corpus"
+        val d = t(s, dir, "documents").select(col("doc_id"), concat(
+          col("text"), lit("\n\n--\n\n"),
+          when(col("doc_id") % 5 === 0, lit(shared))
+            .otherwise(concat(lit("tail "), md5(col("doc_id").cast("string"))))
+        ).as("content"))
+        graft.operators.Boilerplate.dedupParagraphs(d, "content", "doc_id", minChars = 30)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    text || chr(10)||chr(10)||'--'||chr(10)||chr(10) ||
+             |    CASE WHEN doc_id % 5 = 0
+             |         THEN 'this exact paragraph appears in every fifth document of the corpus'
+             |         ELSE 'tail ' || md5(CAST(doc_id AS VARCHAR)) END AS content
+             |  FROM documents),
+             |e AS (SELECT doc_id,
+             |        unnest(string_split(content, chr(10)||chr(10))) AS para,
+             |        unnest(range(1, len(string_split(content, chr(10)||chr(10))) + 1)) AS pos
+             |      FROM d),
+             |r AS (SELECT doc_id, pos, para,
+             |        length(trim(para)) >= 30 AS eligible,
+             |        row_number() OVER (PARTITION BY trim(para)
+             |          ORDER BY doc_id, pos) AS rn
+             |      FROM e),
+             |s AS (SELECT doc_id,
+             |        string_agg(para, chr(10)||chr(10) ORDER BY pos) AS content
+             |      FROM r WHERE NOT eligible OR rn = 1
+             |      GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(s.content, '') AS content
+             |FROM d LEFT JOIN s USING (doc_id)""".stripMargin)),
+
     // Deterministic global shuffle rank (training-order assignment): exact
     // rank in (md5 key, id) order computed with bucket-partitioned windows
     // + broadcast base offsets — the oracle recomputes it with the naive

@@ -84,4 +84,61 @@ object Boilerplate {
     val keys = commonLineHashes(df, col(contentColName), idCol, minDf, minLineLen)
     df.withColumn(contentColName, stripLines(col(contentColName), keys, minLineLen))
   }
+
+  /** C4-style corpus-wide PARAGRAPH dedup (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more than
+    * once"): every `\n\n`-separated paragraph of trimmed length ≥
+    * `minChars` keeps only its FIRST occurrence — first = smallest
+    * (doc id, position) over the whole corpus — and documents are
+    * reassembled without their dropped paragraphs (docs reduced to
+    * nothing survive as empty strings, for the quality gate to judge).
+    * Differs from [[stripBoilerplate]] in both granularity and policy:
+    * boilerplate drops EVERY occurrence of high-df lines; this keeps one
+    * canonical copy of ANY repeat (df ≥ 2).
+    *
+    * Scale shape: the winner aggregate runs on (hash, id, pos) triples —
+    * 24 bytes/paragraph, map-side min-combined, never the text; the drop
+    * relation holds only NON-first duplicate occurrences (the corpus's
+    * dup mass, not the corpus) and anti-joins back on (id, pos); the one
+    * text-carrying shuffle is the per-doc reassembly, whose groups are
+    * bounded by document size.
+    *
+    * Key hashing is xxhash64 of the trimmed paragraph: a collision would
+    * wrongly DROP a unique paragraph, at ~|paragraphs|²·2⁻⁶⁴ corpus odds
+    * (~10⁻⁵ at 10¹³ paragraphs); callers needing certainty can re-verify
+    * survivorless groups like [[Dedup.exactDedupVerified]]. */
+  def dedupParagraphs(df: DataFrame, contentColName: String, idColName: String,
+                      minChars: Int = 30): DataFrame = {
+    require(df.columns.contains(contentColName) && df.columns.contains(idColName),
+      s"need columns $contentColName and $idColName in ${df.columns.mkString(",")}")
+    val carried = df.columns.filterNot(_ == contentColName).toSeq // id + passthrough
+    val e = df
+      .select(carried.map(col) :+
+        posexplode(split(col(contentColName), "\n\n", -1)).as(Seq("__pos", "__para")): _*)
+      .withColumn("__k",
+        when(length(trim(col("__para"))) >= minChars,
+          xxhash64(trim(col("__para")))))
+    // first occurrence per paragraph key, on 24-byte triples
+    val winners = e.where(col("__k").isNotNull)
+      .groupBy(col("__k"))
+      .agg(min(struct(col(idColName).as("i"), col("__pos").as("p"))).as("__w"))
+      .select(col("__k"), col("__w.i").as("__wid"), col("__w.p").as("__wpos"))
+    // dup-mass-sized drop relation: non-first occurrences only
+    val drops = e.where(col("__k").isNotNull)
+      .select(col("__k"), col(idColName), col("__pos"))
+      .join(winners, Seq("__k"))
+      .where(col(idColName) =!= col("__wid") || col("__pos") =!= col("__wpos"))
+      .select(col(idColName), col("__pos"))
+    val kept = e.join(drops, Seq(idColName, "__pos"), "left_anti")
+    val assembled = kept
+      .groupBy(col(idColName))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__para")))),
+        x => x.getField("__para")), "\n\n").as(contentColName))
+    // a doc whose every paragraph was dropped has no group — re-join from
+    // the doc list so it survives as the documented empty string
+    df.select(carried.map(col): _*)
+      .join(assembled, Seq(idColName), "left")
+      .withColumn(contentColName, coalesce(col(contentColName), lit("")))
+  }
 }

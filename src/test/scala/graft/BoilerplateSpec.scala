@@ -94,6 +94,23 @@ class BoilerplateSpec extends SparkSpec {
     assert(!kept.contains(6L))
   }
 
+  test("dedupParagraphs: first occurrence wins, minChars exemption, all-dropped doc survives empty") {
+    val sharedLong = "a shared paragraph of sufficient length to be deduplicated"
+    val d = Seq(
+      (3L, s"unique three\n\n$sharedLong\n\n--"),
+      (1L, s"$sharedLong\n\nunique one\n\n--"),     // doc 1 = first occurrence
+      (2L, s"$sharedLong"),                          // reduced to NOTHING
+      (4L, s"  $sharedLong  \n\nunique four")        // trim applies to the key only
+    ).toDF("doc_id", "content")
+    val got = Boilerplate.dedupParagraphs(d, "content", "doc_id", minChars = 30)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == s"$sharedLong\n\nunique one\n\n--") // min doc_id keeps its copy
+    assert(got(3L) == "unique three\n\n--")               // '--' exempt (< 30), survives
+    assert(got(2L) == "")                                 // all-dropped doc stays, empty
+    assert(got(4L) == "unique four")                      // padded variant dropped via trim key
+    assert(got.size == 4)
+  }
+
   test("streaming ingest composes the map-only strip + fuzzy-decon flags (stateless projections)") {
     // the production continuous-ingest shape: the common-line set and the
     // benchmark signature relations are built ONCE on the batch corpus,
