@@ -1996,6 +1996,50 @@ object QueryCatalog {
              |SELECT node AS doc_id, min(reach) AS cluster_id
              |FROM walk GROUP BY node""".stripMargin)),
 
+    // Quality-aware cluster-canonical dedup (RefinedWeb/FineWeb policy):
+    // same synthetic duplicate graph as dedup_cc, but each cluster keeps
+    // its highest-n_chars member (ties → min id) instead of its min-id
+    // member. The oracle replays the recursive-CTE clustering and the
+    // same (score DESC, id ASC) row_number argmax; survivors are the
+    // corpus minus the rank>1 cluster members, so the keep-best policy —
+    // not just the clustering — is load-bearing in the hash.
+    Q("dedup_cluster_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ids = docs.select(col("doc_id"))
+        val edges = ids.where(col("doc_id") % 10 < 3)
+            .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+          .unionAll(ids.where(col("doc_id") % 100 === 0)
+            .select(col("doc_id").as("src"), (col("doc_id") + 30).as("dst")))
+          .unionAll(ids.where(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("src"), lit(7L).as("dst")))
+        graft.operators.Graph.dedupByClustersBest(docs, col("doc_id"),
+            edges, col("src"), col("dst"), col("n_chars"))
+          .select(col("doc_id"), col("n_chars"))
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents WHERE doc_id % 10 < 3
+             |  UNION ALL SELECT doc_id, doc_id + 30 FROM documents WHERE doc_id % 100 = 0
+             |  UNION ALL SELECT doc_id, 7 FROM documents WHERE doc_id % 97 = 0),
+             |bidir AS (
+             |  SELECT u, v FROM edges WHERE u <> v
+             |  UNION SELECT v, u FROM edges WHERE u <> v),
+             |walk(node, reach) AS (
+             |  SELECT u, u FROM bidir
+             |  UNION
+             |  SELECT w.node, b.v FROM walk w JOIN bidir b ON b.u = w.reach),
+             |cl AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node),
+             |scored AS (
+             |  SELECT c.node, c.cluster_id, d.n_chars
+             |  FROM cl c JOIN documents d ON d.doc_id = c.node),
+             |ranked AS (
+             |  SELECT node, row_number() OVER (
+             |    PARTITION BY cluster_id ORDER BY n_chars DESC, node ASC) AS rk
+             |  FROM scored),
+             |drops AS (SELECT node FROM ranked WHERE rk > 1)
+             |SELECT doc_id, n_chars FROM documents
+             |WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin)),
+
     // Concat-and-chunk sequence-packing plan (GPT-style training export):
     // exclusive prefix sum of token counts in doc_id order via the
     // two-phase distributed scan (bucket-local window + tiny broadcast

@@ -141,4 +141,34 @@ object Graph {
       .select(col("node").as("__drop_id"))
     df.join(drops, idCol === col("__drop_id"), "left_anti")
   }
+
+  /** Quality-aware cluster-canonical dedup: like [[dedupByClusters]], but
+    * each transitive cluster keeps its BEST member by `scoreCol` (ties →
+    * min id) instead of its min-id member — the RefinedWeb/FineWeb-style
+    * policy of keeping the highest-quality copy of a duplicated document
+    * rather than an arbitrary one (first-occurrence keeps whichever copy
+    * happened to get the smallest id; under near-duplication the copies
+    * genuinely differ, e.g. one carries boilerplate the other doesn't).
+    *
+    * Scale shape: every relation past the corpus scan is dup-mass-sized —
+    * the cluster assignment is one row per node incident to a pair, the
+    * score lookup joins that assignment against the corpus's (id, score)
+    * projection (never the full rows), the per-cluster argmax is a window
+    * partitioned BY CLUSTER (no global sort; WindowExec spills, so a
+    * mega-cluster is safe), and survivors come back via one left_anti on
+    * the drop set. Singletons never enter any shuffle. */
+  def dedupByClustersBest(df: DataFrame, idCol: Column,
+                          pairs: DataFrame, aCol: Column, bCol: Column,
+                          scoreCol: Column): DataFrame = {
+    val clusters = connectedComponents(pairs, aCol, bCol)
+    val scored = df.select(idCol.cast("long").as("__node"), scoreCol.as("__score"))
+      .join(clusters, col("__node") === col("node"))
+    val drops = scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__score").desc, col("node").asc)))
+      .where(col("__rk") > 1)
+      .select(col("node").as("__drop_id"))
+    df.join(drops, idCol === col("__drop_id"), "left_anti")
+  }
 }

@@ -80,6 +80,31 @@ class GraphSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("dedupByClustersBest keeps the highest-score member, ties to min id") {
+    // cluster {1,2,3}: doc 2 has the best score → survives over min-id 1;
+    // cluster {8,9}: scores tie → min id 8 survives; 5 is a singleton
+    val docs = Seq((1L, "a", 10L), (2L, "bb", 50L), (3L, "c", 20L),
+        (5L, "e", 1L), (8L, "f", 7L), (9L, "g", 7L))
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val kept = Graph.dedupByClustersBest(docs, $"doc_id", pairs,
+        $"id_a", $"id_b", $"score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L, 8L))
+  }
+
+  test("dedupByClustersBest ignores phantom nodes absent from the corpus") {
+    // the pair relation references node 99 which has no corpus row (e.g. a
+    // pre-filtered doc): it must neither survive nor steal the canonical
+    // slot from a real member
+    val docs = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 99L)).toDF("id_a", "id_b")
+    val kept = Graph.dedupByClustersBest(docs, $"doc_id", pairs,
+        $"id_a", $"id_b", $"score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("end-to-end: minhash pairs -> clusters -> canonical survivors") {
     // three exact copies of one text + an unrelated doc: the pair set is a
     // clique; cluster dedup keeps the min id only
