@@ -416,7 +416,10 @@ object Bench {
         // single-partition sort)
         "sample_shuffle_rank",
         // C4-style corpus-wide paragraph dedup (first occurrence wins)
-        "dedup_paragraphs")
+        "dedup_paragraphs",
+        // quality-aware cluster-canonical dedup (keep best member per
+        // transitive cluster, ties to min id)
+        "dedup_cluster_best")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)
