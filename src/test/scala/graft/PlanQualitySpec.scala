@@ -120,6 +120,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"histogram must not use a global window:\n$p")
   }
 
+  test("dedup_cluster_best: cluster argmax window is cluster-partitioned, never global") {
+    // the keep-best policy must not buy its argmax with a single-partition
+    // sort: every Window in the plan is PARTITIONED BY cluster_id, and no
+    // Exchange is SinglePartition (the CC rounds, the score join and the
+    // drop-set anti join are all hash-partitioned)
+    val p = plan("dedup_cluster_best")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"cluster-best dedup must not single-partition anything:\n$p")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(_.contains("cluster_id")),
+      s"every window must partition by cluster_id:\n${windowLines.mkString("\n")}")
+  }
+
   test("bucketed tables join without any Exchange (co-located join)") {
     import spark.implicits._
     val files = (0 until 2000).map(i => (s"repo${i % 40}", s"p$i", i)).toDF("repo", "path", "sz")
