@@ -419,7 +419,10 @@ object Bench {
         "dedup_paragraphs",
         // quality-aware cluster-canonical dedup (keep best member per
         // transitive cluster, ties to min id)
-        "dedup_cluster_best")
+        "dedup_cluster_best",
+        // CCNet head/middle/tail bucketing over exact tercile thresholds
+        // (bit-prefix histogram bisection; map-only assignment)
+        "quality_buckets")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

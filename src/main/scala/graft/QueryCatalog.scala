@@ -980,6 +980,40 @@ object QueryCatalog {
              |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 10 AS quality_ok
              |FROM documents""".stripMargin)),
 
+    // CCNet-style quality bucketing (Wenzek et al. 2020 §4.4, the
+    // RedPajama/SlimPajama recipe: rank by a quality score, split into
+    // head/middle/tail thirds). Thresholds are EXACT tercile order
+    // statistics found by Quantiles' bit-prefix histogram bisection — four
+    // column-pruned scans with 65k-row aggregates, no global sort, no
+    // approx_percentile sketch — and assignment is one map-side CASE.
+    // Hash-exact oracle despite the driver-side search: the rank-r value
+    // is a property of the score MULTISET (tie-order-independent), both
+    // engines compute the score with the same single correctly-rounded
+    // IEEE division (the text_quality precedent), and the tercile ranks
+    // use the identical expression ceil(n/3.0) on both sides.
+    Q("quality_buckets",
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          CodeQuality.alnumRatio(col("text")).as("score"))
+        graft.operators.Quantiles.withTercileBuckets(scored, col("score"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(text) = 0 OR text IS NULL THEN 0.0
+             |         ELSE CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / length(text) END AS score
+             |  FROM documents),
+             |ranked AS (SELECT score, ROW_NUMBER() OVER (ORDER BY score) AS rk,
+             |                  COUNT(*) OVER () AS n FROM scored),
+             |th AS (SELECT
+             |  max(CASE WHEN rk = CAST(ceil(n / 3.0) AS BIGINT) THEN score END) AS t1,
+             |  max(CASE WHEN rk = CAST(ceil(2.0 * n / 3.0) AS BIGINT) THEN score END) AS t2
+             |  FROM ranked)
+             |SELECT s.doc_id, s.score,
+             |  CASE WHEN s.score <= th.t1 THEN 'head'
+             |       WHEN s.score <= th.t2 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM scored s CROSS JOIN th""".stripMargin)),
+
     // Repetition quality signals (Gopher §A1.2 "repetition removal"):
     // duplicate line/paragraph fractions + top word/bigram char fractions,
     // all from ONE per-row kernel pass (RepetitionStatsExpr) — zero

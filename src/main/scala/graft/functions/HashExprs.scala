@@ -559,6 +559,45 @@ object LineStripExpr {
   }
 }
 
+/** Order-preserving total-order key of a double: a LONG whose SIGNED
+  * comparison order equals the IEEE-754 total order of the input
+  * (-Inf < … < -0.0 < +0.0 < … < +Inf < NaN; [[graft.operators.Quantiles]]
+  * filters NaN before keying). The standard bit trick: a non-negative
+  * double's raw bits already ascend with its value and stay non-negative;
+  * a negative double's bits are complemented and sign-remapped so the keys
+  * land below zero in magnitude order. Exactly invertible
+  * ([[DoubleSortKeyExpr.invert]]) — the quantile search runs its histogram
+  * bisection in key space (16 bits per round, 4 rounds pin the exact
+  * 64-bit key) and maps the found key back to the double it came from,
+  * with no floating-point interval arithmetic anywhere. */
+case class DoubleSortKeyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    DoubleSortKeyExpr.compute(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DoubleSortKeyExpr$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleSortKeyExpr =
+    copy(child = newChild)
+}
+
+object DoubleSortKeyExpr {
+  /** doubleToLongBits (not Raw): canonicalizes NaN payloads so equal-by-==
+    * inputs key identically even if a source produced a signaling NaN. */
+  def compute(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b >= 0) b else ~b ^ Long.MinValue
+  }
+
+  /** Exact inverse of [[compute]]. */
+  def invert(k: Long): Double =
+    java.lang.Double.longBitsToDouble(if (k >= 0) k else ~(k ^ Long.MinValue))
+}
+
 object HashSignatures {
   def minHash(c: Column, numHashes: Int, shingleSize: Int): Column =
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(c), numHashes, shingleSize))
@@ -575,6 +614,9 @@ object HashSignatures {
   /** |A∩set| against a plan-constant sorted set (stable-tagged in plans). */
   def sortedSetIntersectSize(a: Column, set: Array[Long]): Column =
     ColumnBridge.column(SortedSetIntersectSizeExpr(ColumnBridge.expression(a), set))
+  /** Signed-comparable total-order key of a double ([[DoubleSortKeyExpr]]). */
+  def doubleSortKey(c: Column): Column =
+    ColumnBridge.column(DoubleSortKeyExpr(ColumnBridge.expression(c)))
   /** Boilerplate line key: FNV-1a of the space-trimmed line, NULL below minLen. */
   def lineKeyHash(c: Column, minLen: Int): Column =
     ColumnBridge.column(LineKeyHashExpr(ColumnBridge.expression(c), minLen))

@@ -85,6 +85,23 @@ class CodegenGateSpec extends SparkSpec {
     }
   }
 
+  test("DoubleSortKeyExpr force-compiles and matches interpreted eval") {
+    val dblIn = BoundReference(0, DoubleType, nullable = true)
+    val expr = DoubleSortKeyExpr(dblIn)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val samples = Seq(Double.NegativeInfinity, -Double.MaxValue, -1.0, -0.0,
+      0.0, Double.MinPositiveValue, 2.5, Double.MaxValue,
+      Double.PositiveInfinity, Double.NaN)
+    samples.foreach { d =>
+      val row = InternalRow(d)
+      assert(proj(row).getLong(0) == expr.eval(row).asInstanceOf[Long],
+        s"DoubleSortKeyExpr: codegen != interpreted on $d")
+    }
+    val nullRow = InternalRow(null)
+    assert(proj(nullRow).isNullAt(0) && expr.eval(nullRow) == null,
+      "DoubleSortKeyExpr: null handling differs")
+  }
+
   test("vector kernels force-compile and match interpreted eval") {
     val vecIn = BoundReference(0, ArrayType(DoubleType, containsNull = true), nullable = true)
     val vecIn2 = BoundReference(1, ArrayType(DoubleType, containsNull = true), nullable = true)

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.DoubleSortKeyExpr
+import graft.operators.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------- key-space properties
+
+  test("DoubleSortKeyExpr.compute is order-preserving and invert is exact") {
+    val specials = Seq(Double.NegativeInfinity, -Double.MaxValue, -1.5e300,
+      -1.0, -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue,
+      1.0, math.Pi, 1.5e300, Double.MaxValue, Double.PositiveInfinity)
+    val r = new java.util.SplittableRandom(7L)
+    val randoms = Seq.fill(500)(
+      java.lang.Double.longBitsToDouble(r.nextLong())).filterNot(_.isNaN) ++
+      Seq.fill(200)(r.nextDouble() * 2e3 - 1e3)
+    val vals = (specials ++ randoms).distinct
+    // invert(compute) is the identity (on bits — covers -0.0 vs 0.0)
+    vals.foreach { d =>
+      val rt = DoubleSortKeyExpr.invert(DoubleSortKeyExpr.compute(d))
+      assert(java.lang.Double.doubleToLongBits(rt) ==
+        java.lang.Double.doubleToLongBits(d), s"round-trip broke $d -> $rt")
+    }
+    // signed key order == value order
+    val byVal = vals.sorted
+    val byKey = vals.sortBy(DoubleSortKeyExpr.compute)
+    assert(byKey == byVal, "key order diverged from double order")
+  }
+
+  // -------------------------------------------------- exact rank selection
+
+  private def groundTruth(xs: Seq[Double], r: Long): Double = xs.sorted.apply((r - 1).toInt)
+
+  test("valuesAtRanks matches the sorted multiset on adversarial data") {
+    val r = new java.util.SplittableRandom(11L)
+    // duplicates, negatives, zeros of both signs, infinities, denormals
+    val xs = Seq.fill(300)(r.nextDouble() * 200 - 100) ++
+      Seq.fill(120)(Seq(-3.25, 0.0, -0.0, 42.0)(r.nextInt(4))) ++
+      Seq(Double.NegativeInfinity, Double.PositiveInfinity,
+        Double.MinPositiveValue, -Double.MinPositiveValue)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val n = xs.size.toLong
+    val ranks = Seq(1L, 2L, n / 3, n / 2, n - 1, n)
+    val got = Quantiles.valuesAtRanks(df, col("v"), ranks)
+    ranks.zip(got).foreach { case (rk, g) =>
+      val want = groundTruth(xs, rk)
+      assert(java.lang.Double.doubleToLongBits(g) ==
+        java.lang.Double.doubleToLongBits(want), s"rank $rk: got $g want $want")
+    }
+  }
+
+  test("valuesAtRanks: single row, two rows, all-equal multiset") {
+    assert(Quantiles.valuesAtRanks(Seq(5.5).toDF("v"), col("v"), Seq(1L)) == Seq(5.5))
+    assert(Quantiles.valuesAtRanks(Seq(2.0, -7.0).toDF("v"), col("v"), Seq(1L, 2L))
+      == Seq(-7.0, 2.0))
+    val same = Seq.fill(97)(3.14).toDF("v")
+    assert(Quantiles.valuesAtRanks(same, col("v"), Seq(1L, 50L, 97L))
+      == Seq(3.14, 3.14, 3.14))
+  }
+
+  test("exactQuantiles: f=1 is the max, tiny f clamps to the min; bad input throws") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    assert(Quantiles.exactQuantiles(df, col("v"), Seq(1e-9, 0.5, 1.0))
+      == Seq(1.0, 50.0, 100.0))
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, col("v"), Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(spark.emptyDataset[Double].toDF("v"), col("v"), Seq(0.5))
+    }
+  }
+
+  test("NULL and NaN rows are excluded from ranking") {
+    val df = Seq[java.lang.Double](1.0, null, Double.NaN, 2.0, null, 3.0).toDF("v")
+    assert(Quantiles.valuesAtRanks(df, col("v"), Seq(1L, 3L)) == Seq(1.0, 3.0))
+  }
+
+  // -------------------------------------------------- tercile bucketing
+
+  test("withTercileBuckets reproduces the rank-threshold definition exactly") {
+    val r = new java.util.SplittableRandom(23L)
+    val xs = Seq.fill(500)(r.nextInt(40).toDouble) // heavy ties on purpose
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Quantiles.withTercileBuckets(df, col("v")).collect()
+      .map(row => row.getLong(0) -> row.getString(2)).toMap
+    val n = xs.size
+    val sorted = xs.sorted
+    val t1 = sorted(math.ceil(n / 3.0).toInt - 1)
+    val t2 = sorted(math.ceil(2.0 * n / 3.0).toInt - 1)
+    xs.zipWithIndex.foreach { case (v, i) =>
+      val want = if (v <= t1) "head" else if (v <= t2) "middle" else "tail"
+      assert(out(i.toLong) == want, s"row $i v=$v: ${out(i.toLong)} vs $want")
+    }
+  }
+
+  test("withTercileBuckets: NULL/NaN get a NULL bucket; empty input survives") {
+    val df = Seq[java.lang.Double](1.0, null, Double.NaN, 2.0, 3.0).toDF("v")
+    val buckets = Quantiles.withTercileBuckets(df, col("v")).collect()
+      .map(r => Option(r.getString(1)))
+    assert(buckets.count(_.isEmpty) == 2)
+    assert(buckets.flatten.toSeq.sorted == Seq("head", "middle", "tail"))
+    val empty = Quantiles.withTercileBuckets(
+      spark.emptyDataset[Double].toDF("v"), col("v"))
+    assert(empty.columns.toSeq == Seq("v", "bucket") && empty.count() == 0)
+  }
+
+  test("bucketColumn validates shape") {
+    intercept[IllegalArgumentException] {
+      Quantiles.bucketColumn(col("v"), Seq(1.0, 2.0), Seq("a", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.bucketColumn(col("v"), Seq(2.0, 1.0), Seq("a", "b", "c"))
+    }
+  }
+
+  // -------------------------------------------------- plan shape at scale
+
+  test("bucket assignment is map-only (zero exchanges past the threshold search)") {
+    val df = (1 to 1000).map(i => (i.toLong, (i % 37).toDouble)).toDF("id", "v")
+    val out = Quantiles.withTercileBuckets(df, col("v"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucket projection shuffled:\n$plan")
+  }
+}
