@@ -631,6 +631,49 @@ object ScaleProbe {
       require(narrow == wide, s"p7 forms disagree: ${narrow.toSeq.sorted.take(3)} vs ${wide.toSeq.sorted.take(3)}")
       println(s"[probe] p7 forms agree on all ${colNames.size} columns")
     }
+    if (ops("quant")) {
+      // EXACT quantile search ([[graft.operators.Quantiles]]) at corpus
+      // scale: 4 bit-prefix histogram rounds (one aggregate each, ≤65k
+      // rows per surviving bin through the exchange) plus the map-only
+      // bucket-assignment pass. The value column is hash-derived with
+      // ~1M distinct values → heavy ties at 16M rows (the adversarial
+      // case: tie mass straddling a tercile boundary), and spans
+      // negatives so the key mapping's sign remap is on the hot path.
+      // Correctness gate is an exact order-statistic CERTIFICATE, no
+      // sort anywhere: t at rank r must satisfy
+      // count(v < t) < r <= count(v <= t).
+      val dir = s"/tmp/graft_probe_quant_${CorpusGenVersion}_$rows"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+        spark.range(0, rows, 1, 128)
+          .select(col("id").as("doc_id"),
+            ((pmod(xxhash64(col("id")), lit(1000003L)) - lit(500001L))
+              .cast("double") / lit(7.0)).as("v"))
+          .write.mode("overwrite").parquet(dir)
+      val src = spark.read.parquet(dir)
+      val fractions = Seq(1.0 / 3, 2.0 / 3)
+      val ts = time(s"exact tercile search ($rows rows, 4 histogram rounds)") {
+        operators.Quantiles.exactQuantiles(src, col("v"), fractions)
+      }
+      val bucketed = time(s"tercile bucket assignment + count ($rows rows, map-only)") {
+        operators.Quantiles.withTercileBuckets(src, col("v"))
+          .groupBy("bucket").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val cert = src.agg(
+        count(when(col("v") < ts.head, 1)), count(when(col("v") <= ts.head, 1)),
+        count(when(col("v") < ts(1), 1)), count(when(col("v") <= ts(1), 1)),
+        count(lit(1))).head()
+      val n = cert.getLong(4)
+      fractions.zip(Seq((cert.getLong(0), cert.getLong(1)),
+        (cert.getLong(2), cert.getLong(3)))).foreach { case (f, (below, atOrBelow)) =>
+        val r = math.max(1L, math.ceil(f * n).toLong) // exactQuantiles' rank
+        require(below < r && r <= atOrBelow,
+          s"quantile certificate FAILED at f=$f: below=$below rank=$r atOrBelow=$atOrBelow")
+      }
+      require(bucketed.values.sum == n, s"bucket counts ${bucketed} != $n rows")
+      println(s"[probe] quant thresholds=${ts.mkString(", ")} buckets=$bucketed " +
+        "(certificate: count(v<t) < rank <= count(v<=t) at both terciles)")
+    }
     if (ops("pipeline")) {
       // The FLAGSHIP job at corpus scale: full code-quality catalog
       // (langid, trigram surprisal, line stats, keep/drop, scrub) over the
