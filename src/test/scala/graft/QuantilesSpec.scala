@@ -117,6 +117,32 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------- flagship composition
+
+  test("CCNet composition: bucket the pipeline's surprisal metric, train on the head") {
+    // the operator's actual job (Wenzek et al. §4.4): run the flagship
+    // catalog's metric stage, bucket documents by LM surprisal (ascending =
+    // more fluent = head), keep the head+middle for training
+    val corpus = rules.CorpusFixture.generate(spark, 600).toDF
+    val scored = exec.StageExec.lazyApply(corpus, rules.CodeQualityCatalog.bindings)
+      .select(col("path"), col("surprisal"))
+    val bucketed = Quantiles.withTercileBuckets(scored, col("surprisal"))
+    val byBucket = bucketed.groupBy("bucket").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1)).toMap
+    val n = byBucket.values.sum
+    // terciles split within one row of n/3 (ties can only grow a lower
+    // bucket at the threshold value, and surprisal ties are rare)
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")), s"$byBucket")
+    assert(byBucket("head") >= n / 3 && byBucket("head") <= n / 3 + 2,
+      s"head bucket out of tercile range: $byBucket")
+    // head really is the most fluent third: its max surprisal <= tail's min
+    val headMax = bucketed.where(col("bucket") === "head")
+      .agg(max(col("surprisal"))).head().getDouble(0)
+    val tailMin = bucketed.where(col("bucket") === "tail")
+      .agg(min(col("surprisal"))).head().getDouble(0)
+    assert(headMax <= tailMin, s"head max $headMax above tail min $tailMin")
+  }
+
   // -------------------------------------------------- plan shape at scale
 
   test("bucket assignment is map-only (zero exchanges past the threshold search)") {
