@@ -422,7 +422,11 @@ object Bench {
         "dedup_cluster_best",
         // CCNet head/middle/tail bucketing over exact tercile thresholds
         // (bit-prefix histogram bisection; map-only assignment)
-        "quality_buckets")
+        "quality_buckets",
+        // license detection (SPDX tag + header-phrase chain, map-only) and
+        // SemDeDup (k-means-cell-bounded semantic dedup: one quantizer
+        // kernel pass, cell-keyed candidates, cosine verify + CC)
+        "license_detect", "semdedup")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

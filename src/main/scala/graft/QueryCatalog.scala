@@ -265,6 +265,78 @@ object QueryCatalog {
           .as("embedding")))
   }
 
+  /** Exact-twin fixture for semdedup: embeddings plus BIT-IDENTICAL copies
+    * of every 20th vector. Identical input → identical (deterministic)
+    * k-means cell, so twin-pair candidacy inside SemDeDup's cluster-bounded
+    * enumeration is PROVABLE, not probabilistic — and at θ=0.9 against a
+    * table whose max natural pairwise cosine is ~0.51, the verified pair set
+    * deterministically equals the identical-embedding groups. (The perturbed
+    * [[dupVecs]] cannot carry this oracle: a ±5% copy near a Voronoi
+    * boundary may legitimately land in a different cell — the paper's
+    * accepted recall loss — so its output is not closed-form.) */
+  private def twinVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.select(col("vec_id"), col("embedding"))
+      .unionAll(e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+  }
+  private val twinVecsSql =
+    """SELECT vec_id, embedding FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      |WHERE vec_id % 20 = 0""".stripMargin
+
+  /** License-header fixture: documents.text prefixed with deterministic
+    * SPDX tags / canonical license phrases by doc_id mod 31 — every
+    * detection tier (SPDX tag, each header phrase), the permissive and
+    * non-permissive branches, and the precedence rule (%31=11 carries BOTH
+    * an SPDX MIT tag and a GPL phrase — the tag must win) are each
+    * load-bearing. Raw fixture text is synthetic word soup that matches no
+    * phrase, so the ELSE branch is exercised by all other rows. */
+  private def licContent: Column = concat(
+    when(col("doc_id") % 31 === 1, lit("// SPDX-License-Identifier: Apache-2.0\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 2, lit("/* Permission is hereby granted, free of charge */\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 3, lit("// Licensed under the Apache License, Version 2.0 as published\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 4, lit("// This program is free software under the GNU General Public License v2\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 5, lit("// Redistribution and use in source and binary forms, with or without modification\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 6, lit("/* This Source Code Form is subject to the terms of the Mozilla Public License v2 */\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 7, lit("# SPDX-License-Identifier: GPL-3.0-only\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 8, lit("// GNU Affero General Public License applies\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 9, lit("// GNU Lesser General Public License v2.1\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 10, lit("// This is free and unencumbered software released into the public domain.\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 11, lit("// SPDX-License-Identifier: MIT\n// covered by the GNU General Public License otherwise\n")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 12, lit("// SPDX-License-Identifier: BSD-3-Clause\n")).otherwise(lit("")),
+    col("text"))
+  private val licContentSql: String = // plain concat: '||' collides with stripMargin
+    "CASE WHEN doc_id % 31 = 1 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 2 THEN '/* Permission is hereby granted, free of charge */' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 3 THEN '// Licensed under the Apache License, Version 2.0 as published' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 4 THEN '// This program is free software under the GNU General Public License v2' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 5 THEN '// Redistribution and use in source and binary forms, with or without modification' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 6 THEN '/* This Source Code Form is subject to the terms of the Mozilla Public License v2 */' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 7 THEN '# SPDX-License-Identifier: GPL-3.0-only' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 8 THEN '// GNU Affero General Public License applies' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 9 THEN '// GNU Lesser General Public License v2.1' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 10 THEN '// This is free and unencumbered software released into the public domain.' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 11 THEN '// SPDX-License-Identifier: MIT' || chr(10) || '// covered by the GNU General Public License otherwise' || chr(10) ELSE '' END" +
+      " || CASE WHEN doc_id % 31 = 12 THEN '// SPDX-License-Identifier: BSD-3-Clause' || chr(10) ELSE '' END" +
+      " || text"
+
+  /** The DuckDB rendering of [[graft.operators.License.detectLicense]] over
+    * a `content` column — tag extraction, then the phrase precedence chain
+    * verbatim (shared by the three license queries). */
+  private val licCaseSql: String = {
+    val spdx = "regexp_extract(content, 'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)', 1)"
+    s"CASE WHEN COALESCE($spdx, '') <> '' THEN $spdx " +
+      graft.operators.License.HeaderPhrases.map { case (phrase, lic) =>
+        s"WHEN content LIKE '%$phrase%' THEN '$lic' "
+      }.mkString +
+      "ELSE 'unknown' END"
+  }
+  private val licPermissiveSql: String =
+    graft.operators.License.PermissiveLicenses.toSeq.sorted
+      .map(l => s"'$l'").mkString("lower(license) IN (", ", ", ")")
+
   /** Planted-neighbor ANN corpus: embeddings with vec_id ≥ 10, plus — for
     * each query vector (vec_id < 10) — five perturbed copies at amplitudes
     * 0.005·j (j = 1..5), giving cosines ≈ 0.99997 … 0.9989 to the source
@@ -2268,7 +2340,58 @@ object QueryCatalog {
              |        ELSE printf('%012x', CAST(floor(rate * 281474976710656.0) AS BIGINT))
              |        END AS th FROM r)
              |SELECT d.doc_id, d.stratum FROM d JOIN t USING (stratum)
-             |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 12) < th""".stripMargin))
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 12) < th""".stripMargin)),
+
+    // ------------------------------------------- license detection / filter
+    Q("license_detect",
+      (s, dir) => graft.operators.License.withLicense(
+          t(s, dir, "documents").select(col("doc_id"), licContent.as("content")),
+          col("content"))
+        .select("doc_id", "license", "license_permissive"),
+      Some(s"""WITH lic AS (SELECT doc_id, $licContentSql AS content FROM documents),
+             |d AS (SELECT doc_id, $licCaseSql AS license FROM lic)
+             |SELECT doc_id, license, $licPermissiveSql AS license_permissive
+             |FROM d""".stripMargin)),
+
+    Q("license_filter",
+      (s, dir) => graft.operators.License.filterPermissive(
+          t(s, dir, "documents").select(col("doc_id"), licContent.as("content")),
+          col("content"))
+        .select("doc_id"),
+      Some(s"""WITH lic AS (SELECT doc_id, $licContentSql AS content FROM documents),
+             |d AS (SELECT doc_id, $licCaseSql AS license FROM lic)
+             |SELECT doc_id FROM d WHERE $licPermissiveSql""".stripMargin)),
+
+    Q("license_stats",
+      (s, dir) => graft.operators.License.licenseStats(
+        t(s, dir, "documents").select(col("doc_id"), licContent.as("content")),
+        col("content")),
+      Some(s"""WITH lic AS (SELECT doc_id, $licContentSql AS content FROM documents),
+             |d AS (SELECT doc_id, content, $licCaseSql AS license FROM lic)
+             |SELECT license, CAST(COUNT(*) AS BIGINT) AS n_files,
+             |  CAST(SUM(strlen(content)) AS BIGINT) AS n_bytes
+             |FROM d GROUP BY license""".stripMargin)),
+
+    // ---------------------------------------------------- semantic dedup
+    Q("semdedup",
+      // Hash-exact despite k-means clustering in the loop: the [[twinVecs]]
+      // fixture's dup pairs are BIT-IDENTICAL twins (same vector → same
+      // deterministic cell → guaranteed same-cluster candidacy; cosine
+      // exactly 1 ≥ 0.9), and no distinct-embedding pair reaches 0.9 (max
+      // natural pairwise cosine ~0.51), so survivors = min-id member of
+      // each identical-embedding group regardless of how the (seeded,
+      // deterministic, but not closed-form) clustering falls. maxCellSize
+      // is lifted above any sf's cell population so star-link capping
+      // cannot suppress a twin pair (at nlist=16 and sf0.1's ~5k vectors a
+      // cell holds ~330 rows — all-pairs within cells is trivial here; the
+      // cap is the production-scale guard, exercised in OperatorsSpec).
+      (s, dir) => graft.operators.SemDedup.semDedup(
+          twinVecs(s, dir), threshold = 0.9, nlist = 16, maxCellSize = 100000)
+        .select("vec_id"),
+      Some(s"""WITH tv AS ($twinVecsSql)
+             |SELECT a.vec_id FROM tv a
+             |WHERE NOT EXISTS (SELECT 1 FROM tv b
+             |  WHERE b.embedding = a.embedding AND b.vec_id < a.vec_id)""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

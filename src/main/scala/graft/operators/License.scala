@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** License detection and permissive-license filtering for source-code
+  * corpora — the StarCoder/The-Stack prep step (Kocetkov et al., "The Stack:
+  * 3 TB of permissively licensed source code", arXiv:2211.15533 §2.2;
+  * StarCoder trains only on a permissive-license allowlist): before any
+  * quality filtering, a code corpus is partitioned by detected license and
+  * non-permissive files are excluded.
+  *
+  * Detection is a per-row scalar expression — one pass over the content in
+  * the same fused projection as the other per-row kernels, no shuffle, no
+  * UDF:
+  *  1. an explicit `SPDX-License-Identifier:` tag wins (machine-readable
+  *     ground truth where present — the id is extracted verbatim);
+  *  2. otherwise the first matching canonical header phrase, in a fixed
+  *     precedence order (AGPL before LGPL before GPL, since the phrases
+  *     overlap textually). Phrase matching is `contains` on the license
+  *     texts' invariant sentences — the same heuristic tier license
+  *     classifiers (go-license-detector, licensee) fall back to.
+  *
+  * This is deliberately a HEURISTIC: a production deployment plugs a
+  * full-text classifier in the same column slot. What the operator
+  * guarantees is the pipeline shape — detection composes into the scan
+  * projection, the filter is a pushed-down predicate, and per-license
+  * corpus stats are one combiner-friendly groupBy on a low-cardinality
+  * string key.
+  */
+object License {
+
+  /** SPDX ids (lowercased) treated as permissive — The Stack's core
+    * allowlist: MIT/Apache/BSD families, ISC, public-domain equivalents. */
+  val PermissiveLicenses: Set[String] = Set(
+    "mit", "mit-0", "apache-2.0", "bsd-2-clause", "bsd-3-clause", "0bsd",
+    "isc", "unlicense", "cc0-1.0", "zlib")
+
+  private val SpdxPattern = "SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+-]+)"
+
+  /** (phrase, license) heuristics in precedence order. Phrases are invariant
+    * sentences of the canonical license texts; plain substrings (no regex)
+    * so the DuckDB oracle replays them as LIKE patterns byte-for-byte. */
+  private[graft] val HeaderPhrases: Seq[(String, String)] = Seq(
+    "Permission is hereby granted, free of charge" -> "MIT",
+    "Apache License, Version 2.0" -> "Apache-2.0",
+    "GNU Affero General Public License" -> "AGPL-3.0",
+    "GNU Lesser General Public License" -> "LGPL-2.1",
+    "GNU General Public License" -> "GPL-2.0",
+    "Redistribution and use in source and binary forms" -> "BSD-3-Clause",
+    "Mozilla Public License" -> "MPL-2.0",
+    "free and unencumbered software released into the public domain" -> "Unlicense")
+
+  /** Detected license id of `content`: the SPDX tag verbatim if present,
+    * else the first matching header phrase's id, else 'unknown'. */
+  def detectLicense(content: Column): Column = {
+    val spdx = coalesce(regexp_extract(content, SpdxPattern, 1), lit(""))
+    HeaderPhrases.foldLeft(when(spdx =!= "", spdx)) {
+      case (acc, (phrase, lic)) => acc.when(content.contains(phrase), lit(lic))
+    }.otherwise(lit("unknown"))
+  }
+
+  /** True iff `license` is on the permissive allowlist (case-insensitive —
+    * SPDX tags in the wild vary in case). */
+  def isPermissive(license: Column): Column =
+    lower(license).isInCollection(PermissiveLicenses)
+
+  /** Adds `license` and `license_permissive` columns. */
+  def withLicense(df: DataFrame, contentCol: Column): DataFrame = {
+    val lic = detectLicense(contentCol)
+    df.withColumn("license", lic)
+      .withColumn("license_permissive", isPermissive(lic))
+  }
+
+  /** Keep only rows whose detected license is permissive; `keepUnknown`
+    * additionally keeps files with no detected license (policy knob — The
+    * Stack drops them, some curations keep-and-flag). The predicate is a
+    * plain filter on scan-projected columns: it pushes into the same
+    * whole-stage-codegen span as the quality rules. */
+  def filterPermissive(df: DataFrame, contentCol: Column,
+                       keepUnknown: Boolean = false): DataFrame = {
+    val lic = detectLicense(contentCol)
+    val keep = if (keepUnknown) isPermissive(lic) || lic === "unknown"
+               else isPermissive(lic)
+    df.where(keep)
+  }
+
+  /** Per-license corpus stats: (license, n_files, n_bytes) — one
+    * map-side-combined groupBy on a ≤ dozens-cardinality key. */
+  def licenseStats(df: DataFrame, contentCol: Column): DataFrame =
+    withLicense(df, contentCol)
+      .groupBy(col("license"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(octet_length(contentCol).cast("long")).as("n_bytes"))
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication via k-means-cluster-bounded cosine
+  * comparison (Abbas, Tirumala, Simig, Ganguli, Morcos — "SemDeDup: Data-
+  * efficient learning at web-scale through semantic deduplication",
+  * arXiv:2303.09540). Where the MinHash/winnow family finds LEXICAL
+  * near-dups and [[Dedup.embeddingNearDupPairsLsh]] finds high-cosine pairs
+  * via hyperplane buckets, SemDeDup is the published recipe for SEMANTIC
+  * dups: cluster the embedding space with a k-means coarse quantizer, then
+  * compare pairs ONLY within each cluster — the paper's observation is that
+  * semantic duplicates land in the same cluster at practical k, so the n²
+  * pair space collapses to Σ cluster² without a per-pair hash-collision
+  * bound.
+  *
+  * Relationship to the LSH path (both are kept deliberately): hyperplane LSH
+  * gives a per-pair PROBABILISTIC guarantee tied to the cosine threshold and
+  * needs tables × planes signature flops per row; SemDeDup gives a
+  * LOCALITY-based candidate set from ONE quantizer pass (nlist dot products
+  * per row — the same kernel the IVF index uses), which is the cheaper scan
+  * when an IVF index is being built anyway (the cell assignment is shared
+  * work, see [[Similarity.buildIvfIndex]]).
+  *
+  * Scale shape (mirrors the dedup family's contract):
+  *  - centroids train on a driver-side SAMPLE (FAISS practice; the corpus
+  *    never leaves the executors) and broadcast into the plan as literals;
+  *  - cell assignment is one codegen'd kernel pass
+  *    ([[graft.functions.VectorKernels.centroidTopCells]]) in the scan
+  *    projection — no shuffle;
+  *  - candidate generation shuffles ONLY (id, cell) through
+  *    [[Dedup.cappedCandidates]], so a degenerate mega-cell (all-zero
+  *    embeddings, collapsed space) star-links instead of going quadratic —
+  *    the paper clusters to keep cells at n/k ≈ 10⁴-10⁵, and the cap is the
+  *    guard for corpora that violate its uniformity assumption;
+  *  - raw float vectors re-join by id for cosine verification of the (small)
+  *    candidate set only, as in [[Dedup.embeddingNearDupPairsLsh]].
+  *
+  * Candidacy caveat (inherent to the published algorithm, not this
+  * implementation): a near-dup pair straddling a Voronoi boundary is missed —
+  * the paper accepts this (§3: "we deduplicate within clusters"). For
+  * boundary-robust candidacy compose with the LSH path; for exact pairs use
+  * [[Dedup.embeddingNearDupPairs]].
+  */
+object SemDedup {
+
+  /** Semantic-duplicate pairs: (vec_id_a, vec_id_b, cosine) with
+    * cosine ≥ `threshold`, candidate-bounded to same-k-means-cell pairs.
+    * Input must have (vec_id, embedding: array<float|double>).
+    *
+    * @param nlist       cluster count — the paper uses n/k ≈ cluster sizes
+    *                    of 10⁴-10⁵ at web scale; FAISS-ish nlist ≈ √n is a
+    *                    reasonable default for smaller corpora
+    * @param maxCellSize candidate cap per cell (star-link above it)
+    */
+  def semanticDupPairs(corpus: DataFrame, threshold: Double, nlist: Int,
+                       sampleSize: Int = 10000, iters: Int = 10,
+                       seed: Long = 42L,
+                       maxCellSize: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val centroids = Similarity.trainIvfCentroids(corpus, nlist, sampleSize, iters, seed)
+    val dim = centroids.head.length
+    val flat = new Array[Double](centroids.length * dim)
+    centroids.zipWithIndex.foreach { case (c, i) =>
+      require(c.length == dim, "ragged centroid matrix")
+      System.arraycopy(c, 0, flat, i * dim, dim)
+    }
+    // (id, cell) only on the candidate shuffle — the kernel runs in the scan
+    // projection; nearest cell = first of the top-1 cell list
+    val banded = corpus.select(col("vec_id").as("__id"), lit(0).as("__band"),
+      element_at(graft.functions.VectorKernels.centroidTopCells(
+        expr("transform(embedding, x -> cast(x as double))"),
+        flat, centroids.length, dim, 1), 1).as("__bucket"))
+    // raw float vectors ride only the verify joins (half the shuffle bytes;
+    // CosineSimExpr widens per-element bit-identically — same contract as
+    // embeddingNearDupPairsLsh)
+    val vecs = corpus.select(col("vec_id").as("__id"), col("embedding").as("__e"))
+    Dedup.cappedCandidates(banded, "vec_id_a", "vec_id_b", maxCellSize)
+      .join(vecs.select(col("__id").as("vec_id_a"), col("__e").as("__ea")), Seq("vec_id_a"))
+      .join(vecs.select(col("__id").as("vec_id_b"), col("__e").as("__eb")), Seq("vec_id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__ea"), col("__eb")))
+      .where(col("cosine") >= threshold)
+      .select("vec_id_a", "vec_id_b", "cosine")
+  }
+
+  /** SemDeDup keep-set: collapse each transitive semantic-dup group (the
+    * connected components of [[semanticDupPairs]]) to one canonical member
+    * and return the surviving rows of `corpus`. The paper keeps the member
+    * FARTHEST from the cluster centroid (a proxy for "least typical", §3.1);
+    * pass that — or any quality score — as `scoreCol` to keep the best
+    * member per group ([[Graph.dedupByClustersBest]] semantics, ties to min
+    * id); None keeps the min-id member, the deterministic-replay default the
+    * rest of the dedup family uses. */
+  def semDedup(corpus: DataFrame, threshold: Double, nlist: Int,
+               sampleSize: Int = 10000, iters: Int = 10, seed: Long = 42L,
+               maxCellSize: Int = Dedup.DefaultBucketCap,
+               scoreCol: Option[Column] = None): DataFrame = {
+    val pairs = semanticDupPairs(corpus, threshold, nlist, sampleSize, iters,
+      seed, maxCellSize)
+    scoreCol match {
+      case Some(score) => Graph.dedupByClustersBest(corpus, col("vec_id"),
+        pairs, col("vec_id_a"), col("vec_id_b"), score)
+      case None => Graph.dedupByClusters(corpus, col("vec_id"),
+        pairs, col("vec_id_a"), col("vec_id_b"))
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.License
+
+/** License detection + permissive filtering (The Stack / StarCoder prep). */
+class LicenseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def detect(texts: (Long, String)*): Map[Long, (String, Boolean)] =
+    License.withLicense(texts.toDF("doc_id", "content"), col("content"))
+      .select("doc_id", "license", "license_permissive")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+
+  test("SPDX tag wins and is extracted verbatim") {
+    val d = detect(
+      1L -> "// SPDX-License-Identifier: Apache-2.0\ncode here",
+      2L -> "# SPDX-License-Identifier: GPL-3.0-only\ncode",
+      3L -> "/* SPDX-License-Identifier:\tMIT */",
+      // precedence: tag beats a GPL phrase later in the file
+      4L -> "// SPDX-License-Identifier: MIT\n// under the GNU General Public License")
+    assert(d(1L) == ("Apache-2.0", true))
+    assert(d(2L) == ("GPL-3.0-only", false))
+    assert(d(3L) == ("MIT", true))
+    assert(d(4L) == ("MIT", true))
+  }
+
+  test("header phrases classify in precedence order; no match is unknown") {
+    val d = detect(
+      1L -> "Permission is hereby granted, free of charge, to any person",
+      2L -> "Licensed under the Apache License, Version 2.0",
+      3L -> "under the terms of the GNU General Public License as published",
+      4L -> "the GNU Affero General Public License applies to this server code",
+      5L -> "the GNU Lesser General Public License covers this library",
+      6L -> "Redistribution and use in source and binary forms, with or without",
+      7L -> "subject to the terms of the Mozilla Public License, v. 2.0",
+      8L -> "this is free and unencumbered software released into the public domain",
+      9L -> "plain code with no license text at all")
+    assert(d(1L) == ("MIT", true))
+    assert(d(2L) == ("Apache-2.0", true))
+    assert(d(3L) == ("GPL-2.0", false))
+    assert(d(4L) == ("AGPL-3.0", false)) // AGPL phrase must not fall through to GPL
+    assert(d(5L) == ("LGPL-2.1", false))
+    assert(d(6L) == ("BSD-3-Clause", true))
+    assert(d(7L) == ("MPL-2.0", false))
+    assert(d(8L) == ("Unlicense", true))
+    assert(d(9L) == ("unknown", false))
+  }
+
+  test("filterPermissive keeps the allowlist; keepUnknown is the policy knob") {
+    val df = Seq(
+      1L -> "// SPDX-License-Identifier: MIT",
+      2L -> "// SPDX-License-Identifier: GPL-3.0-only",
+      3L -> "no license here").toDF("doc_id", "content")
+    val strict = License.filterPermissive(df, col("content"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L))
+    val lax = License.filterPermissive(df, col("content"), keepUnknown = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lax == Set(1L, 3L))
+  }
+
+  test("licenseStats aggregates files and bytes per license") {
+    val df = Seq(
+      1L -> "// SPDX-License-Identifier: MIT\nab",
+      2L -> "// SPDX-License-Identifier: MIT\ncdef",
+      3L -> "nope").toDF("doc_id", "content")
+    val rows = License.licenseStats(df, col("content"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("MIT") == ((2L, ("// SPDX-License-Identifier: MIT\nab".length +
+      "// SPDX-License-Identifier: MIT\ncdef".length).toLong)))
+    assert(rows("unknown") == ((1L, 4L)))
+  }
+}

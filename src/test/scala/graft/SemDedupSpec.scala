@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SemDedup}
+
+/** SemDeDup: k-means-cell-bounded semantic dedup (Abbas et al. 2023). All
+  * inputs are seeded/deterministic (fixed vectors, fixed centroid seed), so
+  * every assertion here is exact replay, not a probabilistic expectation. */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+
+  /** 30 seeded Gaussian base vectors (pairwise cosine concentrates near 0
+    * in 16-d, far from the 0.9 threshold), plus exact twins of vectors
+    * 0..4 (ids 100+k) and ±1% perturbed near-copies of vectors 5..9
+    * (ids 200+k, cosine ≈ 0.99995). */
+  private lazy val vecs = {
+    val r = new scala.util.Random(4242)
+    val base = (0 until 30).map(i => (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat).toSeq))
+    val twins = (0 until 5).map(k => (100L + k, base(k)._2))
+    val near = (5 until 10).map { k =>
+      val v = base(k)._2
+      (200L + k, v.zipWithIndex.map { case (x, i) =>
+        (x * (1.0f + 0.01f * math.sin(k + i).toFloat)) }.toSeq)
+    }
+    (base ++ twins ++ near).toDF("vec_id", "embedding")
+  }
+
+  test("semanticDupPairs finds exact twins and near-copies, nothing else") {
+    val pairs = SemDedup.semanticDupPairs(vecs, threshold = 0.9, nlist = 4,
+        sampleSize = 100, seed = 42L)
+      .select("vec_id_a", "vec_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact twins share a cell PROVABLY (identical vector → identical cell)
+    (0 until 5).foreach(k => assert(pairs.contains((k.toLong, 100L + k)),
+      s"exact twin pair ($k, ${100 + k}) missed"))
+    // seeded replay: the ±1% copies landed in their source's cell in this
+    // fixture (deterministic — a different fixture may legitimately lose
+    // a boundary-straddling copy, the paper's accepted recall trade)
+    (5 until 10).foreach(k => assert(pairs.contains((k.toLong, 200L + k)),
+      s"near-copy pair ($k, ${200 + k}) missed"))
+    // no false positives: every reported pair must verify against the
+    // exact all-pairs baseline
+    val exact = Dedup.embeddingNearDupPairs(vecs, threshold = 0.9)
+      .select("vec_id_a", "vec_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(exact), s"non-dup pairs reported: ${pairs -- exact}")
+  }
+
+  test("semDedup keeps the min-id member per semantic group") {
+    val kept = SemDedup.semDedup(vecs, threshold = 0.9, nlist = 4,
+        sampleSize = 100, seed = 42L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    (0 until 5).foreach { k =>
+      assert(kept.contains(k.toLong)); assert(!kept.contains(100L + k))
+    }
+    (5 until 10).foreach { k =>
+      assert(kept.contains(k.toLong)); assert(!kept.contains(200L + k))
+    }
+    (10 until 30).foreach(k => assert(kept.contains(k.toLong), s"singleton $k dropped"))
+  }
+
+  test("semDedup with a quality score keeps the best member, not the first") {
+    // score favors the HIGHER id of each dup pair
+    val kept = SemDedup.semDedup(vecs, threshold = 0.9, nlist = 4,
+        sampleSize = 100, seed = 42L, scoreCol = Some(col("vec_id").cast("double")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    (0 until 5).foreach { k =>
+      assert(kept.contains(100L + k)); assert(!kept.contains(k.toLong))
+    }
+    (10 until 30).foreach(k => assert(kept.contains(k.toLong)))
+  }
+
+  test("mega-cell star-link cap still collapses an identical-vector cluster") {
+    // 50 identical vectors + 10 distinct: with maxCellSize=8 the identical
+    // cluster's cell exceeds the cap, so candidates star-link to the min id
+    // — exactly one survivor, linear candidate volume
+    val r = new scala.util.Random(99)
+    val shared = Array.fill(dim)(r.nextGaussian().toFloat).toSeq
+    val many = (0 until 50).map(i => (i.toLong, shared)) ++
+      (50 until 60).map(i => (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat).toSeq))
+    val df = many.toDF("vec_id", "embedding")
+    val kept = SemDedup.semDedup(df, threshold = 0.9, nlist = 2,
+        sampleSize = 100, seed = 7L, maxCellSize = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L))
+    (1 until 50).foreach(i => assert(!kept.contains(i.toLong), s"copy $i survived"))
+    (50 until 60).foreach(i => assert(kept.contains(i.toLong)))
+  }
+}
