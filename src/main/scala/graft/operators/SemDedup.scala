@@ -37,6 +37,20 @@ import org.apache.spark.sql.functions._
   *  - raw float vectors re-join by id for cosine verification of the (small)
   *    candidate set only, as in [[Dedup.embeddingNearDupPairsLsh]].
   *
+  * Cost model (how to size nlist — each term has its own scale evidence):
+  * the quantizer pass is O(n · nlist · dim) flops — the identical
+  * CentroidTopCellsExpr kernel the ANN probe measured at 16M rows × nlist
+  * 1000 (BASELINE.md `ann` op; at index-build time via
+  * [[Similarity.buildIvfIndex]] it is paid once) — and the within-cell
+  * compare is Σ cell²/2 pairs, the paper's DELIBERATE quadratic-within-
+  * cluster step (they GPU-batch it; §3 uses cluster sizes ~10⁴-10⁵).
+  * On Spark, size nlist to the verify-pair budget (pairs/row ≈ cell/2, and
+  * each verified pair ships two raw vectors), let `maxCellSize` star-link
+  * anything degenerate, and when the pair budget can't absorb the cell
+  * width, switch to [[Dedup.embeddingNearDupPairsLshSized]] — the
+  * hyperplane path carries a per-pair collision bound instead of a
+  * locality bound and is the probe-validated 16M-row configuration.
+  *
   * Candidacy caveat (inherent to the published algorithm, not this
   * implementation): a near-dup pair straddling a Voronoi boundary is missed —
   * the paper accepts this (§3: "we deduplicate within clusters"). For

@@ -200,6 +200,51 @@ class PlanQualitySpec extends SparkSpec {
       s"banded relation must shuffle once and be reused ($materialized materialized, $reused reused):\n$p")
   }
 
+  test("license detection: zero-exchange map-side projection over a pruned scan") {
+    val p = plan("license_detect")
+    assert(!p.contains("Exchange"), s"license detection must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("license filter fuses into the flagship pipeline's single-scan plan") {
+    import org.apache.spark.sql.functions.col
+    val corpus = rules.CorpusFixture.generate(spark, 10).toDF
+    val gated = operators.License.filterPermissive(corpus, col("content"),
+      keepUnknown = true)
+    val p = planOf(exec.StageExec.lazyApply(gated, rules.CodeQualityCatalog.bindings))
+    // the license predicate is one more conjunct in the same fused plan:
+    // still zero exchanges and one whole-stage-codegen span
+    assert(!p.contains("Exchange"), s"license-gated pipeline must not shuffle:\n$p")
+    val codegenSpans = "\\*\\(\\d+\\)".r.findAllIn(p).map(_.toString).toSet
+    assert(codegenSpans == Set("*(1)"), s"expected one codegen span, got $codegenSpans")
+  }
+
+  test("semdedup: the cell-keyed candidate exchange never carries vectors") {
+    import spark.implicits._
+    val base = (0 until 30).map { i =>
+      val rr = new scala.util.Random(i * 131)
+      (i.toLong, Array.fill(8)(rr.nextGaussian().toFloat).toSeq)
+    }
+    val df = (base ++ (0 until 5).map(k => (100L + k, base(k)._2)))
+      .toDF("vec_id", "embedding")
+    val pairs = operators.SemDedup.semanticDupPairs(df, threshold = 0.9,
+        nlist = 2, sampleSize = 50, seed = 5L)
+      .select("vec_id_a", "vec_id_b")
+    val got = pairs.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    (0 until 5).foreach(k => assert(got.contains((k.toLong, 100L + k))))
+    // the bucket(cell)-keyed shuffle stages of the executed plan must be
+    // vector-free — raw embeddings ride ONLY the candidate-sized verify
+    // joins (keyed vec_id_a/vec_id_b), mirroring the LSH dedup contract
+    val cellStages = shuffleStages(pairs.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name.startsWith("__bucket")))
+    assert(cellStages.nonEmpty, "expected a cell-keyed candidate exchange")
+    cellStages.foreach { s =>
+      val names = s.output.map(_.name)
+      assert(!names.exists(n => n.contains("embedding") || n.startsWith("__e")),
+        s"vectors must not ride the candidate exchange: $names")
+    }
+  }
+
   test("P7 wide form: 50 columns profile in ONE job with a single corpus-scale exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
