@@ -60,6 +60,30 @@ class LicenseSpec extends SparkSpec {
     assert(lax == Set(1L, 3L))
   }
 
+  test("license gate is a legal stateless streaming projection (continuous-ingest shape)") {
+    // detection is a pure per-row expression, so the same gate that fuses
+    // into the batch pipeline must run unchanged on a micro-batch stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val gated = License.withLicense(
+        stream.toDF().toDF("doc_id", "content"), col("content"))
+      .where(col("license_permissive") || col("license") === "unknown")
+      .select("doc_id", "license")
+    val q = gated.writeStream.format("memory").queryName("lic_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, "// SPDX-License-Identifier: MIT\ncode"),
+        (2L, "// SPDX-License-Identifier: GPL-3.0-only\ncode"),
+        (3L, "plain code, no license")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("lic_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "MIT", 3L -> "unknown"))
+  }
+
   test("licenseStats aggregates files and bytes per license") {
     val df = Seq(
       1L -> "// SPDX-License-Identifier: MIT\nab",
