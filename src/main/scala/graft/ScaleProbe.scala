@@ -97,6 +97,23 @@ object ScaleProbe {
       .toDF("vec_id", "embedding")
   }
 
+  /** Exact-twin vector corpus for the SemDeDup probe: every 20th id (≥ 20)
+    * is a BIT-IDENTICAL copy of id-10 (a natural residue-10 row), so the
+    * semantic-dup pair set is closed-form — exactly {(id-10, id)} — with
+    * same-cell candidacy provable (identical vector → identical cell) and
+    * no false pair possible at θ=0.9 (random 64-d gaussian cosine sd =
+    * 1/8; 0.9 is 7.2σ, ~3e-13 per evaluated pair). */
+  def twinVectorCorpus(spark: SparkSession, n: Long, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 256).map { id =>
+      def vec(i: Long): Array[Float] = {
+        val r = new java.util.Random(i * 0x9E3779B97F4A7C15L + 7L)
+        Array.fill(dim)(r.nextGaussian().toFloat)
+      }
+      if (id % 20 == 0 && id >= 20) (id, vec(id - 10)) else (id, vec(id))
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Ingest-batch fixture for the incremental VECTOR dedup probe —
     * [[deltaCorpus]] transposed to embedding space. `m` rows with ids from
     * `n`, alternating (a) exact copies of scattered base vectors
@@ -272,6 +289,62 @@ object ScaleProbe {
           .head()
       }
       println(s"[probe] embed pairs=${pairs.getLong(0)} planted-hits=${pairs.getLong(1)}")
+    }
+    if (ops("sd")) {
+      // SemDeDup (cluster-bounded semantic dedup) at corpus scale. The two
+      // costs the scaladoc's sizing rule names, measured separately:
+      //  (a) the quantizer pass — one CentroidTopCellsExpr kernel scan,
+      //      O(n·nlist·dim), LINEAR in n at fixed nlist (the ann probe's
+      //      inline-IVF finding is the same kernel; buildIvfIndex amortizes
+      //      it in production);
+      //  (b) within-cell candidate volume — Σ cell²/2, which at fixed nlist
+      //      grows ~n²/(2·nlist): the paper's deliberate quadratic-in-
+      //      cluster step. Measured via the capped-candidate histogram (one
+      //      groupBy, NO pair materialization — the volume printout is the
+      //      scale evidence; materializing 10⁸ vector-carrying verify pairs
+      //      is exactly what the sizing rule says to avoid, switching to
+      //      the LSH path instead).
+      // The full operator (verify + exactness gate) runs only while the
+      // pair mass is shippable (rows ≤ SPARK_GRAFT_PROBE_SD_FULL, default
+      // 200k at nlist=1000 → ≤ ~100 pairs/row): the gate is closed-form —
+      // the pair set must equal exactly the planted bit-identical twins.
+      val nlist = sys.env.getOrElse("SPARK_GRAFT_PROBE_SD_NLIST", "1000").toInt
+      val fullCap = sys.env.getOrElse("SPARK_GRAFT_PROBE_SD_FULL", "200000").toLong
+      val vecs = materialize(twinVectorCorpus(spark, rows),
+        s"/tmp/graft_probe_twinvecs_${CorpusGenVersion}_$rows")
+      val centroids = time(s"sd centroid train (nlist=$nlist, 10k sample)") {
+        operators.Similarity.trainIvfCentroids(vecs, nlist)
+      }
+      val dim = centroids.head.length
+      val flat = new Array[Double](centroids.length * dim)
+      centroids.zipWithIndex.foreach { case (c, i) =>
+        System.arraycopy(c, 0, flat, i * dim, dim) }
+      val banded = vecs.select(col("vec_id").as("__id"), lit(0).as("__band"),
+        element_at(graft.functions.VectorKernels.centroidTopCells(
+          expr("transform(embedding, x -> cast(x as double))"),
+          flat, centroids.length, dim, 1), 1).as("__bucket"))
+      val candSd = time(s"sd quantizer pass + cell histogram ($rows rows, nlist=$nlist)") {
+        candidateVolume(banded, Int.MaxValue)
+      }
+      println(f"[probe] sd candidates=$candSd (${candSd.toDouble / rows}%.2f per row; " +
+        f"analytic n2/(2*nlist)=${rows.toDouble * rows / (2.0 * nlist)}%.0f)")
+      if (rows <= fullCap) {
+        val expected = rows / 20 - 1 // twins at ids 20, 40, ..., rows-20
+        val got = time(s"sd full operator ($rows rows, expected $expected twin pairs)") {
+          operators.SemDedup.semanticDupPairs(vecs, threshold = 0.9,
+              nlist = nlist, maxCellSize = 1 << 20)
+            .agg(count(lit(1)),
+              sum(when(col("vec_id_a") === col("vec_id_b") - 10 &&
+                col("vec_id_b") % 20 === 0, 1L).otherwise(0L)))
+            .head()
+        }
+        println(s"[probe] sd pairs=${got.getLong(0)} twin-hits=${got.getLong(1)} expected=$expected")
+        require(got.getLong(0) == expected && got.getLong(1) == expected,
+          s"sd exactness gate failed: pairs=${got.getLong(0)} twins=${got.getLong(1)} expected=$expected")
+        println("[probe] sd exactness gate PASSED (pair set == planted twins)")
+      } else println(s"[probe] sd full operator skipped at $rows rows (> $fullCap): " +
+        "pair mass n*cell/2 exceeds the verify-shuffle budget - the sizing " +
+        "rule's switch-to-LSH regime (see SemDedup scaladoc)")
     }
     if (ops("ann")) {
       // ANN top-k at corpus scale: 100 queries (±2% perturbed copies of
