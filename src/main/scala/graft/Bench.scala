@@ -423,10 +423,11 @@ object Bench {
         // CCNet head/middle/tail bucketing over exact tercile thresholds
         // (bit-prefix histogram bisection; map-only assignment)
         "quality_buckets",
-        // license detection (SPDX tag + header-phrase chain, map-only) and
+        // license detection (SPDX tag + header-phrase chain, map-only),
         // SemDeDup (k-means-cell-bounded semantic dedup: one quantizer
-        // kernel pass, cell-keyed candidates, cosine verify + CC)
-        "license_detect", "semdedup")
+        // kernel pass, cell-keyed candidates, cosine verify + CC), and
+        // encoding hygiene (control/U+FFFD/non-ASCII signals, map-only)
+        "license_detect", "semdedup", "text_encoding")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

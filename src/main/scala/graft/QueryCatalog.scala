@@ -322,6 +322,23 @@ object QueryCatalog {
       " || CASE WHEN doc_id % 31 = 12 THEN '// SPDX-License-Identifier: BSD-3-Clause' || chr(10) ELSE '' END" +
       " || text"
 
+  /** Encoding-hygiene fixture: documents.text (plain ASCII) with defects
+    * injected by doc_id mod 37 — control characters (%37=1), U+FFFD decode
+    * tombstones (%37=2), a bounded non-ASCII tail (%37=3: ratio stays under
+    * the 0.3 gate — comments in code are legal), and a non-ASCII flood
+    * (%37=4: 200 codepoints of é push short docs over the gate). Every
+    * signal and both branches of the composite gate are load-bearing. */
+  private def encContent: Column = concat(col("text"),
+    when(col("doc_id") % 37 === 1, lit("\u0007\u0001 binary blob")).otherwise(lit("")),
+    when(col("doc_id") % 37 === 2, lit(" mojibake �� tail")).otherwise(lit("")),
+    when(col("doc_id") % 37 === 3, lit(" héllo wörld comment")).otherwise(lit("")),
+    when(col("doc_id") % 37 === 4, lit(" " + "é" * 200)).otherwise(lit("")))
+  private val encContentSql: String =
+    "text || CASE WHEN doc_id % 37 = 1 THEN chr(7) || chr(1) || ' binary blob' ELSE '' END" +
+      " || CASE WHEN doc_id % 37 = 2 THEN ' mojibake ' || chr(65533) || chr(65533) || ' tail' ELSE '' END" +
+      " || CASE WHEN doc_id % 37 = 3 THEN ' h' || chr(233) || 'llo w' || chr(246) || 'rld comment' ELSE '' END" +
+      " || CASE WHEN doc_id % 37 = 4 THEN ' ' || repeat(chr(233), 200) ELSE '' END"
+
   /** The DuckDB rendering of [[graft.operators.License.detectLicense]] over
     * a `content` column — tag extraction, then the phrase precedence chain
     * verbatim (shared by the three license queries). */
@@ -2391,7 +2408,33 @@ object QueryCatalog {
       Some(s"""WITH tv AS ($twinVecsSql)
              |SELECT a.vec_id FROM tv a
              |WHERE NOT EXISTS (SELECT 1 FROM tv b
-             |  WHERE b.embedding = a.embedding AND b.vec_id < a.vec_id)""".stripMargin))
+             |  WHERE b.embedding = a.embedding AND b.vec_id < a.vec_id)""".stripMargin)),
+
+    // ------------------------------------------------- encoding hygiene
+    Q("text_encoding",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), encContent.as("content"))
+        d.select(col("doc_id"),
+          CodeQuality.controlCharCount(col("content")).cast("long").as("n_control"),
+          CodeQuality.replacementCharCount(col("content")).cast("long").as("n_replacement"),
+          CodeQuality.nonAsciiRatio(col("content")).as("non_ascii_ratio"),
+          CodeQuality.encodingOk(col("content")).as("encoding_ok"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $encContentSql AS content FROM documents),
+             |m AS (SELECT doc_id,
+             |  CAST(length(content) - length(regexp_replace(content,
+             |    '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS BIGINT) AS n_control,
+             |  CAST(length(content) - length(replace(content, chr(65533), ''))
+             |    AS BIGINT) AS n_replacement,
+             |  CASE WHEN length(content) = 0 THEN 0.0
+             |       ELSE CAST(length(content) - length(regexp_replace(content,
+             |         '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE) / length(content)
+             |  END AS non_ascii_ratio
+             |FROM d)
+             |SELECT doc_id, n_control, n_replacement, non_ascii_ratio,
+             |  (n_control = 0 AND n_replacement = 0 AND non_ascii_ratio <= 0.3)
+             |    AS encoding_ok
+             |FROM m""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

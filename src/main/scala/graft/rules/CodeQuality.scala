@@ -86,6 +86,45 @@ object CodeQuality {
         .minus(length(regexp_replace(content, "\\s", "")).cast(DoubleType))
         / length(content).cast(DoubleType))
 
+  // ---- encoding hygiene (C4/Gopher-family): mojibake and binary-pasted-
+  // as-text signals. Pure Column regex forms — SQL-replayable byte-for-byte
+  // (hex classes are the Java∩RE2 common subset) and cheap enough that a
+  // kernel isn't warranted; they fuse into the same scan projection as the
+  // other per-row metrics.
+
+  /** Count of C0/C1-ish control characters EXCLUDING the text whitespace
+    * set (tab/LF/CR stay legal): a nonzero count in a "text" file usually
+    * means binary content or a transcoding accident. \x00 is in the class
+    * for completeness but cannot round-trip through every engine's string
+    * literal (DuckDB forbids NUL in literals) — fixtures inject \x01+. */
+  def controlCharCount(content: Column): Column =
+    coalesce(length(content) -
+      length(regexp_replace(content, "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")),
+      lit(0))
+
+  /** Count of U+FFFD REPLACEMENT CHARACTER — the tombstone a lossy
+    * decode leaves behind; any nonzero count means the upstream byte
+    * stream was not valid in the charset it was decoded as. */
+  def replacementCharCount(content: Column): Column =
+    coalesce(length(content) - length(regexp_replace(content, "\\uFFFD", "")),
+      lit(0))
+
+  /** Fraction of non-ASCII codepoints — the cheap mojibake/binary signal
+    * for source-code corpora (legitimate code is overwhelmingly ASCII;
+    * comments/strings contribute a bounded tail). */
+  def nonAsciiRatio(content: Column): Column =
+    when(coalesce(length(content), lit(0)) === 0, 0.0)
+      .otherwise((length(content) -
+        length(regexp_replace(content, "[^\\x00-\\x7F]", ""))).cast(DoubleType)
+        / length(content).cast(DoubleType))
+
+  /** Composite gate: no control chars, no replacement chars, non-ASCII
+    * fraction under `maxNonAscii` — the keep predicate for the encoding
+    * rule family. */
+  def encodingOk(content: Column, maxNonAscii: Double = 0.3): Column =
+    controlCharCount(content) === 0 && replacementCharCount(content) === 0 &&
+      nonAsciiRatio(content) <= maxNonAscii
+
   /** Whitespace-delimited token count (0 for empty/blank/NULL). Kernel-
     * backed: one pass, no array allocation. */
   def tokenCount(content: Column): Column =

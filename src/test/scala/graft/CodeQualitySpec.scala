@@ -20,6 +20,33 @@ class CodeQualitySpec extends SparkSpec {
     MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  test("encoding-hygiene metrics: control/replacement counts, non-ASCII ratio, gate") {
+    import graft.rules.CodeQuality
+    val rows = Seq(
+      (1L, "plain ascii code\nwith tabs\tand lines"), // tab/LF legal
+      (2L, "bin\u0007\u0001ary"),                     // 2 control chars
+      (3L, "lossy \uFFFD decode \uFFFD"),       // 2 replacement chars
+      (4L, "café"),                              // 1/4 non-ascii = 0.25 ≤ 0.3
+      (5L, "éééx"),                    // 3/4 = 0.75 > 0.3
+      (6L, ""),                                       // empty: zeros, gate true
+      (7L, null.asInstanceOf[String]))                // null-safe
+      .toDF("id", "c")
+    val got = rows.select(col("id"),
+        CodeQuality.controlCharCount($"c").as("ctl"),
+        CodeQuality.replacementCharCount($"c").as("rep"),
+        CodeQuality.nonAsciiRatio($"c").as("ratio"),
+        CodeQuality.encodingOk($"c").as("ok"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), if (r.isNullAt(4)) null else r.getBoolean(4)))).toMap
+    assert(got(1L) == ((0, 0, 0.0, true)))
+    assert(got(2L) == ((2, 0, 0.0, false)))
+    assert(got(3L) == ((0, 2, 2.0 / 16, false)))
+    assert(got(4L) == ((0, 0, 0.25, true)))
+    assert(got(5L) == ((0, 0, 0.75, false)))
+    assert(got(6L) == ((0, 0, 0.0, true)))
+    assert(got(7L)._1 == 0 && got(7L)._2 == 0 && got(7L)._3 == 0.0)
+  }
+
   test("keep/drop matches the naive oracle exactly (F1 = 1.0)") {
     val keptKeys = piped.select("repo", "path").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
