@@ -427,7 +427,10 @@ object Bench {
         // SemDeDup (k-means-cell-bounded semantic dedup: one quantizer
         // kernel pass, cell-keyed candidates, cosine verify + CC), and
         // encoding hygiene (control/U+FFFD/non-ASCII signals, map-only)
-        "license_detect", "semdedup", "text_encoding")
+        "license_detect", "semdedup", "text_encoding",
+        // repo-level fork detection (file-fingerprint inverted index,
+        // postings capped by maxFileDf; pair relation fork-mass-sized)
+        "fork_pairs")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -265,6 +265,27 @@ object QueryCatalog {
           .as("embedding")))
   }
 
+  /** Fork fixture over [[repoDocs]]: repo r7 forked at ~90% file overlap
+    * (Jaccard ≈ 0.9 — must pair at θ=0.7) and repo r11 half-copied
+    * (Jaccard ≈ 0.5 — must NOT pair); every other repo pair shares zero
+    * files (texts are per-doc unique). */
+  private def forkDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = repoDocs(s, dir).select(col("doc_id"), col("repo"), col("content"))
+    base
+      .unionAll(base.where(col("repo") === "r7" && col("doc_id") % 10 =!= 7)
+        .select((col("doc_id") + 1000000).as("doc_id"), lit("r7fork").as("repo"), col("content")))
+      .unionAll(base.where(col("repo") === "r11" && col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), lit("r11half").as("repo"), col("content")))
+  }
+  private def forkDocsSql: String =
+    s"""WITH base AS ($repoDocsSql),
+      |fd AS (
+      |  SELECT repo, content FROM base
+      |  UNION ALL SELECT 'r7fork' AS repo, content FROM base
+      |    WHERE repo = 'r7' AND doc_id % 10 <> 7
+      |  UNION ALL SELECT 'r11half' AS repo, content FROM base
+      |    WHERE repo = 'r11' AND doc_id % 2 = 0)""".stripMargin
+
   /** Exact-twin fixture for semdedup: embeddings plus BIT-IDENTICAL copies
     * of every 20th vector. Identical input → identical (deterministic)
     * k-means cell, so twin-pair candidacy inside SemDeDup's cluster-bounded
@@ -2434,7 +2455,29 @@ object QueryCatalog {
              |SELECT doc_id, n_control, n_replacement, non_ascii_ratio,
              |  (n_control = 0 AND n_replacement = 0 AND non_ascii_ratio <= 0.3)
              |    AS encoding_ok
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // --------------------------------------------------- fork detection
+    Q("fork_pairs",
+      // maxFileDf lifted to the exact setting so the oracle is plain
+      // full-set Jaccard; md5 as the file fingerprint because both engines
+      // share it byte-for-byte (production slots in sha2(content, 256) —
+      // same column contract)
+      (s, dir) => graft.operators.Forks.forkPairs(
+        forkDocs(s, dir), col("repo"), md5(col("content")),
+        threshold = 0.7, maxFileDf = 1000000000L),
+      Some(s"""$forkDocsSql,
+             |sets AS (SELECT DISTINCT repo AS r, md5(content) AS fp FROM fd),
+             |sizes AS (SELECT r, COUNT(*) AS n FROM sets GROUP BY r),
+             |co AS (SELECT a.r AS repo_a, b.r AS repo_b, COUNT(*) AS n_shared
+             |       FROM sets a JOIN sets b ON a.fp = b.fp AND a.r < b.r
+             |       GROUP BY 1, 2)
+             |SELECT repo_a, repo_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+             |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+             |FROM co
+             |JOIN sizes sa ON sa.r = repo_a
+             |JOIN sizes sb ON sb.r = repo_b
+             |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.7""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repo-level fork detection for source-code corpora — the curation step
+  * The Stack calls out explicitly (Kocetkov et al., arXiv:2211.15533 §2:
+  * GitHub is dominated by forks and near-forks; file-level dedup alone
+  * leaves the fork's NOVEL files attributed to both copies and repo-level
+  * stats double-counted). Two repos are fork-related when their FILE
+  * CONTENT fingerprint sets overlap: Jaccard(files(A), files(B)) ≥ θ.
+  *
+  * Shape: set-similarity via an inverted index on the file fingerprint —
+  * the same Σ n_s² co-occurrence join as
+  * [[Dedup.ngramJaccardPairsExact]], with files-as-shingles:
+  *  - the index relation is (fingerprint, repo) pairs, DISTINCT — file
+  *    text never leaves the scan (the fingerprint is a fixed-width hash
+  *    column, computed in the scan projection);
+  *  - `maxFileDf` is the stop-fingerprint knob (MOSS §5 again): a file
+  *    present in more repos than that is vendored boilerplate
+  *    (minified jquery, LICENSE files, generated lockfiles) whose index
+  *    posting would go quadratic; it is excluded from BOTH the
+  *    co-occurrence evidence and the set sizes, so the metric stays a
+  *    true Jaccard — of the informative-file sets. At the exact-oracle
+  *    setting (maxFileDf = ∞) it is plain full-set Jaccard;
+  *  - co-occurrence counts and set sizes are combiner-friendly groupBys
+  *    on fingerprint / repo keys; the pair relation is fork-mass-sized.
+  *
+  * Scale: postings are capped by maxFileDf, so the co-occurrence join is
+  * Σ min(df, maxDf)² over fingerprints — linear in corpus files for
+  * Zipf-bounded duplication. Repo count (not file count) bounds every
+  * relation after the first groupBy.
+  */
+object Forks {
+
+  /** Fork-related repo pairs: (repo_a, repo_b, n_a, n_b, n_shared,
+    * jaccard ≥ threshold), repo_a < repo_b lexically. `fileKeyCol` is the
+    * per-file content fingerprint (e.g. `sha2(content, 256)` — any
+    * engine-replayable hash column works; collisions merge files, so use
+    * a cryptographic width in production). */
+  def forkPairs(df: DataFrame, repoCol: Column, fileKeyCol: Column,
+                threshold: Double = 0.7,
+                maxFileDf: Long = 1000L): DataFrame = {
+    val sets = df.select(repoCol.as("__repo"), fileKeyCol.as("__fp")).distinct()
+    // stop-fingerprint pruning: drop vendored-everywhere files BEFORE the
+    // postings self-join AND from the set sizes (keeps the metric a true
+    // Jaccard of what remains)
+    val kept = sets
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .where(col("__df") <= maxFileDf)
+      .select("__repo", "__fp")
+    val sizes = kept.groupBy(col("__repo")).agg(count(lit(1)).as("__n"))
+    val a = kept.select(col("__fp"), col("__repo").as("repo_a"))
+    val b = kept.select(col("__fp"), col("__repo").as("repo_b"))
+    a.join(b, Seq("__fp")).where(col("repo_a") < col("repo_b"))
+      .groupBy(col("repo_a"), col("repo_b")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("__repo").as("repo_a"), col("__n").as("n_a")), Seq("repo_a"))
+      .join(sizes.select(col("__repo").as("repo_b"), col("__n").as("n_b")), Seq("repo_b"))
+      .withColumn("jaccard", col("n_shared").cast("double")
+        / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("repo_a", "repo_b", "n_a", "n_b", "n_shared", "jaccard")
+  }
+
+  /** Fork dedup: collapse each transitive fork cluster to its LARGEST
+    * member (most files — the fork-network's canonical superset; ties →
+    * lexically smallest repo via the hash tie-break being unavailable,
+    * see below) and return the surviving ROWS of `df`.
+    *
+    * Repo names are strings; [[Graph.connectedComponents]] works on long
+    * ids, so repos enter the graph as xxhash64(name) (collision odds
+    * ~2⁻⁶⁴ per pair — a collision merges two clusters, never loses rows
+    * silently). The keep-best window orders by (file count desc, repo
+    * hash asc): deterministic, though the hash tie-break is arbitrary
+    * order rather than lexical — callers needing lexical ties can score
+    * with their own column. */
+  def dedupForks(df: DataFrame, repoCol: Column, fileKeyCol: Column,
+                 threshold: Double = 0.7,
+                 maxFileDf: Long = 1000L): DataFrame = {
+    val pairs = forkPairs(df, repoCol, fileKeyCol, threshold, maxFileDf)
+      .select(xxhash64(col("repo_a")).as("__ha"), xxhash64(col("repo_b")).as("__hb"))
+    val sizes = df.select(repoCol.as("__repo"), fileKeyCol.as("__fp")).distinct()
+      .groupBy(col("__repo")).agg(count(lit(1)).as("__n"))
+      .select(xxhash64(col("__repo")).as("__rid"), col("__repo"), col("__n"))
+    val keptRepos = Graph.dedupByClustersBest(sizes, col("__rid"),
+        pairs, col("__ha"), col("__hb"), col("__n"))
+      .select(col("__repo"))
+    df.join(keptRepos, repoCol === col("__repo"), "left_semi")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Forks
+
+/** Repo-level fork detection + dedup (The Stack's fork handling). */
+class ForksSpec extends SparkSpec {
+  import spark.implicits._
+
+  // repo A: 10 files; B: 9 of A's files (fork, J=0.9); C: 5 of A's files
+  // (J=0.5); D: disjoint; E: exact copy of D (J=1.0)
+  private lazy val docs = {
+    val a = (0 until 10).map(i => ("repoA", s"file-a-$i body"))
+    val b = (0 until 9).map(i => ("repoB", s"file-a-$i body"))
+    val c = (0 until 5).map(i => ("repoC", s"file-a-$i body"))
+    val d = (0 until 4).map(i => ("repoD", s"file-d-$i body"))
+    val e = (0 until 4).map(i => ("repoE", s"file-d-$i body"))
+    (a ++ b ++ c ++ d ++ e).toDF("repo", "content")
+  }
+
+  test("forkPairs finds fork-level overlap, not partial vendoring") {
+    val pairs = Forks.forkPairs(docs, $"repo", md5($"content"), threshold = 0.7)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(5))).toList
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys == Set(("repoA", "repoB"), ("repoD", "repoE")), pairs.toString)
+    assert(pairs.find(p => p._1 == "repoA").get._3 == 0.9)
+    assert(pairs.find(p => p._1 == "repoD").get._3 == 1.0)
+  }
+
+  test("stop-fingerprint pruning excludes vendored files from evidence AND sizes") {
+    // a LICENSE file present in every repo must not connect unrelated repos
+    val vendored = Seq("repoA", "repoB", "repoC", "repoD", "repoE")
+      .map(r => (r, "MIT license text vendored everywhere")).toDF("repo", "content")
+    val pairs = Forks.forkPairs(docs.unionAll(vendored), $"repo", md5($"content"),
+        threshold = 0.7, maxFileDf = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // with the vendored posting dropped from sizes too, D/E stay J=1.0 and
+    // A/B stay 0.9; without size exclusion D would read 4/5 shared of 5
+    assert(pairs == Set(("repoA", "repoB"), ("repoD", "repoE")))
+  }
+
+  test("dedupForks keeps the largest member per fork cluster, drops the rest") {
+    val kept = Forks.dedupForks(docs, $"repo", md5($"content"), threshold = 0.7)
+      .select("repo").distinct().collect().map(_.getString(0)).toSet
+    // A (10 files) beats B (9); D vs E tie at 4 files — one deterministic
+    // survivor; C (J=0.5) untouched
+    assert(kept.contains("repoA") && !kept.contains("repoB"))
+    assert(kept.contains("repoC"))
+    assert((kept.contains("repoD") ^ kept.contains("repoE")), kept.toString)
+    val rows = Forks.dedupForks(docs, $"repo", md5($"content"), threshold = 0.7).count()
+    assert(rows == 10 + 5 + 4) // every row of every surviving repo
+  }
+}
