@@ -114,6 +114,23 @@ object ScaleProbe {
     }.toDF("vec_id", "embedding")
   }
 
+  /** Fork-detection corpus: `n` files in 100-file repos (content unique
+    * per file — md5 of the global id), with every 50th repo forked at
+    * exactly 90/100 file overlap. Closed-form expectations: n/5000 fork
+    * pairs, each with n_shared = 90 and Jaccard = 90/100 exactly; no
+    * other repo pair shares a file. */
+  def forkCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(0, n, 1, 256).select(
+      col("id").as("doc_id"),
+      concat(lit("r"), (col("id") / 100).cast("long").cast("string")).as("repo"),
+      md5(col("id").cast("string")).as("content"))
+    val forks = base
+      .where((col("doc_id") / 100).cast("long") % 50 === 0 && col("doc_id") % 10 =!= 7)
+      .select((col("doc_id") + 2L * n).as("doc_id"),
+        concat(col("repo"), lit("f")).as("repo"), col("content"))
+    base.unionAll(forks)
+  }
+
   /** Ingest-batch fixture for the incremental VECTOR dedup probe —
     * [[deltaCorpus]] transposed to embedding space. `m` rows with ids from
     * `n`, alternating (a) exact copies of scattered base vectors
@@ -345,6 +362,33 @@ object ScaleProbe {
       } else println(s"[probe] sd full operator skipped at $rows rows (> $fullCap): " +
         "pair mass n*cell/2 exceeds the verify-shuffle budget - the sizing " +
         "rule's switch-to-LSH regime (see SemDedup scaladoc)")
+    }
+    if (ops("fk")) {
+      // Repo-level fork detection at corpus scale. What must stay linear:
+      // the postings relation (one distinct + one fp-partitioned df
+      // window) and the co-occurrence self-join, whose volume is Σ df²
+      // over fingerprints — df = 1 for unique files, 2 for forked copies,
+      // so the join output is fork-mass-sized, never corpus². Exactness is
+      // closed-form EVERY run: exactly n/5000 pairs, each n_shared = 90
+      // and Jaccard = 0.9 (90 shared of 100∪90-overlap union).
+      val docs = materialize(forkCorpus(spark, rows),
+        s"/tmp/graft_probe_forks_${CorpusGenVersion}_$rows")
+      val pairs = time(s"fk fork pairs ($rows files, ${rows / 5000} planted forks)") {
+        operators.Forks.forkPairs(docs, col("repo"), col("content"),
+            threshold = 0.7, maxFileDf = 1000L)
+          .agg(count(lit(1)), min(col("n_shared")), max(col("n_shared")),
+            min(col("jaccard")), max(col("jaccard")))
+          .head()
+      }
+      val expected = rows / 5000
+      println(s"[probe] fk pairs=${pairs.getLong(0)} expected=$expected " +
+        s"n_shared=[${pairs.getLong(1)},${pairs.getLong(2)}] " +
+        s"jaccard=[${pairs.getDouble(3)},${pairs.getDouble(4)}]")
+      require(pairs.getLong(0) == expected &&
+        pairs.getLong(1) == 90L && pairs.getLong(2) == 90L &&
+        pairs.getDouble(3) == 0.9 && pairs.getDouble(4) == 0.9,
+        "fk exactness gate failed")
+      println("[probe] fk exactness gate PASSED (pair set == planted forks)")
     }
     if (ops("ann")) {
       // ANN top-k at corpus scale: 100 queries (±2% perturbed copies of
