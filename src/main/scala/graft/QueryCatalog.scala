@@ -353,12 +353,14 @@ object QueryCatalog {
     when(col("doc_id") % 37 === 1, lit("\u0007\u0001 binary blob")).otherwise(lit("")),
     when(col("doc_id") % 37 === 2, lit(" mojibake �� tail")).otherwise(lit("")),
     when(col("doc_id") % 37 === 3, lit(" héllo wörld comment")).otherwise(lit("")),
-    when(col("doc_id") % 37 === 4, lit(" " + "é" * 200)).otherwise(lit("")))
+    when(col("doc_id") % 37 === 4, lit(" " + "é" * 200)).otherwise(lit("")),
+    when(col("doc_id") % 37 === 5, lit(" c1\u0081residue\u008D")).otherwise(lit("")))
   private val encContentSql: String =
     "text || CASE WHEN doc_id % 37 = 1 THEN chr(7) || chr(1) || ' binary blob' ELSE '' END" +
       " || CASE WHEN doc_id % 37 = 2 THEN ' mojibake ' || chr(65533) || chr(65533) || ' tail' ELSE '' END" +
       " || CASE WHEN doc_id % 37 = 3 THEN ' h' || chr(233) || 'llo w' || chr(246) || 'rld comment' ELSE '' END" +
-      " || CASE WHEN doc_id % 37 = 4 THEN ' ' || repeat(chr(233), 200) ELSE '' END"
+      " || CASE WHEN doc_id % 37 = 4 THEN ' ' || repeat(chr(233), 200) ELSE '' END" +
+      " || CASE WHEN doc_id % 37 = 5 THEN ' c1' || chr(129) || 'residue' || chr(141) ELSE '' END"
 
   /** The DuckDB rendering of [[graft.operators.License.detectLicense]] over
     * a `content` column — tag extraction, then the phrase precedence chain
@@ -2444,7 +2446,7 @@ object QueryCatalog {
       Some(s"""WITH d AS (SELECT doc_id, $encContentSql AS content FROM documents),
              |m AS (SELECT doc_id,
              |  CAST(length(content) - length(regexp_replace(content,
-             |    '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS BIGINT) AS n_control,
+             |    '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g')) AS BIGINT) AS n_control,
              |  CAST(length(content) - length(replace(content, chr(65533), ''))
              |    AS BIGINT) AS n_replacement,
              |  CASE WHEN length(content) = 0 THEN 0.0

@@ -327,19 +327,17 @@ object ScaleProbe {
       // the pair set must equal exactly the planted bit-identical twins.
       val nlist = sys.env.getOrElse("SPARK_GRAFT_PROBE_SD_NLIST", "1000").toInt
       val fullCap = sys.env.getOrElse("SPARK_GRAFT_PROBE_SD_FULL", "200000").toLong
+      require(rows % 20 == 0,
+        s"sd probe needs rows divisible by 20 (twin stride), got $rows")
       val vecs = materialize(twinVectorCorpus(spark, rows),
         s"/tmp/graft_probe_twinvecs_${CorpusGenVersion}_$rows")
       val centroids = time(s"sd centroid train (nlist=$nlist, 10k sample)") {
         operators.Similarity.trainIvfCentroids(vecs, nlist)
       }
-      val dim = centroids.head.length
-      val flat = new Array[Double](centroids.length * dim)
-      centroids.zipWithIndex.foreach { case (c, i) =>
-        System.arraycopy(c, 0, flat, i * dim, dim) }
       val banded = vecs.select(col("vec_id").as("__id"), lit(0).as("__band"),
-        element_at(graft.functions.VectorKernels.centroidTopCells(
-          expr("transform(embedding, x -> cast(x as double))"),
-          flat, centroids.length, dim, 1), 1).as("__bucket"))
+        element_at(operators.Similarity.nearestCells(
+          expr("transform(embedding, x -> cast(x as double))"), centroids, 1), 1)
+          .as("__bucket"))
       val candSd = time(s"sd quantizer pass + cell histogram ($rows rows, nlist=$nlist)") {
         candidateVolume(banded, Int.MaxValue)
       }
@@ -347,17 +345,21 @@ object ScaleProbe {
         f"analytic n2/(2*nlist)=${rows.toDouble * rows / (2.0 * nlist)}%.0f)")
       if (rows <= fullCap) {
         val expected = rows / 20 - 1 // twins at ids 20, 40, ..., rows-20
+        // pretrained centroids: the operator must not re-pay the k-means
+        // and quantizer scan the probe just timed
         val got = time(s"sd full operator ($rows rows, expected $expected twin pairs)") {
           operators.SemDedup.semanticDupPairs(vecs, threshold = 0.9,
-              nlist = nlist, maxCellSize = 1 << 20)
+              nlist = nlist, maxCellSize = 1 << 20, centroids = Some(centroids))
             .agg(count(lit(1)),
               sum(when(col("vec_id_a") === col("vec_id_b") - 10 &&
                 col("vec_id_b") % 20 === 0, 1L).otherwise(0L)))
             .head()
         }
-        println(s"[probe] sd pairs=${got.getLong(0)} twin-hits=${got.getLong(1)} expected=$expected")
-        require(got.getLong(0) == expected && got.getLong(1) == expected,
-          s"sd exactness gate failed: pairs=${got.getLong(0)} twins=${got.getLong(1)} expected=$expected")
+        val nPairs = got.getLong(0)
+        val twins = if (got.isNullAt(1)) 0L else got.getLong(1)
+        println(s"[probe] sd pairs=$nPairs twin-hits=$twins expected=$expected")
+        require(nPairs == expected && twins == expected,
+          s"sd exactness gate failed: pairs=$nPairs twins=$twins expected=$expected")
         println("[probe] sd exactness gate PASSED (pair set == planted twins)")
       } else println(s"[probe] sd full operator skipped at $rows rows (> $fullCap): " +
         "pair mass n*cell/2 exceeds the verify-shuffle budget - the sizing " +
@@ -371,6 +373,8 @@ object ScaleProbe {
       // so the join output is fork-mass-sized, never corpus². Exactness is
       // closed-form EVERY run: exactly n/5000 pairs, each n_shared = 90
       // and Jaccard = 0.9 (90 shared of 100∪90-overlap union).
+      require(rows % 5000 == 0,
+        s"fk probe needs rows divisible by 5000 (100-file repos, fork every 50th), got $rows")
       val docs = materialize(forkCorpus(spark, rows),
         s"/tmp/graft_probe_forks_${CorpusGenVersion}_$rows")
       val pairs = time(s"fk fork pairs ($rows files, ${rows / 5000} planted forks)") {
@@ -381,13 +385,17 @@ object ScaleProbe {
           .head()
       }
       val expected = rows / 5000
-      println(s"[probe] fk pairs=${pairs.getLong(0)} expected=$expected " +
+      val nPairs = pairs.getLong(0)
+      // count first: the min/max aggregates are NULL on an empty pair set,
+      // and the gate must report "0 pairs", not NPE on the diagnostics
+      require(nPairs == expected,
+        s"fk exactness gate failed: pairs=$nPairs expected=$expected")
+      println(s"[probe] fk pairs=$nPairs expected=$expected " +
         s"n_shared=[${pairs.getLong(1)},${pairs.getLong(2)}] " +
         s"jaccard=[${pairs.getDouble(3)},${pairs.getDouble(4)}]")
-      require(pairs.getLong(0) == expected &&
-        pairs.getLong(1) == 90L && pairs.getLong(2) == 90L &&
+      require(pairs.getLong(1) == 90L && pairs.getLong(2) == 90L &&
         pairs.getDouble(3) == 0.9 && pairs.getDouble(4) == 0.9,
-        "fk exactness gate failed")
+        "fk exactness gate failed: pair evidence off the closed form")
       println("[probe] fk exactness gate PASSED (pair set == planted forks)")
     }
     if (ops("ann")) {

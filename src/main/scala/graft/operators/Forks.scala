@@ -33,24 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object Forks {
 
-  /** Fork-related repo pairs: (repo_a, repo_b, n_a, n_b, n_shared,
-    * jaccard ≥ threshold), repo_a < repo_b lexically. `fileKeyCol` is the
-    * per-file content fingerprint (e.g. `sha2(content, 256)` — any
-    * engine-replayable hash column works; collisions merge files, so use
-    * a cryptographic width in production). */
-  def forkPairs(df: DataFrame, repoCol: Column, fileKeyCol: Column,
-                threshold: Double = 0.7,
-                maxFileDf: Long = 1000L): DataFrame = {
+  /** Pruned postings + per-repo sizes, built ONCE and shared by
+    * [[forkPairs]] and [[dedupForks]]: the distinct (repo, fingerprint)
+    * relation with vendored-everywhere fingerprints (df > maxFileDf)
+    * removed, and sizes computed FROM THE PRUNED relation — pairs and the
+    * keep-largest score must see the same informative-file universe, or a
+    * vendored-bloated fork could outscore its canonical parent. */
+  private def prunedPostings(df: DataFrame, repoCol: Column, fileKeyCol: Column,
+                             maxFileDf: Long): (DataFrame, DataFrame) = {
     val sets = df.select(repoCol.as("__repo"), fileKeyCol.as("__fp")).distinct()
-    // stop-fingerprint pruning: drop vendored-everywhere files BEFORE the
-    // postings self-join AND from the set sizes (keeps the metric a true
-    // Jaccard of what remains)
     val kept = sets
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
       .where(col("__df") <= maxFileDf)
       .select("__repo", "__fp")
-    val sizes = kept.groupBy(col("__repo")).agg(count(lit(1)).as("__n"))
+    (kept, kept.groupBy(col("__repo")).agg(count(lit(1)).as("__n")))
+  }
+
+  private def pairsFrom(kept: DataFrame, sizes: DataFrame,
+                        threshold: Double): DataFrame = {
     val a = kept.select(col("__fp"), col("__repo").as("repo_a"))
     val b = kept.select(col("__fp"), col("__repo").as("repo_b"))
     a.join(b, Seq("__fp")).where(col("repo_a") < col("repo_b"))
@@ -63,27 +64,47 @@ object Forks {
       .select("repo_a", "repo_b", "n_a", "n_b", "n_shared", "jaccard")
   }
 
+  /** Fork-related repo pairs: (repo_a, repo_b, n_a, n_b, n_shared,
+    * jaccard ≥ threshold), repo_a < repo_b lexically. `fileKeyCol` is the
+    * per-file content fingerprint (e.g. `sha2(content, 256)` — any
+    * engine-replayable hash column works; collisions merge files, so use
+    * a cryptographic width in production). */
+  def forkPairs(df: DataFrame, repoCol: Column, fileKeyCol: Column,
+                threshold: Double = 0.7,
+                maxFileDf: Long = 1000L): DataFrame = {
+    val (kept, sizes) = prunedPostings(df, repoCol, fileKeyCol, maxFileDf)
+    pairsFrom(kept, sizes, threshold)
+  }
+
   /** Fork dedup: collapse each transitive fork cluster to its LARGEST
-    * member (most files — the fork-network's canonical superset; ties →
-    * lexically smallest repo via the hash tie-break being unavailable,
-    * see below) and return the surviving ROWS of `df`.
+    * member — most INFORMATIVE files, i.e. the same pruned sizes the pair
+    * evidence uses, so a fork padded with vendored boilerplate can never
+    * outscore its canonical parent — and return the surviving ROWS of
+    * `df`. The pruned postings/sizes are built once and shared with the
+    * pair computation (no second corpus scan).
     *
     * Repo names are strings; [[Graph.connectedComponents]] works on long
     * ids, so repos enter the graph as xxhash64(name) (collision odds
     * ~2⁻⁶⁴ per pair — a collision merges two clusters, never loses rows
-    * silently). The keep-best window orders by (file count desc, repo
-    * hash asc): deterministic, though the hash tie-break is arbitrary
-    * order rather than lexical — callers needing lexical ties can score
-    * with their own column. */
+    * silently). The keep-best window orders by (pruned file count desc,
+    * repo hash asc): deterministic, though the hash tie-break is
+    * arbitrary order rather than lexical — callers needing lexical ties
+    * can score with their own column. */
   def dedupForks(df: DataFrame, repoCol: Column, fileKeyCol: Column,
                  threshold: Double = 0.7,
                  maxFileDf: Long = 1000L): DataFrame = {
-    val pairs = forkPairs(df, repoCol, fileKeyCol, threshold, maxFileDf)
+    val (kept, sizes) = prunedPostings(df, repoCol, fileKeyCol, maxFileDf)
+    val pairs = pairsFrom(kept, sizes, threshold)
       .select(xxhash64(col("repo_a")).as("__ha"), xxhash64(col("repo_b")).as("__hb"))
-    val sizes = df.select(repoCol.as("__repo"), fileKeyCol.as("__fp")).distinct()
-      .groupBy(col("__repo")).agg(count(lit(1)).as("__n"))
+    // every repo enters the scored relation — a repo whose files are ALL
+    // vendored-pruned has size 0 and no pair evidence, so it survives as a
+    // singleton rather than silently vanishing from the keep set (the
+    // repo-name distinct is a column-pruned scan)
+    val scored = df.select(repoCol.as("__repo")).distinct()
+      .join(sizes, Seq("__repo"), "left")
+      .na.fill(0L, Seq("__n"))
       .select(xxhash64(col("__repo")).as("__rid"), col("__repo"), col("__n"))
-    val keptRepos = Graph.dedupByClustersBest(sizes, col("__rid"),
+    val keptRepos = Graph.dedupByClustersBest(scored, col("__rid"),
         pairs, col("__ha"), col("__hb"), col("__n"))
       .select(col("__repo"))
     df.join(keptRepos, repoCol === col("__repo"), "left_semi")

@@ -68,23 +68,25 @@ object SemDedup {
     *                    reasonable default for smaller corpora
     * @param maxCellSize candidate cap per cell (star-link above it)
     */
+  /** @param centroids pretrained quantizer (e.g. from
+    *        [[Similarity.buildIvfIndex]] or a prior call) — None trains on
+    *        a driver-side sample here; pass pretrained centroids when the
+    *        quantizer is shared work (index build, a probe's histogram
+    *        pass) so the k-means and the assignment scan aren't paid twice */
   def semanticDupPairs(corpus: DataFrame, threshold: Double, nlist: Int,
                        sampleSize: Int = 10000, iters: Int = 10,
                        seed: Long = 42L,
-                       maxCellSize: Int = Dedup.DefaultBucketCap): DataFrame = {
-    val centroids = Similarity.trainIvfCentroids(corpus, nlist, sampleSize, iters, seed)
-    val dim = centroids.head.length
-    val flat = new Array[Double](centroids.length * dim)
-    centroids.zipWithIndex.foreach { case (c, i) =>
-      require(c.length == dim, "ragged centroid matrix")
-      System.arraycopy(c, 0, flat, i * dim, dim)
-    }
+                       maxCellSize: Int = Dedup.DefaultBucketCap,
+                       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      Similarity.trainIvfCentroids(corpus, nlist, sampleSize, iters, seed))
     // (id, cell) only on the candidate shuffle — the kernel runs in the scan
-    // projection; nearest cell = first of the top-1 cell list
+    // projection (shared recipe: Similarity.nearestCells); nearest cell =
+    // first of the top-1 cell list
     val banded = corpus.select(col("vec_id").as("__id"), lit(0).as("__band"),
-      element_at(graft.functions.VectorKernels.centroidTopCells(
-        expr("transform(embedding, x -> cast(x as double))"),
-        flat, centroids.length, dim, 1), 1).as("__bucket"))
+      element_at(Similarity.nearestCells(
+        expr("transform(embedding, x -> cast(x as double))"), cents, 1), 1)
+        .as("__bucket"))
     // raw float vectors ride only the verify joins (half the shuffle bytes;
     // CosineSimExpr widens per-element bit-identically — same contract as
     // embeddingNearDupPairsLsh)
@@ -108,9 +110,10 @@ object SemDedup {
   def semDedup(corpus: DataFrame, threshold: Double, nlist: Int,
                sampleSize: Int = 10000, iters: Int = 10, seed: Long = 42L,
                maxCellSize: Int = Dedup.DefaultBucketCap,
-               scoreCol: Option[Column] = None): DataFrame = {
+               scoreCol: Option[Column] = None,
+               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val pairs = semanticDupPairs(corpus, threshold, nlist, sampleSize, iters,
-      seed, maxCellSize)
+      seed, maxCellSize, centroids)
     scoreCol match {
       case Some(score) => Graph.dedupByClustersBest(corpus, col("vec_id"),
         pairs, col("vec_id_a"), col("vec_id_b"), score)

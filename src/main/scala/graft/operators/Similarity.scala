@@ -144,7 +144,7 @@ object Similarity {
     * cell counts (nlist ≈ 4√n) that was hundreds of allocating passes over
     * every corpus vector on the index-assignment hot path. Ordering
     * (descending dot, ties to the higher cell id) is identical. */
-  private def nearestCells(e: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+  private[graft] def nearestCells(e: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
     val dim = centroids.head.length
     val flat = new Array[Double](centroids.length * dim)
     centroids.zipWithIndex.foreach { case (c, i) =>

@@ -92,14 +92,17 @@ object CodeQuality {
   // kernel isn't warranted; they fuse into the same scan projection as the
   // other per-row metrics.
 
-  /** Count of C0/C1-ish control characters EXCLUDING the text whitespace
-    * set (tab/LF/CR stay legal): a nonzero count in a "text" file usually
-    * means binary content or a transcoding accident. \x00 is in the class
-    * for completeness but cannot round-trip through every engine's string
-    * literal (DuckDB forbids NUL in literals) — fixtures inject \x01+. */
+  /** Count of C0 and C1 control characters plus DEL, EXCLUDING the text
+    * whitespace set (tab/LF/CR stay legal): a nonzero count in a "text"
+    * file usually means binary content or a transcoding accident — C1
+    * (U+0080–U+009F) is the classic cp1252-decoded-as-latin1 residue.
+    * \x00 is omitted from the class: it cannot round-trip through every
+    * engine's string literal (DuckDB forbids NUL) — fixtures inject
+    * \x01+, and a NUL-bearing file trips the class on its neighbors in
+    * practice. */
   def controlCharCount(content: Column): Column =
     coalesce(length(content) -
-      length(regexp_replace(content, "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")),
+      length(regexp_replace(content, "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", "")),
       lit(0))
 
   /** Count of U+FFFD REPLACEMENT CHARACTER — the tombstone a lossy

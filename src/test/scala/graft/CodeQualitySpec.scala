@@ -45,6 +45,14 @@ class CodeQualitySpec extends SparkSpec {
     assert(got(5L) == ((0, 0, 0.75, false)))
     assert(got(6L) == ((0, 0, 0.0, true)))
     assert(got(7L)._1 == 0 && got(7L)._2 == 0 && got(7L)._3 == 0.0)
+    // C1 controls (cp1252-decoded-as-latin1 residue) count as control AND
+    // as non-ASCII codepoints
+    val c1 = rows.sparkSession.createDataFrame(Seq(Tuple1("soft\u0081hy\u008Dph")))
+      .toDF("c")
+      .select(graft.rules.CodeQuality.controlCharCount($"c"),
+        graft.rules.CodeQuality.nonAsciiRatio($"c"),
+        graft.rules.CodeQuality.encodingOk($"c")).head()
+    assert(c1.getInt(0) == 2 && c1.getDouble(1) == 2.0 / 10 && !c1.getBoolean(2))
   }
 
   test("keep/drop matches the naive oracle exactly (F1 = 1.0)") {
