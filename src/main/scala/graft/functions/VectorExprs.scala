@@ -353,6 +353,84 @@ case class CentroidTopCellsExpr(child: Expression, centroidsFlat: Array[Double],
     copy(child = newChild)
 }
 
+/** Logistic-head score of an `array<float|double>` vector against a
+  * CONSTANT weight vector: sigmoid(w·x + bias) — the shape of
+  * FineWeb-Edu / DCLM-style model-based quality scoring, where a small
+  * learned linear head over precomputed document embeddings decides
+  * keep/drop. One codegen'd pass, no allocation, weights in a broadcast-free
+  * reference array (they ride the serialized plan, like the LSH planes in
+  * [[HyperplaneSigsExpr]]). Left-to-right summation — the shape a
+  * `list_dot_product` SQL oracle reproduces within round-6 tolerance.
+  * NULL vector, length ≠ weights.length, or (when the schema admits them)
+  * a NULL element → NULL, mirroring [[CosineSimExpr]]. */
+case class LinearScoreExpr(child: Expression, weights: Array[Double], bias: Double)
+    extends UnaryExpression {
+  require(weights.nonEmpty, "empty weight vector")
+  require(!bias.isNaN && !bias.isInfinite && weights.forall(w => !w.isNaN && !w.isInfinite),
+    "weights/bias must be finite (bias is emitted as a Java literal in codegen)")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // length mismatch nulls (see CosineSimExpr)
+  // stable identity for plan dumps (an Array field would print [D@hashcode)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"weights<${weights.length}>", bias)
+  private lazy val childFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val checkNulls = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val n = weights.length
+    if (e.numElements() != n) return null
+    var d = bias
+    var i = 0
+    while (i < n) {
+      if (checkNulls && e.isNullAt(i)) return null
+      d += weights(i) * (if (childFloat) e.getFloat(i).toDouble else e.getDouble(i))
+      i += 1
+    }
+    1.0 / (1.0 + math.exp(-d))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("linWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val fname = ctx.freshName("linearScore")
+      val getE = if (childFloat) "(double) e.getFloat(i)" else "e.getDouble(i)"
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private double $fname(org.apache.spark.sql.catalyst.util.ArrayData e) {
+            double d = $bias;
+            for (int i = 0; i < ${weights.length}; i++) d += $wRef[i] * $getE;
+            return 1.0 / (1.0 + java.lang.Math.exp(-d));
+          }
+        """)
+      val hasNull = ctx.freshName("hasNull")
+      val idx = ctx.freshName("linI")
+      val elemScan =
+        if (checkNulls)
+          s"""
+        for (int $idx = 0; !$hasNull && $idx < ${weights.length}; $idx++) {
+          if ($c.isNullAt($idx)) $hasNull = true;
+        }"""
+        else ""
+      s"""
+        boolean $hasNull = $c.numElements() != ${weights.length};$elemScan
+        if ($hasNull) { ${ev.isNull} = true; }
+        else { ${ev.value} = $fn($c); }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinearScoreExpr =
+    copy(child = newChild)
+}
+
 object VectorKernels {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -364,4 +442,6 @@ object VectorKernels {
                        k: Int, dim: Int, nprobe: Int): Column =
     ColumnBridge.column(CentroidTopCellsExpr(ColumnBridge.expression(vec),
       centroidsFlat, k, dim, nprobe))
+  def linearScore(vec: Column, weights: Array[Double], bias: Double): Column =
+    ColumnBridge.column(LinearScoreExpr(ColumnBridge.expression(vec), weights, bias))
 }

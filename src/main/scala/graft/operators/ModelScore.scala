@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorKernels
+
+/** Model-based quality scoring over precomputed document embeddings — the
+  * FineWeb-Edu / DCLM-fastText recipe: a small LEARNED head (here a logistic
+  * linear head; there a 2-layer MLP or fastText classifier) scores each
+  * document's embedding, and the pipeline keeps rows above a threshold
+  * (possibly per-language, possibly as a soft sampling weight).
+  *
+  * Scale shape: applying the head is a map-only projection over the corpus
+  * scan — the weights ride the serialized plan as a constant array
+  * ([[graft.functions.LinearScoreExpr]], one codegen'd pass, no shuffle, no
+  * broadcast round-trip), so this op composes with any downstream
+  * filter/groupBy without adding an exchange, exactly like the heuristic
+  * quality gates in [[graft.rules.CodeQuality]]. TRAINING the head is out of
+  * scope by design (it is a driver-side scikit/torch job over a few thousand
+  * labeled rows in every published pipeline); [[syntheticHead]] provides a
+  * deterministic stand-in with the exact schema a trained head would ship.
+  */
+object ModelScore {
+
+  /** Deterministic stand-in weights for a trained logistic head: dim values
+    * in [-9/64, 9/64] from a fixed mixing rule, bias -0.25. Every value is
+    * an exact binary fraction with a SHORT exact decimal form (k/64), so the
+    * weights embed verbatim in a SQL oracle with zero parse drift. */
+  def syntheticHead(dim: Int, seed: Long = 42L): (Array[Double], Double) = {
+    val w = Array.tabulate(dim) { j =>
+      // LCG-ish integer mix → {-9..9}/64; pure integer math, platform-stable
+      val m = (seed * 6364136223846793005L + j * 1442695040888963407L) >>> 33
+      ((m % 19).toInt - 9) / 64.0
+    }
+    (w, -0.25)
+  }
+
+  /** sigmoid(w·x + bias) of an `array<float|double>` embedding column.
+    * NULL embedding / wrong length / NULL element → NULL score. */
+  def score(embedding: Column, weights: Array[Double], bias: Double): Column =
+    VectorKernels.linearScore(embedding, weights, bias)
+
+  /** Score every row: input columns + `quality_score` (double) +
+    * `keep` (score ≥ tau; NULL score → keep = false, the conservative
+    * drop-malformed policy). Map-only — zero exchanges. */
+  def scored(df: DataFrame, vecCol: Column, weights: Array[Double],
+             bias: Double, tau: Double = 0.5): DataFrame =
+    df.withColumn("quality_score", score(vecCol, weights, bias))
+      .withColumn("keep", coalesce(col("quality_score") >= tau, lit(false)))
+
+  /** The filtering form: rows whose head score clears `tau` (NULL scores
+    * drop). Still map-only; the predicate sits directly over the scan so
+    * column pruning + pushdown apply to everything downstream. */
+  def filterByScore(df: DataFrame, vecCol: Column, weights: Array[Double],
+                    bias: Double, tau: Double = 0.5): DataFrame =
+    df.where(score(vecCol, weights, bias) >= tau)
+
+  /** Exact decimal rendering of [[syntheticHead]] weights for SQL oracles:
+    * `[a, b, ...]` with plain (non-scientific) literals. */
+  def weightsSqlList(weights: Array[Double]): String =
+    weights.map(w => new java.math.BigDecimal(w).toPlainString)
+      .mkString("[", ", ", "]")
+}

@@ -206,9 +206,27 @@ object CodeQuality {
   val piiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("aws_key", "AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    // structured vendor tokens run BEFORE the generic hex/bearer patterns:
+    // a ghp_ token whose suffix happens to be 32+ hex chars would otherwise
+    // be half-eaten by hex_token, leaving "ghp_<HEX_TOKEN>" — chain order is
+    // part of the operator contract (the oracle folds the same seq).
+    ("github_token",
+      "(github_pat_[A-Za-z0-9_]{36,255}|gh[pousr]_[A-Za-z0-9]{36,255})", "<GH_TOKEN>"),
+    ("slack_token", "xox[baprs]-[A-Za-z0-9-]{10,255}", "<SLACK_TOKEN>"),
+    // header.payload[.signature] — the signature may be empty (alg=none);
+    // eyJ is base64("{\"") — every JSON JOSE header starts with it
+    ("jwt", "eyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]*", "<JWT>"),
+    ("gcp_key", "AIza[0-9A-Za-z_-]{35}", "<GCP_KEY>"),
     ("hex_token", "[0-9a-fA-F]{32,}", "<HEX_TOKEN>"),
     ("bearer", "[Bb]earer [A-Za-z0-9._-]{16,}", "<BEARER_TOKEN>"),
-    ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"))
+    ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    // dotted-quad with per-octet range check; \b parses identically under
+    // Java regex and RE2. Over-redacts version strings that look like IPs
+    // ("1.2.3.4") — the standard trade (The Stack's PII pass scrubs IPs
+    // wholesale too); no allowlist (a lookahead exemption isn't RE2-able).
+    ("ipv4",
+      "\\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+        "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b", "<IP>"))
 
   /** Spark-side form of the email pattern with a POSSESSIVE local part.
     * Same match language as the canonical pattern — '@' is not in the
@@ -220,25 +238,44 @@ object CodeQuality {
     * possessive syntax and is linear-time regardless. */
   private val emailPossessive = "[A-Za-z0-9._%+-]++@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
+  /** Cheap literal-substring witnesses for patterns with a fixed prefix:
+    * a pattern gated on `contains(w)` is skipped entirely (one memchr-style
+    * scan, no regex machinery) on the large majority of files that cannot
+    * match it. Gating never changes the result — the witness is a substring
+    * of every possible match — so oracle parity holds; equivalence is
+    * covered by the differential sha256 test in CodeQualitySpec. */
+  private val scrubWitness: Map[String, String] = Map(
+    "aws_key" -> "AKIA", "github_token" -> "gh", "slack_token" -> "xox",
+    "jwt" -> "eyJ", "gcp_key" -> "AIza", "private_key" -> "-----BEGIN")
+
   /** Chained compiled-regex scrub — one `regexp_replace` per pattern, all
     * fused into a single codegen'd projection by Catalyst. The email stage
     * is additionally gated on a cheap `contains('@')` witness (92% of
-    * source files have no '@' at all) and uses [[emailPossessive]];
-    * equivalence with the canonical chain is covered by the sha256
+    * source files have no '@' at all) and uses [[emailPossessive]]; the
+    * fixed-prefix vendor-token stages gate on [[scrubWitness]] literals.
+    * Equivalence with the canonical ungated chain is covered by the sha256
     * differential test in CodeQualitySpec and the scrub_pii DuckDB oracle. */
   def scrubPii(content: Column): Column = {
     val afterEmail = when(content.contains("@"),
         regexp_replace(content, emailPossessive, "<EMAIL>"))
       .otherwise(content) // null content stays null on both branches
-    piiPatterns.drop(1).foldLeft(afterEmail) { case (c, (_, re, repl)) =>
-      regexp_replace(c, re, repl)
+    piiPatterns.drop(1).foldLeft(afterEmail) { case (c, (name, re, repl)) =>
+      scrubWitness.get(name) match {
+        case Some(w) => when(c.contains(w), regexp_replace(c, re, repl)).otherwise(c)
+        case None    => regexp_replace(c, re, repl)
+      }
     }
   }
 
   /** True if any PII pattern matches (pre-scrub witness for audit). */
   def hasPii(content: Column): Column =
     ((content.contains("@") && content.rlike(emailPossessive)) +:
-      piiPatterns.drop(1).map { case (_, re, _) => content.rlike(re) })
+      piiPatterns.drop(1).map { case (name, re, _) =>
+        scrubWitness.get(name) match {
+          case Some(w) => content.contains(w) && content.rlike(re)
+          case None    => content.rlike(re)
+        }
+      })
       .reduce(_ || _) && content.isNotNull
 
   // ------------------------------------------------------------ toxicity

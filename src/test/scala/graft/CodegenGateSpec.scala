@@ -112,7 +112,9 @@ class CodegenGateSpec extends SparkSpec {
       "HyperplaneSigsExpr" -> HyperplaneSigsExpr(vecIn, planesFlat,
         numTables = 2, planesPerTable = 4, dim = 8),
       "CentroidTopCellsExpr" -> CentroidTopCellsExpr(vecIn,
-        Array.fill(5 * 8)(r.nextGaussian()), k = 5, dim = 8, nprobe = 3)
+        Array.fill(5 * 8)(r.nextGaussian()), k = 5, dim = 8, nprobe = 3),
+      "LinearScoreExpr" -> LinearScoreExpr(vecIn,
+        Array.fill(8)(r.nextGaussian()), bias = -0.25)
     )
     val vecs = Seq(
       Array.fill(8)(r.nextGaussian()),

@@ -719,4 +719,40 @@ class OperatorsSpec extends SparkSpec {
         s"unexpected exchange key (want bench-distinct or pair agg): $l")
     }
   }
+
+  test("model-based quality scoring: sigmoid(w·x+b), null policy, map-only plan") {
+    import graft.operators.ModelScore
+    val (w, b) = ModelScore.syntheticHead(4, seed = 1L)
+    // weights are exact binary fractions k/64 in [-9/64, 9/64]
+    assert(w.forall(x => x * 64 == math.rint(x * 64) && math.abs(x) <= 9.0 / 64))
+    assert(ModelScore.weightsSqlList(Array(0.015625, -0.140625, 0.0))
+      == "[0.015625, -0.140625, 0]")
+
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f, -1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // score = sigmoid(b)
+      (3L, Array(1.0f, 1.0f)),               // wrong dim → NULL score, keep=false
+      (4L, null.asInstanceOf[Array[Float]])) // NULL vector
+      .toDF("vec_id", "embedding")
+    val got = ModelScore.scored(df, col("embedding"), w, b, tau = 0.4)
+      .select("vec_id", "quality_score", "keep").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getDouble(1)), r.getBoolean(2))).toMap
+
+    def sig(d: Double) = 1.0 / (1.0 + math.exp(-d))
+    // kernel summation order: bias first, then left-to-right — match it
+    // exactly so the equality below is bitwise
+    val exp1 = sig(b + w(0) * 1.0 + w(1) * 0.0 + w(2) * 2.0 + w(3) * -1.0)
+    assert(got(1L)._1 == exp1 && got(1L)._2 == (exp1 >= 0.4))
+    assert(got(2L)._1 == sig(b))
+    assert(got(3L) == ((null, false)) && got(4L) == ((null, false)))
+
+    assert(ModelScore.filterByScore(df, col("embedding"), w, b, tau = 0.0)
+      .count() == 2) // rows 1,2; malformed/null rows drop
+
+    // 100 TB shape: pure projection over the scan — zero exchanges
+    val p = ModelScore.scored(df, col("embedding"), w, b)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
 }
