@@ -1890,6 +1890,75 @@ object QueryCatalog {
               |FROM ($dupDocsSql) a JOIN ($dupDocsSql) b
               |  ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin)),
 
+    // ------------------------------------------------- BPE tokenizer
+    // Distributed round-0 pair statistic (the kernel shape the merge loop
+    // iterates on): explode over the |vocab| relation, 2-char-key aggregate.
+    Q("bpe_pair_counts",
+      (s, dir) => graft.operators.Bpe.pairCounts(
+        graft.operators.Vocab.wordCounts(t(s, dir, "documents"), col("text"))),
+      Some("""WITH wc AS (
+             |  SELECT word, count(*) AS n
+             |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+             |        FROM documents)
+             |  WHERE length(word) > 0 GROUP BY word)
+             |SELECT pair_left, pair_right, CAST(sum(n) AS BIGINT) AS n
+             |FROM (SELECT substring(word, i, 1) AS pair_left,
+             |             substring(word, i + 1, 1) AS pair_right, n
+             |      FROM (SELECT word, n,
+             |              CAST(unnest(range(1, length(word))) AS INT) AS i
+             |            FROM wc WHERE length(word) >= 2))
+             |GROUP BY pair_left, pair_right""".stripMargin)),
+
+    // The trainer's argmax + tie-break, checked cross-engine for the first
+    // merge (rounds beyond the first depend on the symbol rewrite, which has
+    // no SQL form — bpe_train below carries those as rows-only + BpeSpec's
+    // pencil fixture and incremental-vs-naive differential).
+    Q("bpe_first_merge",
+      (s, dir) => graft.operators.Bpe.mergesDF(s,
+        graft.operators.Bpe.trainMerges(
+          t(s, dir, "documents"), col("text"), numMerges = 1, maxWords = 20000)),
+      Some("""WITH wc AS (
+             |  SELECT word, count(*) AS n
+             |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+             |        FROM documents)
+             |  WHERE length(word) > 0 GROUP BY word
+             |  ORDER BY n DESC, word LIMIT 20000),
+             |pc AS (
+             |  SELECT l, r, sum(n) AS n
+             |  FROM (SELECT substring(word, i, 1) AS l,
+             |               substring(word, i + 1, 1) AS r, n
+             |        FROM (SELECT word, n,
+             |                CAST(unnest(range(1, length(word))) AS INT) AS i
+             |              FROM wc WHERE length(word) >= 2))
+             |  GROUP BY l, r)
+             |SELECT 1 AS rank, l AS merge_left, r AS merge_right
+             |FROM pc ORDER BY n DESC, l, r LIMIT 1""".stripMargin)),
+
+    // Full merge table: 40 exact merges over the top-20k word-frequency
+    // slice (driver-side loop — the published single-node practice; the
+    // corpus-sized pass is the distributed wordCounts). Rows-only by
+    // declaration: each round's counts depend on the previous round's
+    // symbol rewrite, which SQL cannot replay — the round-0 statistic and
+    // the argmax are the hash-exact siblings above, and BpeSpec pins the
+    // loop (pencil-and-paper fixture + incremental-vs-naive differential).
+    Q("bpe_train",
+      (s, dir) => graft.operators.Bpe.mergesDF(s,
+        graft.operators.Bpe.trainMerges(
+          t(s, dir, "documents"), col("text"), numMerges = 40, maxWords = 20000)),
+      None),
+
+    // Learned-BPE token counts: constant merge table riding the plan into a
+    // map-only codegen'd encode (BpeEncodeExpr). Rows-only (no SQL BPE);
+    // BpeSpec pins encoder≡trainer on training words and the round-trip.
+    Q("bpe_token_count",
+      (s, dir) => {
+        val merges = graft.operators.Bpe.trainMerges(
+          t(s, dir, "documents"), col("text"), numMerges = 40, maxWords = 20000)
+        t(s, dir, "documents").select(col("doc_id"),
+          graft.operators.Bpe.tokenCount(col("text"), merges).as("n_tokens"))
+      },
+      None),
+
     // model-based quality scoring (FineWeb-Edu / DCLM shape): a logistic
     // linear head over the embedding column, applied as one map-only
     // codegen'd projection (LinearScoreExpr). The synthetic head's weights

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding ENCODE against a trained merge table (Sennrich et al.
+  * 2016; the HF-tokenizers application order): per whitespace word, symbols
+  * start as code points and the lowest-rank adjacent pair merges (all
+  * occurrences, left-to-right) until no adjacent pair has a rank. Merges
+  * never cross word boundaries and the word pre-tokenizer is byte-identical
+  * to [[graft.operators.Vocab.wordCounts]]'s `split('\\s+')` (ASCII
+  * whitespace, empty tokens dropped) so merges trained by
+  * [[graft.operators.Bpe.trainMerges]] apply to exactly the symbol streams
+  * they were learned from. */
+object BpeCodec {
+
+  /** Merge ranks keyed `left + ' ' + right`. The ASCII-space separator is
+    * unambiguous: symbols are substrings of whitespace-split words, so no
+    * symbol can ever contain a space — "ab c" can only parse ("ab", "c"). */
+  def rankMap(merges: Array[String]): java.util.HashMap[String, Integer] = {
+    require(merges.length % 2 == 0, "flat merge array must be (left, right) pairs")
+    val m = new java.util.HashMap[String, Integer](merges.length)
+    var i = 0
+    while (i < merges.length) {
+      m.put(merges(i) + " " + merges(i + 1), Integer.valueOf(i / 2))
+      i += 2
+    }
+    m
+  }
+
+  // Java regex \s — the exact splitter Vocab.wordCounts uses (ASCII only;
+  // a Unicode space is word content there and must stay word content here)
+  private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Encode one WORD: the symbol list after all applicable merges. Symbols
+    * start as code points (surrogate-safe). */
+  private def encodeWord(word: String,
+                         rank: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
+    var sym = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      sym.add(word.substring(i, i + n))
+      i += n
+    }
+    var go = sym.size >= 2 && !rank.isEmpty
+    while (go) {
+      var best = Integer.MAX_VALUE
+      var bi = -1
+      var j = 0
+      while (j < sym.size - 1) {
+        val r = rank.get(sym.get(j) + " " + sym.get(j + 1))
+        if (r != null && r.intValue() < best) { best = r.intValue(); bi = j }
+        j += 1
+      }
+      if (bi < 0) go = false
+      else {
+        val l = sym.get(bi); val r = sym.get(bi + 1); val merged = l + r
+        val out = new java.util.ArrayList[String](sym.size)
+        var k = 0
+        while (k < sym.size) {
+          if (k + 1 < sym.size && sym.get(k) == l && sym.get(k + 1) == r) {
+            out.add(merged); k += 2
+          } else { out.add(sym.get(k)); k += 1 }
+        }
+        sym = out
+        go = sym.size >= 2
+      }
+    }
+    sym
+  }
+
+  /** Total BPE token count of a document (sum over its words). */
+  def count(s: UTF8String, rank: java.util.HashMap[String, Integer],
+            lowercase: Boolean): Int = {
+    val str0 = s.toString
+    val str = if (lowercase) str0.toLowerCase(java.util.Locale.ROOT) else str0
+    var total = 0
+    var i = 0
+    while (i < str.length) {
+      while (i < str.length && isAsciiSpace(str.charAt(i))) i += 1
+      val start = i
+      while (i < str.length && !isAsciiSpace(str.charAt(i))) i += 1
+      if (i > start) total += encodeWord(str.substring(start, i), rank).size
+    }
+    total
+  }
+
+  /** All BPE tokens of a document in reading order (per word, tokens
+    * concatenate back to the word — the round-trip property). */
+  def tokens(s: UTF8String, rank: java.util.HashMap[String, Integer],
+             lowercase: Boolean): GenericArrayData = {
+    val str0 = s.toString
+    val str = if (lowercase) str0.toLowerCase(java.util.Locale.ROOT) else str0
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < str.length) {
+      while (i < str.length && isAsciiSpace(str.charAt(i))) i += 1
+      val start = i
+      while (i < str.length && !isAsciiSpace(str.charAt(i))) i += 1
+      if (i > start) {
+        val sym = encodeWord(str.substring(start, i), rank)
+        var k = 0
+        while (k < sym.size) { out.add(UTF8String.fromString(sym.get(k))); k += 1 }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** BPE encode of a string column against a constant trained merge table.
+  * `emitTokens = false` → int token count (the packing/stats input);
+  * `true` → `array<string>` tokens. The merge table rides the serialized
+  * plan as a flat (left, right) string array — like the LSH planes — and the
+  * generated code calls the shared [[BpeCodec]] (the merge loop is
+  * data-dependent control flow; inlining it buys nothing over a static
+  * call and would balloon the generated method toward JIT limits). */
+case class BpeEncodeExpr(child: Expression, mergesFlat: Array[String],
+                         lowercase: Boolean = true, emitTokens: Boolean = false)
+    extends UnaryExpression {
+  require(mergesFlat.length % 2 == 0, "flat merge array must be (left, right) pairs")
+  override def dataType: DataType =
+    if (emitTokens) ArrayType(StringType, containsNull = false) else IntegerType
+  override def nullIntolerant: Boolean = true
+  // stable identity for plan dumps (an Array field would print [L@hashcode)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"merges<${mergesFlat.length / 2}>", lowercase, emitTokens)
+
+  @transient private lazy val rank = BpeCodec.rankMap(mergesFlat)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    if (emitTokens) BpeCodec.tokens(s, rank, lowercase)
+    else BpeCodec.count(s, rank, lowercase)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference the PREBUILT rank map (built once per plan, not per row)
+    val rankRef = ctx.addReferenceObj("bpeRanks", rank, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      if (emitTokens)
+        s"${ev.value} = graft.functions.BpeCodec.tokens($c, $rankRef, $lowercase);"
+      else
+        s"${ev.value} = graft.functions.BpeCodec.count($c, $rankRef, $lowercase);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, Vocab}
+
+/** BPE training + encode: the pencil-and-paper Sennrich fixture, the
+  * incremental-trainer-vs-naive differential, trainer≡encoder consistency,
+  * and the distributed pair-count kernel vs a driver recount. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pencilCorpus = Seq("low lower lowest new newer").toDF("text")
+
+  test("pencil fixture: exact merge sequence with deterministic tie-breaks") {
+    // round 0 pair counts: lo=3, ow=3, we=2, er=2, ne=2, ew=2, es=1, st=1
+    //   → tie at 3 between (l,o) and (o,w); left asc picks (l,o)
+    // round 1: (lo,w)=3 wins outright
+    // round 2: tie at 2 between (low,e),(e,r),(n,e),(e,w); left asc "e",
+    //   then right asc "r" → (e,r)
+    val merges = Bpe.trainMerges(pencilCorpus, col("text"), numMerges = 3)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+  }
+
+  test("encoder applies trained merges identically to the trainer (training words)") {
+    val merges = Bpe.trainMerges(pencilCorpus, col("text"), numMerges = 3)
+    val got = Seq("low", "lower", "lowest", "new", "newer").toDF("w")
+      .select(col("w"), Bpe.tokenCount(col("w"), merges).as("n"),
+        Bpe.tokens(col("w"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getSeq[String](2)))).toMap
+    assert(got("low") == ((1, Seq("low"))))
+    assert(got("lower") == ((2, Seq("low", "er"))))
+    assert(got("lowest") == ((4, Seq("low", "e", "s", "t"))))
+    assert(got("new") == ((3, Seq("n", "e", "w"))))
+    assert(got("newer") == ((4, Seq("n", "e", "w", "er"))))
+    // round-trip: tokens concatenate back to the word
+    got.foreach { case (w, (_, toks)) => assert(toks.mkString == w) }
+  }
+
+  test("incremental trainer equals a naive full-recount reference") {
+    // naive reference: recompute every pair count from scratch each round
+    def naive(wordFreq: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+      var words = wordFreq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var r = 0
+      var done = false
+      while (r < numMerges && !done) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (sym, c) =>
+          sym.sliding(2).foreach {
+            case Vector(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+            case _ =>
+          }
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val best = pc.toSeq.minBy { case ((l, rt), n) => (-n, l, rt) }._1
+          out += best
+          words = words.map { case (sym, c) =>
+            val b = Vector.newBuilder[String]
+            var k = 0
+            while (k < sym.length) {
+              if (k + 1 < sym.length && sym(k) == best._1 && sym(k + 1) == best._2) {
+                b += sym(k) + sym(k + 1); k += 2
+              } else { b += sym(k); k += 1 }
+            }
+            (b.result(), c)
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(11)
+    val freq = Array.tabulate(120) { i =>
+      val w = (1 to 2 + rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      (w, (1 + rnd.nextInt(9)).toLong)
+    }.distinctBy(_._1)
+    assert(Bpe.trainMergesLocal(freq, 30) == naive(freq, 30))
+  }
+
+  test("distributed pairCounts equals a driver recount; scale shape holds") {
+    val docs = Seq("abc ab", "bc bc a", "xyz").toDF("text")
+    val wc = Vocab.wordCounts(docs, col("text"))
+    val got = Bpe.pairCounts(wc).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // words: abc(1), ab(1), bc(2), a(1), xyz(1)
+    // pairs: a-b: abc+ab = 2; b-c: abc + 2*bc = 3; x-y: 1; y-z: 1
+    assert(got == Map(("a", "b") -> 2L, ("b", "c") -> 3L,
+      ("x", "y") -> 1L, ("y", "z") -> 1L))
+    // the explode runs over the |vocab| relation, not the corpus: plan has
+    // exactly the word-count exchange + the 2-char-key pair aggregate
+    val p = Bpe.pairCounts(wc).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("edge semantics: repeated-pair words, multi-space, empty, null, unicode") {
+    val merges = Seq(("a", "a"), ("aa", "aa"))
+    // "a a a": within a WORD only — each 1-char word stays 1 token
+    val df = Seq("a a a", "aaaa", "aaa", "", "  \t ", null.asInstanceOf[String],
+      "😀😀 b").toDF("w")
+    val got = df.select(Bpe.tokenCount(col("w"), merges)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(got(0) == 3)        // three 1-char words
+    assert(got(1) == 1)        // aaaa → aa aa → aaaa
+    assert(got(2) == 2)        // aaa → aa a (left-to-right, non-overlapping)
+    assert(got(3) == 0 && got(4) == 0)
+    assert(got(5) == null)
+    assert(got(6) == 3)        // surrogate pair = 1 symbol; no merge applies...
+    // (emoji,emoji) unmerged: 2 symbols + "b" = 3 tokens
+  }
+
+  test("more merges never increase a document's token count") {
+    val docs = graft.rules.CorpusFixture.generate(spark, 200).toDF
+      .select(col("content").as("text"))
+    val m8 = Bpe.trainMerges(docs, col("text"), numMerges = 8)
+    val m32 = Bpe.trainMerges(docs, col("text"), numMerges = 32)
+    assert(m32.take(8) == m8) // merge sequence is a prefix-stable chain
+    val counts = docs.select(
+        Bpe.tokenCount(col("text"), Nil).as("n0"),
+        Bpe.tokenCount(col("text"), m8).as("n8"),
+        Bpe.tokenCount(col("text"), m32).as("n32"))
+      .agg(sum("n0"), sum("n8"), sum("n32")).head()
+    assert(counts.getLong(0) >= counts.getLong(1) && counts.getLong(1) >= counts.getLong(2))
+    assert(counts.getLong(2) > 0)
+  }
+}

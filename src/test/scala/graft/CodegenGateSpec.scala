@@ -51,7 +51,11 @@ class CodegenGateSpec extends SparkSpec {
     "LineKeyHashExpr" -> LineKeyHashExpr(strIn, minLen = 3),
     "LineStripExpr" -> LineStripExpr(strIn,
       Array(LineKeyHashExpr.compute("the quick brown fox jumps over the lazy dog and runs on", 1)
-        .longValue()).sorted, minLen = 3)
+        .longValue()).sorted, minLen = 3),
+    "BpeEncodeExpr(count)" -> BpeEncodeExpr(strIn,
+      Array("t", "h", "th", "e", "q", "u"), lowercase = true, emitTokens = false),
+    "BpeEncodeExpr(tokens)" -> BpeEncodeExpr(strIn,
+      Array("t", "h", "th", "e", "q", "u"), lowercase = true, emitTokens = true)
   )
 
   private val sampleTexts = Seq(
