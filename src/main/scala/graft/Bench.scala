@@ -430,7 +430,11 @@ object Bench {
         "license_detect", "semdedup", "text_encoding",
         // repo-level fork detection (file-fingerprint inverted index,
         // postings capped by maxFileDf; pair relation fork-mass-sized)
-        "fork_pairs")
+        "fork_pairs",
+        // model-based quality scoring (constant logistic head, map-only
+        // codegen'd projection) and learned-BPE token counting (driver
+        // merge training over the capped word table + map-only encode)
+        "quality_classifier", "bpe_token_count")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -694,6 +694,59 @@ object ScaleProbe {
       println(f"[probe] vocab ($rows docs, |vocab|=$nvocab): med=${secs(1)}%.1f s " +
         f"(reps ${secs.map(s => f"$s%.1f").mkString(",")}), top-100 stable")
     }
+    if (ops("bpe")) {
+      // BPE at corpus scale, phased like the operator's architecture:
+      // TRAIN = the distributed word count (|vocab|-sized post-partial
+      // relation) + TakeOrdered cap + the driver merge loop — its cost is
+      // bounded by the cap, not the corpus; ENCODE = the constant-table
+      // map-only kernel, linear in the scan. Closed-form gates every run:
+      // (a) the zero-merge kernel count equals an independent pure-Column
+      // recompute (sum of per-word code-point lengths over the identical
+      // splitter), (b) the merge sequence is bit-stable across reps,
+      // (c) encoding with merges never exceeds the zero-merge count and is
+      // itself bit-stable.
+      val docs = ensurePipeCorpus(spark, rows)
+      var m0: Seq[(String, String)] = Seq.empty
+      val trainSecs = (1 to 3).map { rep =>
+        val t0 = System.nanoTime()
+        val m = operators.Bpe.trainMerges(docs, col("content"),
+          numMerges = 200, maxWords = 100000)
+        val s = (System.nanoTime() - t0) / 1e9
+        if (rep == 1) m0 = m
+        require(m == m0, s"bpe rep $rep: merge sequence differs across reps")
+        require(m.length == 200, s"bpe rep $rep: ${m.length} merges")
+        s
+      }.sorted
+      val zeroKernel = docs
+        .select(operators.Bpe.tokenCount(col("content"), Nil).as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+      val wordsCol = filter(split(lower(col("content")), "\\s+"),
+        w => length(w) > lit(0))
+      val zeroCtrl = docs
+        .select(aggregate(wordsCol, lit(0L),
+          (a, w) => a + length(w).cast("long")).as("n"))
+        .agg(sum(col("n"))).head().getLong(0)
+      require(zeroKernel == zeroCtrl,
+        s"bpe: zero-merge kernel count $zeroKernel != Column recompute $zeroCtrl")
+      var enc0 = -1L
+      val encSecs = (1 to 3).map { rep =>
+        val t0 = System.nanoTime()
+        val total = docs
+          .select(operators.Bpe.tokenCount(col("content"), m0).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+        val s = (System.nanoTime() - t0) / 1e9
+        if (rep == 1) enc0 = total
+        require(total == enc0, s"bpe rep $rep: encode total differs across reps")
+        s
+      }.sorted
+      require(enc0 > 0 && enc0 <= zeroKernel,
+        s"bpe: 200-merge total $enc0 outside (0, $zeroKernel]")
+      println(f"[probe] bpe ($rows docs): train med=${trainSecs(1)}%.1f s " +
+        f"(reps ${trainSecs.map(s => f"$s%.1f").mkString(",")}), " +
+        f"encode med=${encSecs(1)}%.1f s " +
+        f"(reps ${encSecs.map(s => f"$s%.1f").mkString(",")}); " +
+        f"tokens $zeroKernel -> $enc0 (${100.0 * enc0 / zeroKernel}%.1f%%), exact")
+    }
     if (ops("fz")) {
       // Fuzzy decontamination at corpus scale: bench = the texts of ids ≡ 0
       // (mod 1000) — n/1000 docs, the realistic eval-suite:corpus asymmetry.

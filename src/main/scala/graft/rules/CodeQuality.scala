@@ -248,23 +248,25 @@ object CodeQuality {
     "aws_key" -> "AKIA", "github_token" -> "gh", "slack_token" -> "xox",
     "jwt" -> "eyJ", "gcp_key" -> "AIza", "private_key" -> "-----BEGIN")
 
-  /** Chained compiled-regex scrub — one `regexp_replace` per pattern, all
-    * fused into a single codegen'd projection by Catalyst. The email stage
-    * is additionally gated on a cheap `contains('@')` witness (92% of
-    * source files have no '@' at all) and uses [[emailPossessive]]; the
-    * fixed-prefix vendor-token stages gate on [[scrubWitness]] literals.
+  /** The whole chain as ONE codegen'd kernel node
+    * ([[graft.functions.PiiScrubExpr]]): per stage a precompiled
+    * `replaceAll` (identical semantics to the `regexp_replace` fold it
+    * replaces), with the email stage gated on its `'@'` witness (92% of
+    * source files have no '@' at all) and swapped for [[emailPossessive]],
+    * and the fixed-prefix vendor-token stages gated on [[scrubWitness]]
+    * literals. (A Column-combinator fold of gated stages references the
+    * accumulator 3× per stage — the analyzed tree grew 3^6 and the
+    * pipeline plan dump went 80→370 KB; one kernel node is O(1).)
     * Equivalence with the canonical ungated chain is covered by the sha256
     * differential test in CodeQualitySpec and the scrub_pii DuckDB oracle. */
   def scrubPii(content: Column): Column = {
-    val afterEmail = when(content.contains("@"),
-        regexp_replace(content, emailPossessive, "<EMAIL>"))
-      .otherwise(content) // null content stays null on both branches
-    piiPatterns.drop(1).foldLeft(afterEmail) { case (c, (name, re, repl)) =>
-      scrubWitness.get(name) match {
-        case Some(w) => when(c.contains(w), regexp_replace(c, re, repl)).otherwise(c)
-        case None    => regexp_replace(c, re, repl)
-      }
-    }
+    val stages = ("email", emailPossessive, "<EMAIL>") +: piiPatterns.drop(1)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PiiScrubExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(content),
+        stages.map { case (name, re, repl) =>
+          (re, repl, if (name == "email") Some("@") else scrubWitness.get(name))
+        }))
   }
 
   /** True if any PII pattern matches (pre-scrub witness for audit). */

@@ -55,7 +55,10 @@ class CodegenGateSpec extends SparkSpec {
     "BpeEncodeExpr(count)" -> BpeEncodeExpr(strIn,
       Array("t", "h", "th", "e", "q", "u"), lowercase = true, emitTokens = false),
     "BpeEncodeExpr(tokens)" -> BpeEncodeExpr(strIn,
-      Array("t", "h", "th", "e", "q", "u"), lowercase = true, emitTokens = true)
+      Array("t", "h", "th", "e", "q", "u"), lowercase = true, emitTokens = true),
+    "PiiScrubExpr" -> PiiScrubExpr(strIn, Seq(
+      ("[A-Za-z]+word", "<W>", Some("word")),
+      ("[a-z]{40,}", "<LONG>", None)))
   )
 
   private val sampleTexts = Seq(
