@@ -434,7 +434,10 @@ object Bench {
         // model-based quality scoring (constant logistic head, map-only
         // codegen'd projection) and learned-BPE token counting (driver
         // merge training over the capped word table + map-only encode)
-        "quality_classifier", "bpe_token_count")
+        "quality_classifier", "bpe_token_count",
+        // DSIR importance resampling end-to-end (one conditional count-agg
+        // fit pass + map-only fixed-point scoring + TakeOrdered selection)
+        "dsir_select")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -59,6 +59,16 @@ object QueryCatalog {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
+  /** One row per word occurrence with its DSIR md5 bucket (B = 256 = 16²,
+    * so the bucket is the first TWO md5 hex chars) — the SQL mirror of
+    * [[graft.functions.DsirKernel]]'s tokenize + bucketOf. */
+  private val DsirWordsSql =
+    """SELECT doc_id, source, ('0x' || substr(md5(word), 1, 2))::int AS b
+      |FROM (SELECT doc_id, source,
+      |        unnest(string_split_regex(lower(text), '\s+')) AS word
+      |      FROM documents)
+      |WHERE length(word) > 0""".stripMargin
+
   /** Multi-line content for the boilerplate-line family: two injected
     * corpus-wide header lines (df scales with the corpus), the natural
     * text line, and a per-doc-unique md5 trailer that must survive
@@ -1304,6 +1314,62 @@ object QueryCatalog {
            |  CASE source WHEN 'src0' THEN '${th(1.0)}' WHEN 'src1' THEN '${th(0.5)}'
            |  WHEN 'src2' THEN '${th(0.25)}' ELSE '${th(0.1)}' END""".stripMargin
       }),
+
+    // ---- DSIR importance resampling (operators/Dsir — Xie et al. 2023) ----
+    // The md5-bucket featurization is the SQL bridge: bucket(word) =
+    // int(hex(md5(word))[0:h], 16) with B = 16^h (= 256 in these fixtures),
+    // identical in Spark (DsirKernel) and DuckDB ('0x'||substr(md5(w),1,2)).
+    // dsir_counts oracles the distributed FIT input hash-exact (the one
+    // conditional-agg pass the fit runs); dsir_score / dsir_topk oracle the
+    // scoring + selection kernels hash-exact under synthetic all-integer
+    // weights; dsir_select is the fitted end-to-end path — rows-only by
+    // declaration, because the fit's driver-side ln() over 2·B longs is not
+    // SQL-replayable (the counting beneath it IS dsir_counts; the log-ratio
+    // arithmetic is pinned by DsirSpec's differential + hand fixture).
+    Q("dsir_counts",
+      (s, dir) => graft.operators.Dsir.countsTable(
+        t(s, dir, "documents"), col("text"), col("source") === "src0", 256),
+      Some(s"""WITH w AS ($DsirWordsSql),
+              |agg AS (SELECT b,
+              |  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS t,
+              |  COUNT(*) AS r FROM w GROUP BY b)
+              |SELECT CAST(gs.g AS INTEGER) AS bucket,
+              |  COALESCE(agg.t, CAST(0 AS BIGINT)) AS target_n,
+              |  COALESCE(agg.r, CAST(0 AS BIGINT)) AS raw_n
+              |FROM generate_series(0, 255) gs(g) LEFT JOIN agg ON gs.g = agg.b""".stripMargin)),
+
+    Q("dsir_score",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.Dsir.score(col("text"),
+          graft.operators.Dsir.syntheticWeights(256)).as("dsir_score")),
+      Some(s"""WITH w AS ($DsirWordsSql),
+              |wt(b, wv) AS (VALUES ${graft.operators.Dsir.weightsSqlValues(
+                 graft.operators.Dsir.syntheticWeights(256))}),
+              |ws AS (SELECT doc_id, CAST(SUM(wv) AS BIGINT) AS s
+              |       FROM w JOIN wt ON w.b = wt.b GROUP BY doc_id)
+              |SELECT d.doc_id, COALESCE(ws.s, CAST(0 AS BIGINT)) AS dsir_score
+              |FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id""".stripMargin)),
+
+    Q("dsir_topk",
+      (s, dir) => graft.operators.Dsir.selectTopK(
+          t(s, dir, "documents"), col("text"), col("doc_id"),
+          graft.operators.Dsir.syntheticWeights(256), k = 100)
+        .select("doc_id", "dsir_score"),
+      Some(s"""WITH w AS ($DsirWordsSql),
+              |wt(b, wv) AS (VALUES ${graft.operators.Dsir.weightsSqlValues(
+                 graft.operators.Dsir.syntheticWeights(256))}),
+              |ws AS (SELECT doc_id, CAST(SUM(wv) AS BIGINT) AS s
+              |       FROM w JOIN wt ON w.b = wt.b GROUP BY doc_id)
+              |SELECT d.doc_id, COALESCE(ws.s, CAST(0 AS BIGINT)) AS dsir_score
+              |FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id
+              |ORDER BY dsir_score DESC, d.doc_id LIMIT 100""".stripMargin)),
+
+    Q("dsir_select",
+      (s, dir) => graft.operators.Dsir.importanceResample(
+          t(s, dir, "documents"), col("text"), col("doc_id"),
+          col("source") === "src0", k = 100)
+        .select("doc_id", "source", "dsir_score"),
+      None),
 
     Q("scrub_pii",
       (s, dir) => {

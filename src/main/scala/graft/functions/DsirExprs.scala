@@ -1,0 +1,137 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared word→bucket hashing for the DSIR family (importance resampling,
+  * Xie et al., "Data Selection for Language Models via Importance
+  * Resampling", NeurIPS 2023): documents are hashed bags of words, the
+  * bucket of a word is the top hex digits of its MD5.
+  *
+  * MD5 — not murmur — is deliberate: it is the one hash both engines of the
+  * correctness gate share bit-for-bit (`md5()` in Spark and DuckDB), so the
+  * entire feature extraction is SQL-replayable and the distributed count /
+  * score kernels get HASH-EXACT oracles (same trick as
+  * [[graft.operators.Sampling]]'s md5-hex thresholds). The bucket count B
+  * must be a power of 16 so "md5 hex prefix" and "top bits of the digest"
+  * are the same function on both sides: bucket = int(hex(md5(w))[0:h], 16)
+  * with B = 16^h.
+  *
+  * Tokenization matches the repo-wide oracle convention exactly
+  * (`split(lower(text), "\\s+")`, empties dropped — see vocab_topk /
+  * text_tokens): lowercase is Locale.ROOT to stay byte-identical with
+  * Spark's UTF8String.toLowerCase on ASCII corpora.
+  */
+object DsirKernel {
+  /** Max hex chars such that the bucket index fits a positive Int. */
+  val MaxHexChars = 7
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** hexChars h for a bucket count B = 16^h; rejects non-power-of-16. */
+  def hexCharsFor(buckets: Int): Int = {
+    var h = 0
+    var b = buckets
+    while (b > 1 && b % 16 == 0) { b /= 16; h += 1 }
+    require(b == 1 && h >= 1 && h <= MaxHexChars,
+      s"buckets must be 16^h with 1<=h<=$MaxHexChars (got $buckets)")
+    h
+  }
+
+  /** Bucket of one (already lowercased) word: the top h hex digits of its
+    * MD5 — identical to `('0x' || substr(md5(w),1,h))::int` in DuckDB. */
+  def bucketOf(word: String, hexChars: Int): Int = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(word.getBytes(StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+      ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+    v >>> (32 - 4 * hexChars)
+  }
+
+  private def words(s: String): Array[String] =
+    s.toLowerCase(Locale.ROOT).split("\\s+")
+
+  /** Σ over word OCCURRENCES of weights(bucket(word)) — exact long sum,
+    * order-independent, so two engines summing in any order agree. */
+  def score(in: UTF8String, weights: Array[Long], hexChars: Int): Long = {
+    val ws = words(in.toString)
+    var acc = 0L
+    var i = 0
+    while (i < ws.length) {
+      if (ws(i).nonEmpty) acc += weights(bucketOf(ws(i), hexChars))
+      i += 1
+    }
+    acc
+  }
+
+  /** Per-word-occurrence bucket histogram accumulation (the aggregation
+    * kernel behind [[HashedBucketCountsAgg]]). */
+  def countInto(s: String, buf: Array[Long], hexChars: Int): Unit = {
+    val ws = words(s)
+    var i = 0
+    while (i < ws.length) {
+      if (ws(i).nonEmpty) buf(bucketOf(ws(i), hexChars)) += 1L
+      i += 1
+    }
+  }
+}
+
+/** Distributed hashed-bag-of-words counts: each partition accumulates ONE
+  * flat B-cell long histogram over word occurrences, partials merge
+  * element-wise — O(partitions·B) shuffle bytes at any corpus size, the
+  * same map-side-combined shape as [[BigramCountsAgg]]. This is the entire
+  * distributed part of a DSIR fit: the driver turns two such histograms
+  * (target, raw) into log-ratio importance weights. */
+case class HashedBucketCountsAgg(child: Expression,
+                                 buckets: Int,
+                                 mutableAggBufferOffset: Int = 0,
+                                 inputAggBufferOffset: Int = 0) extends NgramCountsAggBase {
+  private val hexChars = DsirKernel.hexCharsFor(buckets)
+  protected val cells: Int = buckets
+  protected def accumulate(s: String, buf: Array[Long]): Unit =
+    DsirKernel.countInto(s, buf, hexChars)
+  override def withNewMutableAggBufferOffset(newOffset: Int): HashedBucketCountsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HashedBucketCountsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HashedBucketCountsAgg =
+    copy(child = newChild)
+}
+
+/** DSIR importance log-weight of a document under a CONSTANT fixed-point
+  * weight table (one long per bucket, scale chosen by the fitter): one
+  * codegen'd map-only pass — tokenize, hash, sum longs. The weights ride
+  * the serialized plan like [[LinearScoreExpr]]'s head; the sum is exact
+  * integer arithmetic, which is what makes the kernel hash-exact against a
+  * SQL oracle joining the same (bucket, weight) table. NULL text → NULL;
+  * wordless text → 0. */
+case class DsirScoreExpr(child: Expression, weights: Array[Long])
+    extends UnaryExpression {
+  private val hexChars = DsirKernel.hexCharsFor(weights.length)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  // stable identity for plan dumps (an Array field would print [J@hashcode)
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"weights<${weights.length}>")
+
+  override def nullSafeEval(input: Any): Any =
+    DsirKernel.score(input.asInstanceOf[UTF8String], weights, hexChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("dsirWeights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DsirKernel.score($c, $wRef, $hexChars);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScoreExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.{DsirKernel, DsirScoreExpr, HashedBucketCountsAgg}
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023): pick raw-corpus documents whose hashed-n-gram distribution looks
+  * like a TARGET corpus. Published recipe: featurize every document as a
+  * hashed bag of words, fit two smoothed multinomials (target γ_t, raw
+  * γ_r) over the B buckets, weight each raw document by
+  * log γ_t/γ_r · counts, and keep the top-k (the paper resamples with
+  * Gumbel noise; the deterministic top-k variant is its zero-temperature
+  * limit and the only one two engines can agree on bit-for-bit).
+  *
+  * Scale shape, end to end:
+  *  1. FIT — one distributed pass: [[HashedBucketCountsAgg]] reduces the
+  *     corpus to two B-cell long histograms map-side (O(partitions·B)
+  *     shuffle bytes, corpus-size-independent), the driver does the
+  *     log-ratio arithmetic on 2·B longs. Both histograms come from ONE
+  *     scan via a conditional child (`when(targetCond, text)`).
+  *  2. SCORE — map-only: the fitted weights ride the serialized plan into
+  *     [[DsirScoreExpr]], one codegen'd pass, no shuffle, no broadcast
+  *     round-trip.
+  *  3. SELECT — top-k by (score desc, id asc) compiles to
+  *     TakeOrderedAndProject: per-partition heaps, never a global sort.
+  *
+  * Weights are FIXED-POINT longs (log-ratio × 2^20, half-even rounded):
+  * integer document scores sum exactly in any order, so the scoring and
+  * selection stages carry hash-exact DuckDB oracles; the fit's only
+  * non-replayable step (driver-side `Math.log` on 2·B counts) is pinned by
+  * a differential spec instead (the distributed counting underneath it IS
+  * oracled — see the dsir_counts query).
+  */
+object Dsir {
+
+  /** Fixed-point scale for log-ratio weights: 2^20 ≈ 10^6 — six decimal
+    * digits of log-space resolution, while Σ|w|·tokens stays far inside
+    * Long even at 10^6-token documents. */
+  val WeightScale: Long = 1L << 20
+
+  /** Aggregate Column: flat B-cell word-occurrence histogram of `text`
+    * across all rows (NULL rows contribute nothing — combine with
+    * `when(cond, text)` for a conditional histogram in the same pass). */
+  def bucketCounts(text: Column, buckets: Int): Column =
+    ColumnBridge.column(
+      HashedBucketCountsAgg(ColumnBridge.expression(text), buckets)
+        .toAggregateExpression())
+
+  /** Target-vs-raw bucket histograms in ONE distributed pass:
+    * (bucket int, target_n long, raw_n long), all B rows (zero buckets
+    * included). Driver-scale output — B is a model size, not data size. */
+  def countsTable(df: DataFrame, text: Column, targetCond: Column,
+                  buckets: Int): DataFrame = {
+    val row = df.agg(
+      bucketCounts(when(targetCond, text), buckets).as("t"),
+      bucketCounts(text, buckets).as("r")).head()
+    val t = row.getSeq[Long](0)
+    val r = row.getSeq[Long](1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until buckets).map(b => (b, t(b), r(b)))
+      .toDF("bucket", "target_n", "raw_n")
+  }
+
+  /** Fit fixed-point importance weights from two histograms (target, raw)
+    * with add-α smoothing: w_b = round(2^20 · (ln γ_t[b] − ln γ_r[b])),
+    * γ[b] = (c_b + α) / (Σc + αB). Pure driver arithmetic on 2·B longs. */
+  def weightsFromCounts(target: Array[Long], raw: Array[Long],
+                        alpha: Double = 1.0,
+                        scale: Long = WeightScale): Array[Long] = {
+    require(target.length == raw.length, "histogram size mismatch")
+    val b = target.length
+    val tTot = target.sum.toDouble + alpha * b
+    val rTot = raw.sum.toDouble + alpha * b
+    Array.tabulate(b) { i =>
+      val lr = math.log((target(i) + alpha) / tTot) -
+        math.log((raw(i) + alpha) / rTot)
+      math.rint(lr * scale).toLong
+    }
+  }
+
+  /** FIT, one distributed pass over `raw`: target is the subset where
+    * `targetCond` holds (the common DSIR setup — a labeled in-domain
+    * slice of the same table; for a physically separate target corpus use
+    * [[fitWeightsFrom]]). */
+  def fitWeights(raw: DataFrame, text: Column, targetCond: Column,
+                 buckets: Int = 4096, alpha: Double = 1.0,
+                 scale: Long = WeightScale): Array[Long] = {
+    val row = raw.agg(
+      bucketCounts(when(targetCond, text), buckets).as("t"),
+      bucketCounts(text, buckets).as("r")).head()
+    weightsFromCounts(row.getSeq[Long](0).toArray, row.getSeq[Long](1).toArray,
+      alpha, scale)
+  }
+
+  /** FIT from two separate corpora: two count passes (each one scan,
+    * O(partitions·B) shuffle), driver log-ratio. */
+  def fitWeightsFrom(target: DataFrame, targetText: Column,
+                     raw: DataFrame, rawText: Column,
+                     buckets: Int = 4096, alpha: Double = 1.0,
+                     scale: Long = WeightScale): Array[Long] = {
+    val t = target.agg(bucketCounts(targetText, buckets)).head().getSeq[Long](0)
+    val r = raw.agg(bucketCounts(rawText, buckets)).head().getSeq[Long](0)
+    weightsFromCounts(t.toArray, r.toArray, alpha, scale)
+  }
+
+  /** Deterministic stand-in weights (integer mix → [-512, 511], exact in
+    * any SQL dialect): the oracle fixture for the scoring/selection
+    * kernels, mirroring [[ModelScore.syntheticHead]]. */
+  def syntheticWeights(buckets: Int, seed: Long = 42L): Array[Long] = {
+    DsirKernel.hexCharsFor(buckets): Unit // validate shape
+    Array.tabulate(buckets) { b =>
+      val m = (seed * 6364136223846793005L + b * 1442695040888963407L) >>> 33
+      (m % 1024L) - 512L
+    }
+  }
+
+  /** Importance log-weight (fixed-point long) of `text` under fitted or
+    * synthetic weights. Map-only; NULL text → NULL, wordless → 0. */
+  def score(text: Column, weights: Array[Long]): Column =
+    ColumnBridge.column(DsirScoreExpr(ColumnBridge.expression(text), weights))
+
+  /** The zero-temperature selection: top-k rows by (score desc, id asc) —
+    * ties broken by id so the k-set is engine-independent. Compiles to
+    * TakeOrderedAndProject over the map-only scored scan. */
+  def selectTopK(df: DataFrame, text: Column, idCol: Column,
+                 weights: Array[Long], k: Int): DataFrame =
+    df.withColumn("dsir_score", score(text, weights))
+      .orderBy(col("dsir_score").desc, idCol.asc)
+      .limit(k)
+
+  /** End to end: fit on `raw` against its `targetCond` slice, score, keep
+    * top-k. One count pass + one scored TakeOrdered pass. */
+  def importanceResample(raw: DataFrame, text: Column, idCol: Column,
+                         targetCond: Column, k: Int,
+                         buckets: Int = 4096, alpha: Double = 1.0): DataFrame =
+    selectTopK(raw, text, idCol,
+      fitWeights(raw, text, targetCond, buckets, alpha), k)
+
+  /** `(b, w)` VALUES list for SQL oracles — all-integer literals, zero
+    * parse drift. */
+  def weightsSqlValues(weights: Array[Long]): String =
+    weights.zipWithIndex.map { case (w, b) => s"($b, $w)" }.mkString(", ")
+}

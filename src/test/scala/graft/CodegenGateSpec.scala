@@ -58,7 +58,9 @@ class CodegenGateSpec extends SparkSpec {
       Array("t", "h", "th", "e", "q", "u"), lowercase = true, emitTokens = true),
     "PiiScrubExpr" -> PiiScrubExpr(strIn, Seq(
       ("[A-Za-z]+word", "<W>", Some("word")),
-      ("[a-z]{40,}", "<LONG>", None)))
+      ("[a-z]{40,}", "<LONG>", None))),
+    "DsirScoreExpr" -> DsirScoreExpr(strIn,
+      graft.operators.Dsir.syntheticWeights(256, seed = 3L))
   )
 
   private val sampleTexts = Seq(

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.DsirKernel
+import graft.operators.Dsir
+
+/** DSIR importance resampling (operators/Dsir + functions/DsirExprs).
+  *
+  * The distributed counting and integer scoring carry hash-exact DuckDB
+  * oracles (dsir_counts / dsir_score / dsir_topk); this suite pins what the
+  * oracles can't reach — the md5 bucket function itself, the driver-side
+  * log-ratio arithmetic (differential against a direct recomputation), and
+  * the end-to-end selection semantics on a planted two-domain corpus. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketOf equals the md5-hex-prefix reference definition") {
+    val words = Seq("foo", "bar", "the", "x", "0", "répé", "Mixed")
+    for (w <- words; h <- Seq(1, 2, 3, 4)) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(DsirKernel.bucketOf(w, h) == Integer.parseInt(hex.substring(0, h), 16),
+        s"bucketOf('$w', $h)")
+    }
+    // rejects non-power-of-16 bucket counts
+    intercept[IllegalArgumentException](DsirKernel.hexCharsFor(100))
+    intercept[IllegalArgumentException](DsirKernel.hexCharsFor(0))
+    assert(DsirKernel.hexCharsFor(16) == 1 && DsirKernel.hexCharsFor(4096) == 3)
+  }
+
+  test("bucketCounts agg equals brute-force explode recount") {
+    val docs = Seq(
+      (1L, "the quick Brown fox  the\tfox"),
+      (2L, "jumps over the lazy dog"),
+      (3L, ""), (4L, "   "), (5L, "fox")).toDF("id", "text")
+    val got = docs.agg(Dsir.bucketCounts(col("text"), 256)).head().getSeq[Long](0)
+    val want = new Array[Long](256)
+    docs.collect().foreach { r =>
+      r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .foreach(w => want(DsirKernel.bucketOf(w, 2)) += 1)
+    }
+    assert(got == want.toSeq)
+    assert(got.sum == 12L) // 7 + 5 + 0 + 0 + 1 word occurrences... recounted below
+    assert(got.sum == docs.collect().map(
+      _.getString(1).toLowerCase.split("\\s+").count(_.nonEmpty)).sum)
+  }
+
+  test("conditional child counts only the target slice in the same pass") {
+    val docs = Seq((1L, "a", "aa bb"), (2L, "b", "aa"), (3L, "a", "cc"))
+      .toDF("id", "grp", "text")
+    val row = docs.agg(
+      Dsir.bucketCounts(when(col("grp") === "a", col("text")), 16).as("t"),
+      Dsir.bucketCounts(col("text"), 16).as("r")).head()
+    assert(row.getSeq[Long](0).sum == 3L) // aa bb cc
+    assert(row.getSeq[Long](1).sum == 4L) // + the grp=b "aa"
+  }
+
+  test("score kernel equals per-word weight-sum recomputation; edges") {
+    val w = Dsir.syntheticWeights(256, seed = 7L)
+    val docs = Seq((1L, "the quick brown fox"), (2L, ""), (3L, " \t "),
+      (4L, "the the the"), (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = docs.select(col("id"), Dsir.score(col("text"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    def brute(s: String): Long =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(t => w(DsirKernel.bucketOf(t, 2))).sum
+    assert(got(1L) == brute("the quick brown fox"))
+    assert(got(2L) == 0L && got(3L) == 0L)
+    assert(got(4L) == 3 * w(DsirKernel.bucketOf("the", 2)))
+    assert(got(5L) == null)
+  }
+
+  test("weightsFromCounts differential: matches direct formula, signs sane") {
+    val t = Array(10L, 0L, 5L, 0L)
+    val r = Array(10L, 100L, 5L, 0L)
+    // B=4 is not 16^h, but weightsFromCounts is shape-agnostic (only the
+    // hashing layer needs power-of-16); validate pure arithmetic here.
+    val w = Dsir.weightsFromCounts(t, r, alpha = 1.0, scale = 1L << 20)
+    val tTot = 15.0 + 4; val rTot = 115.0 + 4
+    (0 until 4).foreach { i =>
+      val lr = math.log((t(i) + 1.0) / tTot) - math.log((r(i) + 1.0) / rTot)
+      assert(w(i) == math.rint(lr * (1L << 20)).toLong, s"bucket $i")
+    }
+    // bucket 1 is raw-only → strongly negative; bucket 0 target-enriched → positive
+    assert(w(1) < 0 && w(0) > 0)
+    // equal distributions → all-zero weights
+    assert(Dsir.weightsFromCounts(r, r).forall(_ == 0L))
+  }
+
+  test("end-to-end: importanceResample picks exactly the target-like docs") {
+    // Target slice: natural words. Raw noise: per-doc-unique hex gibberish
+    // (md5 expansions — no vocabulary overlap with the target distribution).
+    val natWords = Array("def", "return", "for", "while", "class", "import")
+    def nat(i: Long) = (0 until 20).map(j => natWords(((i + j) % 6).toInt)).mkString(" ")
+    def hex(i: Long) = (0 until 4).map(j => s"h${i}x$j" + ("f" * 8)).mkString(" ")
+    val rows =
+      (0L until 10L).map(i => (i, "tgt", nat(i))) ++       // labeled target
+        (100L until 110L).map(i => (i, "raw", nat(i))) ++   // target-LIKE raw docs
+        (200L until 280L).map(i => (i, "raw", hex(i)))      // off-domain raw docs
+    val df = rows.toDF("id", "lab", "text").repartition(4)
+    val picked = Dsir.importanceResample(df, col("text"), col("id"),
+        col("lab") === "tgt", k = 20, buckets = 256)
+      .select("id").as[Long].collect().toSet
+    // the 10 labeled target docs + the 10 target-like raw docs, nothing else
+    assert(picked == ((0L until 10L) ++ (100L until 110L)).toSet)
+  }
+
+  test("selectTopK plan is TakeOrdered over a map-only scored scan") {
+    val df = (0L until 100L).map(i => (i, s"w$i common tok")).toDF("id", "text")
+    val plan = Dsir.selectTopK(df, col("text"), col("id"),
+      Dsir.syntheticWeights(256), k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), s"selection should not shuffle:\n$plan")
+  }
+}
