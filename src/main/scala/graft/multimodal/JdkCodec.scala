@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import Multimodal.MediaCodec
+
+/** REAL media decode using only what every JDK ships — no external codec
+  * libraries: `javax.imageio` (PNG, JPEG, BMP, GIF, WBMP) for images and
+  * `javax.sound.sampled` (WAV/AIFF PCM) for audio. This is the drop-in the
+  * StubCodec contract was written for; MultimodalJdkCodecSpec verifies it
+  * with LOSSLESS round-trips (gray PNG → decode → exact plane equality;
+  * PCM16 WAV → decode → exact sample equality) plus end-to-end operator
+  * runs over a real-payload synthetic corpus, and the pooling/windowing
+  * geometry tests around the boundary are unchanged.
+  *
+  * Determinism: PNG and PCM-WAV are lossless formats — decode is
+  * byte-exact everywhere. JPEG decode is deterministic for a given JDK but
+  * not specified bit-exact ACROSS decoder implementations; exact-equality
+  * tests therefore pin only the lossless formats (the published-pipeline
+  * practice: perceptual features, not byte equality, cross the JPEG
+  * boundary).
+  *
+  * Luma extraction: single-band images read the raster sample directly
+  * (identity for 8-bit gray — `getRGB` would round-trip through sRGB gamma
+  * and break exactness); multi-band images use integer ITU-R BT.601 luma
+  * (299·R + 587·G + 114·B) / 1000 over the sRGB pixel.
+  *
+  * Corrupt payloads THROW with the media kind in the message — decide
+  * keep/drop explicitly upstream with [[decodableImage]] /
+  * [[decodableAudio]] (cheap header probes) rather than silently
+  * substituting pixels.
+  */
+object JdkCodec extends MediaCodec {
+
+  override def image(data: Array[Byte], wHint: Int, hHint: Int): (Int, Int, Array[Byte]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(data))
+    require(img != null, "undecodable image payload (no ImageIO reader matched)")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    val raster = img.getRaster
+    if (raster.getNumBands == 1) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          out(y * w + x) = luma.toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, out)
+  }
+
+  override def audio(data: Array[Byte], rateHint: Int, samplesHint: Int): (Int, Array[Short]) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(data))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected mono PCM16, got $fmt")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Short](n)
+      val big = fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        val b0 = bytes(2 * i) & 0xff; val b1 = bytes(2 * i + 1) & 0xff
+        out(i) = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort
+        i += 1
+      }
+      (math.round(fmt.getSampleRate), out)
+    } finally in.close()
+  }
+
+  /** Header probe: true iff some installed ImageIO reader claims the
+    * payload (does not decode pixels — cheap enough for a filter column). */
+  def decodableImage(data: Array[Byte]): Boolean = {
+    val s = ImageIO.createImageInputStream(new ByteArrayInputStream(data))
+    try ImageIO.getImageReaders(s).hasNext finally s.close()
+  }
+
+  /** Header probe for audio payloads. */
+  def decodableAudio(data: Array[Byte]): Boolean =
+    try { AudioSystem.getAudioFileFormat(new ByteArrayInputStream(data)); true }
+    catch { case _: Exception => false }
+
+  // ---- encoders (fixture/synthesis side; both formats lossless) ----------
+
+  /** 8-bit gray plane → PNG bytes (lossless: decoding returns the exact
+    * plane). */
+  def encodePngGray(w: Int, h: Int, plane: Array[Byte]): Array[Byte] = {
+    require(plane.length == w * h, s"plane ${plane.length} != $w x $h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, plane(y * w + x) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Mono PCM16 samples → WAV bytes (lossless container). */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+}

@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata structs, plus batch decode / feature-extract /
   * resize / frame-sample plumbing.
   *
-  * The decode kernels themselves are STUBBED (this container has no codec
-  * libraries): [[StubCodec]] derives deterministic fake pixels/samples from
-  * the bytes, and is clearly marked as the plug-point. Everything around
-  * them — schema, batch shape, partition-locality, feature geometry — is
-  * real and tested. In production the stub body is replaced by a JNI codec
-  * (Scala) or `mapInPandas` + PIL/torchaudio (PySpark); the operator
-  * signatures do not change.
+  * The decode boundary is PLUGGABLE ([[MediaCodec]]). Two implementations
+  * ship: [[JdkCodec]] — a REAL decoder for PNG/JPEG/BMP/GIF images
+  * (`javax.imageio`) and WAV/PCM audio (`javax.sound.sampled`), both part
+  * of every JDK, no external libraries — and [[StubCodec]], the
+  * deterministic fake kept as the default for geometry tests and as the
+  * documented plug-point for formats the JDK lacks (video: there is no
+  * JDK video decoder; production plugs a JNI codec or `mapInPandas` +
+  * torchvision there — the operator signatures do not change).
   *
   * Scale notes: all ops are `mapPartitions` over batched iterators — one
   * decoder instance per partition (not per row), no shuffle, binary bytes
@@ -35,19 +36,29 @@ object Multimodal {
   case class VideoFrame(media_id: Long, frameIdx: Int, tsMs: Int,
                         thumb: Array[Byte])
 
-  /** ========== STUB: the codec boundary. ==========
-    * Deterministic fake decode — replace with a real codec in production.
-    * Kept pure (bytes → values) so tests are exact.
-    *
-    * DROP-IN CONTRACT: MultimodalStreamingSpec's "golden … vector" tests pin
-    * fixed input bytes to exact expected features/RMS/thumbnail digests.
-    * A real codec replaces this object, runs the same golden inputs, and the
-    * literals are updated from its reference output — every operator around
-    * the boundary (pooling, windowing, frame timing) is verified unchanged. */
-  object StubCodec {
-    /** ??? in spirit: a real impl would decode pixels; the fake derives a
-      * deterministic byte stream from the payload so downstream geometry
-      * (w×h, channel math) is exercised honestly. */
+  /** The codec boundary: bytes → pixels/samples. Implementations must be
+    * pure functions of the payload (exact-testable) and Serializable (the
+    * instance rides the closure to executors; decoding state — readers,
+    * buffers — must be created per call or per partition, never shared). */
+  trait MediaCodec extends Serializable {
+    /** payload → (width, height, 8-bit luma plane, row-major). The hints
+      * are the catalog metadata dims; a REAL codec returns the stream's
+      * own geometry (and may use hints only as a sanity cross-check). */
+    def image(data: Array[Byte], wHint: Int, hHint: Int): (Int, Int, Array[Byte])
+    /** payload → (sampleRate, mono PCM16). `samplesHint` is the expected
+      * count from metadata; a real codec returns what the stream holds. */
+    def audio(data: Array[Byte], rateHint: Int, samplesHint: Int): (Int, Array[Short])
+  }
+
+  /** ========== STUB codec (default; the video plug-point). ==========
+    * Deterministic fake decode — pure (bytes → values) so geometry tests
+    * are exact. The golden-vector tests in MultimodalStreamingSpec pin its
+    * contract; [[JdkCodec]] is the real drop-in for image/audio, verified
+    * against lossless round-trips in MultimodalJdkCodecSpec. */
+  object StubCodec extends MediaCodec {
+    /** A real impl decodes pixels; the fake derives a deterministic byte
+      * stream from the payload so downstream geometry (w×h, channel math)
+      * is exercised honestly. */
     def decodeImage(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val out = new Array[Byte](w * h)
       var acc = 0x9E3779B9
@@ -70,18 +81,24 @@ object Multimodal {
       }
       out
     }
+    override def image(data: Array[Byte], wHint: Int, hHint: Int): (Int, Int, Array[Byte]) =
+      (wHint, hHint, decodeImage(data, wHint, hHint))
+    override def audio(data: Array[Byte], rateHint: Int, samplesHint: Int): (Int, Array[Short]) =
+      (rateHint, decodeAudio(data, samplesHint))
   }
 
   /** Image → fixed-size feature vector (8×8 mean-pool grid of the decoded
-    * plane). Batched per partition; one "decoder" per partition. */
-  def imageFeatures(media: Dataset[MediaRow], grid: Int = 8): Dataset[ImageFeatures] = {
+    * plane). Batched per partition; one "decoder" per partition. Geometry
+    * comes from the CODEC's decode (a real codec reads it off the stream),
+    * not from the catalog metadata. */
+  def imageFeatures(media: Dataset[MediaRow], grid: Int = 8,
+                    codec: MediaCodec = StubCodec): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "image").mapPartitions { it =>
       // per-partition decoder init would go here (model/codec handle)
       it.grouped(64).flatMap { batch => // batch shape ≡ mapInPandas batches
         batch.iterator.map { r =>
-          val w = r.meta.width; val h = r.meta.height
-          val px = StubCodec.decodeImage(r.data, w, h)
+          val (w, h, px) = codec.image(r.data, r.meta.width, r.meta.height)
           val feats = new Array[Float](grid * grid)
           val cw = math.max(w / grid, 1); val ch = math.max(h / grid, 1)
           var gy = 0
@@ -109,19 +126,20 @@ object Multimodal {
     }
   }
 
-  /** Image resize (stub decode → nearest-neighbor resample → re-encoded
-    * opaque bytes). Geometry math is real. */
-  def resizeImages(media: Dataset[MediaRow], newW: Int, newH: Int): DataFrame = {
+  /** Image resize (codec decode → nearest-neighbor resample → opaque
+    * bytes). Geometry math is real; dims come from the decode. */
+  def resizeImages(media: Dataset[MediaRow], newW: Int, newH: Int,
+                   codec: MediaCodec = StubCodec): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "image").map { r =>
-      val src = StubCodec.decodeImage(r.data, r.meta.width, r.meta.height)
+      val (sw, sh, src) = codec.image(r.data, r.meta.width, r.meta.height)
       val dst = new Array[Byte](newW * newH)
       var y = 0
       while (y < newH) {
-        val sy = y * r.meta.height / newH
+        val sy = y * sh / newH
         var x = 0
         while (x < newW) {
-          dst(y * newW + x) = src(sy * r.meta.width + x * r.meta.width / newW)
+          dst(y * newW + x) = src(sy * sw + x * sw / newW)
           x += 1
         }
         y += 1
@@ -130,8 +148,11 @@ object Multimodal {
     }.toDF("media_id", "width", "height", "data")
   }
 
-  /** Audio → fixed windows with RMS energy (stub decode; window math real). */
-  def audioWindows(media: Dataset[MediaRow], windowSamples: Int = 1024): Dataset[AudioWindows] = {
+  /** Audio → fixed windows with RMS energy. The window math runs over
+    * whatever the codec decodes (a real codec reads the stream's own
+    * sample count; the stub synthesizes the metadata-implied count). */
+  def audioWindows(media: Dataset[MediaRow], windowSamples: Int = 1024,
+                   codec: MediaCodec = StubCodec): Dataset[AudioWindows] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "audio").flatMap { r =>
       // Long math: 16 kHz × >134 s (or 48 kHz × >44.7 s) overflows Int and
@@ -140,7 +161,7 @@ object Multimodal {
       val totalSamples = r.meta.sampleRate.toLong * r.meta.durationMs / 1000L
       val nSamples = math.max(
         math.min(totalSamples, Int.MaxValue.toLong).toInt, windowSamples)
-      val pcm = StubCodec.decodeAudio(r.data, nSamples)
+      val (_, pcm) = codec.audio(r.data, r.meta.sampleRate, nSamples)
       pcm.grouped(windowSamples).zipWithIndex.map { case (w, i) =>
         val rms = math.sqrt(w.map(s => s.toDouble * s).sum / w.length)
         AudioWindows(r.media_id, i, rms)
@@ -158,6 +179,32 @@ object Multimodal {
         val ts = i * everyMs
         VideoFrame(r.media_id, i, ts,
           StubCodec.decodeImage(r.data, 16, 16)) // thumb = tiny stub decode at ts
+      }
+    }
+  }
+
+  /** Deterministic synthetic corpus with REAL payload bytes — PNG images
+    * and WAV/PCM16 audio encoded by [[JdkCodec]]'s lossless encoders — for
+    * driving the operators through an actual decode ([[JdkCodec]]) end to
+    * end. Patterns are integer-deterministic (no float raster math). */
+  def syntheticRealMedia(spark: SparkSession, n: Long, seed: Long = 42): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val r = new java.util.Random(seed * 104729 + id)
+      if (id % 2 == 0) {
+        val w = 16 + r.nextInt(48); val h = 16 + r.nextInt(48)
+        val plane = Array.tabulate(w * h) { i =>
+          ((i % w) * 7 + (i / w) * 13 + id * 31).toByte // gradient + per-id phase
+        }
+        MediaRow(id, MediaMeta("image", w, h, 0, 0, "png"),
+          JdkCodec.encodePngGray(w, h, plane))
+      } else {
+        val rate = 16000
+        val durMs = 100 + r.nextInt(400)
+        val nSamp = rate * durMs / 1000
+        val samples = Array.tabulate(nSamp)(i => ((i * 2731 + id * 12289) % 65536 - 32768).toShort)
+        MediaRow(id, MediaMeta("audio", 0, 0, rate, durMs, "wav-pcm16"),
+          JdkCodec.encodeWavPcm16(rate, samples))
       }
     }
   }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.multimodal.{JdkCodec, Multimodal}
+
+/** The REAL codec behind the multimodal boundary (javax.imageio +
+  * javax.sound.sampled — JDK-only, no external libraries), fulfilling the
+  * StubCodec drop-in contract: lossless round-trips pin the decode exactly,
+  * and the operators run end to end over real PNG/WAV payloads with the
+  * same geometry semantics the stub tests established. */
+class MultimodalJdkCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gradPlane(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h)(i => ((i % w) * 5 + (i / w) * 11).toByte)
+
+  test("gray PNG round-trip is byte-exact (lossless decode contract)") {
+    val (w, h) = (23, 17) // non-multiples-of-8 exercise row padding
+    val plane = gradPlane(w, h)
+    val png = JdkCodec.encodePngGray(w, h, plane)
+    // PNG magic — these are real container bytes, not a fake
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (dw, dh, dec) = JdkCodec.image(png, -1, -1) // hints ignored by a real codec
+    assert((dw, dh) == (w, h))
+    assert(dec.sameElements(plane))
+  }
+
+  test("RGB PNG decodes via integer BT.601 luma") {
+    val img = new java.awt.image.BufferedImage(4, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val pix = Seq(0xff0000, 0x00ff00, 0x0000ff, 0x7f7f7f)
+    pix.zipWithIndex.foreach { case (p, x) => img.setRGB(x, 0, p) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (_, _, dec) = JdkCodec.image(bos.toByteArray, -1, -1)
+    // (299R + 587G + 114B) / 1000, integer division
+    assert(dec.map(_ & 0xff).toSeq == Seq(299 * 255 / 1000, 587 * 255 / 1000,
+      114 * 255 / 1000, (299 * 127 + 587 * 127 + 114 * 127) / 1000))
+  }
+
+  test("WAV PCM16 round-trip is sample-exact; header rate preserved") {
+    val samples = Array.tabulate(3000)(i => ((i * 977) % 65536 - 32768).toShort)
+    val wav = JdkCodec.encodeWavPcm16(22050, samples)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val (rate, dec) = JdkCodec.audio(wav, -1, -1)
+    assert(rate == 22050)
+    assert(dec.sameElements(samples))
+  }
+
+  test("decodable probes accept real payloads and reject garbage") {
+    val png = JdkCodec.encodePngGray(4, 4, new Array[Byte](16))
+    val wav = JdkCodec.encodeWavPcm16(16000, new Array[Short](64))
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(JdkCodec.decodableImage(png) && !JdkCodec.decodableImage(junk))
+    assert(JdkCodec.decodableAudio(wav) && !JdkCodec.decodableAudio(junk))
+    intercept[IllegalArgumentException](JdkCodec.image(junk, 8, 8))
+  }
+
+  test("imageFeatures over real PNGs: pooled means equal a direct recompute") {
+    val media = Multimodal.syntheticRealMedia(spark, 20)
+    val feats = Multimodal.imageFeatures(media, grid = 4, codec = JdkCodec)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 10) // the even-id half are images
+    val byId = media.collect().map(r => r.media_id -> r).toMap
+    feats.foreach { f =>
+      val r = byId(f.media_id)
+      // dims come from the PNG stream itself and match the metadata we encoded
+      assert((f.width, f.height) == (r.meta.width, r.meta.height))
+      val (w, h, px) = JdkCodec.image(r.data, -1, -1)
+      val cw = math.max(w / 4, 1); val ch = math.max(h / 4, 1)
+      val expected = for (gy <- 0 until 4; gx <- 0 until 4) yield {
+        val xs = for (y <- gy * ch until math.min((gy + 1) * ch, h);
+                      x <- gx * cw until math.min((gx + 1) * cw, w)) yield px(y * w + x) & 0xff
+        if (xs.isEmpty) 0f else xs.sum.toFloat / xs.size
+      }
+      assert(f.features.toSeq == expected, s"media ${f.media_id}")
+    }
+  }
+
+  test("audioWindows over real WAVs: RMS windows match the encoded samples") {
+    val media = Multimodal.syntheticRealMedia(spark, 20)
+    val win = Multimodal.audioWindows(media, windowSamples = 512, codec = JdkCodec)
+      .collect().groupBy(_.media_id)
+    assert(win.keySet == (1L until 20L by 2).toSet)
+    val byId = media.collect().map(r => r.media_id -> r).toMap
+    win.foreach { case (id, ws) =>
+      val (_, pcm) = JdkCodec.audio(byId(id).data, -1, -1)
+      // real decode returns the stream's actual sample count
+      assert(pcm.length == byId(id).meta.sampleRate * byId(id).meta.durationMs / 1000)
+      val expected = pcm.grouped(512).map(w =>
+        math.sqrt(w.map(s => s.toDouble * s).sum / w.length)).toSeq
+      assert(ws.sortBy(_.windowIdx).map(_.rms).toSeq == expected, s"media $id")
+    }
+  }
+
+  test("resizeImages with the real codec uses decoded geometry") {
+    val media = Multimodal.syntheticRealMedia(spark, 8)
+    val out = Multimodal.resizeImages(media, 8, 8, codec = JdkCodec).collect()
+    assert(out.length == 4)
+    out.foreach(r => assert(r.getAs[Array[Byte]]("data").length == 64))
+  }
+}
