@@ -2555,6 +2555,33 @@ object QueryCatalog {
              |SELECT d.doc_id, d.stratum FROM d JOIN t USING (stratum)
              |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 12) < th""".stripMargin)),
 
+    // Token-budget mixture sampling (the data-recipe form: fixed token
+    // budgets per stratum): rate = min(1, budget/total) is ONE long→double
+    // division (correctly rounded), thresholds the same floor·2⁴⁸ hex
+    // replay as sample_temperature. Budgets make all three branches
+    // load-bearing: src0's budget exceeds its total (the 'g' keep-all
+    // sentinel), src1/src2 are partial at different rates, and the other
+    // 17 sources fall to defaultBudget = 0 (dropped entirely).
+    Q("sample_budget",
+      (s, dir) => graft.operators.Sampling.budgetSample(
+          t(s, dir, "documents"), col("source"), col("doc_id"),
+          length(col("text")), budgets = Map(
+            "src0" -> 1000000L, "src1" -> 4000L, "src2" -> 2000L),
+          seed = 13L)
+        .select("doc_id", "source"),
+      Some("""WITH tt AS (SELECT source, CAST(SUM(length(text)) AS BIGINT) AS tot
+             |            FROM documents GROUP BY source),
+             |r AS (SELECT source, CASE
+             |        WHEN source = 'src0' THEN least(1.0, 1000000.0 / CAST(tot AS DOUBLE))
+             |        WHEN source = 'src1' THEN least(1.0, 4000.0 / CAST(tot AS DOUBLE))
+             |        WHEN source = 'src2' THEN least(1.0, 2000.0 / CAST(tot AS DOUBLE))
+             |        ELSE 0.0 END AS rate FROM tt),
+             |t AS (SELECT source, CASE WHEN rate >= 1.0 THEN 'g'
+             |        ELSE printf('%012x', CAST(floor(rate * 281474976710656.0) AS BIGINT))
+             |        END AS th FROM r)
+             |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':13'), 1, 12) < th""".stripMargin)),
+
     // ------------------------------------------- license detection / filter
     Q("license_detect",
       (s, dir) => graft.operators.License.withLicense(

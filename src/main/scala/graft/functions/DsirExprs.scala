@@ -58,28 +58,37 @@ object DsirKernel {
   }
 
   private def words(s: String): Array[String] =
-    s.toLowerCase(Locale.ROOT).split("\\s+")
+    s.toLowerCase(Locale.ROOT).split("\\s+").filter(_.nonEmpty)
 
-  /** Σ over word OCCURRENCES of weights(bucket(word)) — exact long sum,
-    * order-independent, so two engines summing in any order agree. */
-  def score(in: UTF8String, weights: Array[Long], hexChars: Int): Long = {
+  /** Σ over feature OCCURRENCES of weights(bucket(feature)) — exact long
+    * sum, order-independent, so two engines summing in any order agree.
+    * `ngrams` = 1 hashes word unigrams (the SQL-oracled configuration);
+    * ngrams = 2 ADDS space-joined consecutive-word bigrams (the full
+    * feature set of the DSIR paper; suite-pinned). */
+  def score(in: UTF8String, weights: Array[Long], hexChars: Int,
+            ngrams: Int = 1): Long = {
     val ws = words(in.toString)
     var acc = 0L
     var i = 0
     while (i < ws.length) {
-      if (ws(i).nonEmpty) acc += weights(bucketOf(ws(i), hexChars))
+      acc += weights(bucketOf(ws(i), hexChars))
+      if (ngrams >= 2 && i + 1 < ws.length)
+        acc += weights(bucketOf(ws(i) + " " + ws(i + 1), hexChars))
       i += 1
     }
     acc
   }
 
-  /** Per-word-occurrence bucket histogram accumulation (the aggregation
+  /** Per-feature-occurrence bucket histogram accumulation (the aggregation
     * kernel behind [[HashedBucketCountsAgg]]). */
-  def countInto(s: String, buf: Array[Long], hexChars: Int): Unit = {
+  def countInto(s: String, buf: Array[Long], hexChars: Int,
+                ngrams: Int = 1): Unit = {
     val ws = words(s)
     var i = 0
     while (i < ws.length) {
-      if (ws(i).nonEmpty) buf(bucketOf(ws(i), hexChars)) += 1L
+      buf(bucketOf(ws(i), hexChars)) += 1L
+      if (ngrams >= 2 && i + 1 < ws.length)
+        buf(bucketOf(ws(i) + " " + ws(i + 1), hexChars)) += 1L
       i += 1
     }
   }
@@ -93,12 +102,14 @@ object DsirKernel {
   * (target, raw) into log-ratio importance weights. */
 case class HashedBucketCountsAgg(child: Expression,
                                  buckets: Int,
+                                 ngrams: Int = 1,
                                  mutableAggBufferOffset: Int = 0,
                                  inputAggBufferOffset: Int = 0) extends NgramCountsAggBase {
+  require(ngrams == 1 || ngrams == 2, s"ngrams must be 1 or 2, got $ngrams")
   private val hexChars = DsirKernel.hexCharsFor(buckets)
   protected val cells: Int = buckets
   protected def accumulate(s: String, buf: Array[Long]): Unit =
-    DsirKernel.countInto(s, buf, hexChars)
+    DsirKernel.countInto(s, buf, hexChars, ngrams)
   override def withNewMutableAggBufferOffset(newOffset: Int): HashedBucketCountsAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): HashedBucketCountsAgg =
@@ -114,22 +125,24 @@ case class HashedBucketCountsAgg(child: Expression,
   * integer arithmetic, which is what makes the kernel hash-exact against a
   * SQL oracle joining the same (bucket, weight) table. NULL text → NULL;
   * wordless text → 0. */
-case class DsirScoreExpr(child: Expression, weights: Array[Long])
+case class DsirScoreExpr(child: Expression, weights: Array[Long],
+                         ngrams: Int = 1)
     extends UnaryExpression {
+  require(ngrams == 1 || ngrams == 2, s"ngrams must be 1 or 2, got $ngrams")
   private val hexChars = DsirKernel.hexCharsFor(weights.length)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   // stable identity for plan dumps (an Array field would print [J@hashcode)
   override def stringArgs: Iterator[Any] =
-    Iterator(child, s"weights<${weights.length}>")
+    Iterator(child, s"weights<${weights.length}>", ngrams)
 
   override def nullSafeEval(input: Any): Any =
-    DsirKernel.score(input.asInstanceOf[UTF8String], weights, hexChars)
+    DsirKernel.score(input.asInstanceOf[UTF8String], weights, hexChars, ngrams)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("dsirWeights", weights, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.DsirKernel.score($c, $wRef, $hexChars);")
+      s"${ev.value} = graft.functions.DsirKernel.score($c, $wRef, $hexChars, $ngrams);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): DsirScoreExpr =

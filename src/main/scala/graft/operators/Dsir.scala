@@ -44,9 +44,9 @@ object Dsir {
   /** Aggregate Column: flat B-cell word-occurrence histogram of `text`
     * across all rows (NULL rows contribute nothing — combine with
     * `when(cond, text)` for a conditional histogram in the same pass). */
-  def bucketCounts(text: Column, buckets: Int): Column =
+  def bucketCounts(text: Column, buckets: Int, ngrams: Int = 1): Column =
     ColumnBridge.column(
-      HashedBucketCountsAgg(ColumnBridge.expression(text), buckets)
+      HashedBucketCountsAgg(ColumnBridge.expression(text), buckets, ngrams)
         .toAggregateExpression())
 
   /** Target-vs-raw bucket histograms in ONE distributed pass:
@@ -88,10 +88,10 @@ object Dsir {
     * [[fitWeightsFrom]]). */
   def fitWeights(raw: DataFrame, text: Column, targetCond: Column,
                  buckets: Int = 4096, alpha: Double = 1.0,
-                 scale: Long = WeightScale): Array[Long] = {
+                 scale: Long = WeightScale, ngrams: Int = 1): Array[Long] = {
     val row = raw.agg(
-      bucketCounts(when(targetCond, text), buckets).as("t"),
-      bucketCounts(text, buckets).as("r")).head()
+      bucketCounts(when(targetCond, text), buckets, ngrams).as("t"),
+      bucketCounts(text, buckets, ngrams).as("r")).head()
     weightsFromCounts(row.getSeq[Long](0).toArray, row.getSeq[Long](1).toArray,
       alpha, scale)
   }
@@ -101,9 +101,9 @@ object Dsir {
   def fitWeightsFrom(target: DataFrame, targetText: Column,
                      raw: DataFrame, rawText: Column,
                      buckets: Int = 4096, alpha: Double = 1.0,
-                     scale: Long = WeightScale): Array[Long] = {
-    val t = target.agg(bucketCounts(targetText, buckets)).head().getSeq[Long](0)
-    val r = raw.agg(bucketCounts(rawText, buckets)).head().getSeq[Long](0)
+                     scale: Long = WeightScale, ngrams: Int = 1): Array[Long] = {
+    val t = target.agg(bucketCounts(targetText, buckets, ngrams)).head().getSeq[Long](0)
+    val r = raw.agg(bucketCounts(rawText, buckets, ngrams)).head().getSeq[Long](0)
     weightsFromCounts(t.toArray, r.toArray, alpha, scale)
   }
 
@@ -120,15 +120,15 @@ object Dsir {
 
   /** Importance log-weight (fixed-point long) of `text` under fitted or
     * synthetic weights. Map-only; NULL text → NULL, wordless → 0. */
-  def score(text: Column, weights: Array[Long]): Column =
-    ColumnBridge.column(DsirScoreExpr(ColumnBridge.expression(text), weights))
+  def score(text: Column, weights: Array[Long], ngrams: Int = 1): Column =
+    ColumnBridge.column(DsirScoreExpr(ColumnBridge.expression(text), weights, ngrams))
 
   /** The zero-temperature selection: top-k rows by (score desc, id asc) —
     * ties broken by id so the k-set is engine-independent. Compiles to
     * TakeOrderedAndProject over the map-only scored scan. */
   def selectTopK(df: DataFrame, text: Column, idCol: Column,
-                 weights: Array[Long], k: Int): DataFrame =
-    df.withColumn("dsir_score", score(text, weights))
+                 weights: Array[Long], k: Int, ngrams: Int = 1): DataFrame =
+    df.withColumn("dsir_score", score(text, weights, ngrams))
       .orderBy(col("dsir_score").desc, idCol.asc)
       .limit(k)
 
@@ -136,9 +136,35 @@ object Dsir {
     * top-k. One count pass + one scored TakeOrdered pass. */
   def importanceResample(raw: DataFrame, text: Column, idCol: Column,
                          targetCond: Column, k: Int,
-                         buckets: Int = 4096, alpha: Double = 1.0): DataFrame =
+                         buckets: Int = 4096, alpha: Double = 1.0,
+                         ngrams: Int = 1): DataFrame =
     selectTopK(raw, text, idCol,
-      fitWeights(raw, text, targetCond, buckets, alpha), k)
+      fitWeights(raw, text, targetCond, buckets, alpha, WeightScale, ngrams),
+      k, ngrams)
+
+  /** The paper's actual resampler: Gumbel-top-k over the importance
+    * log-weights — key(z) = logw(z)/τ + Gumbel(z), take the k largest.
+    * Deterministic: the Gumbel draw is a pure function of (id, seed) via
+    * the house md5-hex scheme (u = (first-48-md5-bits + 0.5)/2^48, exact
+    * in a double; g = −ln(−ln u)), so reruns and appends agree on every
+    * row's noise. τ → 0 recovers [[selectTopK]]; τ = 1 is the paper's
+    * setting (diversity over determinism-of-ranking — the SELECTION is
+    * still deterministic given the seed). Same plan shape as selectTopK:
+    * map-only key projection + TakeOrderedAndProject, zero exchanges.
+    * Not SQL-oracled by declaration (ln is not correctly-rounded, so a
+    * cross-engine boundary row could flip); pinned by DsirSpec instead. */
+  def gumbelResample(df: DataFrame, text: Column, idCol: Column,
+                     weights: Array[Long], k: Int,
+                     temperature: Double = 1.0, seed: Long = 42L): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val u = (conv(substring(md5(concat(idCol.cast("string"), lit(s":$seed"))),
+      1, 12), 16, 10).cast("double") + lit(0.5)) / lit(281474976710656.0)
+    val key = score(text, weights).cast("double") /
+      lit(WeightScale.toDouble * temperature) - log(-log(u))
+    df.withColumn("dsir_key", key)
+      .orderBy(col("dsir_key").desc, idCol.asc)
+      .limit(k)
+  }
 
   /** `(b, w)` VALUES list for SQL oracles — all-integer literals, zero
     * parse drift. */

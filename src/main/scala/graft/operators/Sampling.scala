@@ -143,6 +143,45 @@ object Sampling {
     df.where(hexBucket(idCol, seed) < cutoff)
   }
 
+  /** Per-stratum keep rates for TOKEN-BUDGET mixture construction (the
+    * data-recipe form: "200B tokens of web, 50B of code, 30B of papers"):
+    * rate(s) = min(1, budget_s / tokens_s). One correctly-rounded IEEE op
+    * (long→double division), so a SQL engine replays the rates bit-for-bit
+    * from the same totals. Sampling keeps ~rate of each stratum's ROWS,
+    * which meets the token budget in expectation (the published practice —
+    * exact-to-the-token packing is the writer's job, not the sampler's). */
+  def budgetRates(tokenTotals: Seq[(String, Long)], budgets: Map[String, Long],
+                  defaultBudget: Long = 0L): Seq[(String, Double)] =
+    tokenTotals.map { case (s, tot) =>
+      val b = budgets.getOrElse(s, defaultBudget)
+      s -> (if (tot <= 0L || b <= 0L) 0.0
+            else math.min(1.0, b.toDouble / tot.toDouble))
+    }
+
+  /** Token-budget deterministic downsampling: one sum aggregate per stratum
+    * (driver-scale), rates per [[budgetRates]], one map-side CASE cutoff
+    * over [[hexBucket]] — id-stable membership like [[temperatureSample]]
+    * (appends shift the rates, never a kept row's bucket). Rows with a
+    * NULL stratum are dropped; NULL token counts contribute nothing to the
+    * stratum total (membership is by id bucket, not by the row's tokens). */
+  def budgetSample(df: DataFrame, strataCol: Column, idCol: Column,
+                   tokensCol: Column, budgets: Map[String, Long],
+                   defaultBudget: Long = 0L, seed: Long = 42L): DataFrame = {
+    val sc = strataCol.cast("string")
+    val totals = df.groupBy(sc.as("__s"))
+      .agg(sum(tokensCol.cast("long")).as("__t"))
+      .collect()
+      .flatMap(r => for (s <- Option(r.getString(0)); t <- Option(r.get(1)))
+        yield s -> t.asInstanceOf[Long])
+      .sortBy(_._1) // deterministic CASE shape for stable plan dumps
+    if (totals.isEmpty) return df.where(lit(false))
+    val rates = budgetRates(totals.toSeq, budgets, defaultBudget)
+    val cutoff = rates.foldLeft(lit("000000000000"): Column) { // NULL/unseen: keep none
+      case (acc, (k, r)) => when(sc === lit(k), lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.where(hexBucket(idCol, seed) < cutoff)
+  }
+
   /** Deterministic global training order WITHOUT a global sort: every row
     * gets an exact rank 1..n in (md5(id‖seed), id) order — the id-stable
     * corpus shuffle a training export needs (feeding rows to the model in

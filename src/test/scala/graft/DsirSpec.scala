@@ -107,6 +107,61 @@ class DsirSpec extends SparkSpec {
     assert(picked == ((0L until 10L) ++ (100L until 110L)).toSet)
   }
 
+  test("bigram features (ngrams=2): kernel equals unigram+bigram brute force") {
+    val w = Dsir.syntheticWeights(256, seed = 9L)
+    val texts = Seq("the quick brown fox", "a b a b a", "single", "", "x  y")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"), Dsir.score(col("text"), w, ngrams = 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val uni = ws.map(x => w(DsirKernel.bucketOf(x, 2))).sum
+      val bi = ws.sliding(2).filter(_.length == 2)
+        .map(p => w(DsirKernel.bucketOf(p(0) + " " + p(1), 2))).sum
+      assert(got(i.toLong) == uni + bi, s"'$t'")
+    }
+    // and the count agg sees the same feature multiset
+    val counts = df.agg(Dsir.bucketCounts(col("text"), 256, ngrams = 2))
+      .head().getSeq[Long](0)
+    val expectedTotal = texts.map { t =>
+      val n = t.toLowerCase.split("\\s+").count(_.nonEmpty)
+      n + math.max(n - 1, 0)
+    }.sum
+    assert(counts.sum == expectedTotal)
+  }
+
+  test("gumbelResample: seed-deterministic, k-sized, τ→0 recovers top-k scores") {
+    val natWords = Array("def", "return", "for", "while", "class", "import")
+    def nat(i: Long) = (0 until 20).map(j => natWords(((i + j) % 6).toInt)).mkString(" ")
+    def hex(i: Long) = (0 until 4).map(j => s"h${i}x$j" + ("f" * 8)).mkString(" ")
+    val rows = (0L until 10L).map(i => (i, "tgt", nat(i))) ++
+      (100L until 110L).map(i => (i, "raw", nat(i))) ++
+      (200L until 280L).map(i => (i, "raw", hex(i)))
+    val df = rows.toDF("id", "lab", "text").repartition(4)
+    val w = Dsir.fitWeights(df, col("text"), col("lab") === "tgt", buckets = 256)
+
+    val a = Dsir.gumbelResample(df, col("text"), col("id"), w, k = 15, seed = 5L)
+      .select("id").as[Long].collect().toSet
+    val b = Dsir.gumbelResample(df, col("text"), col("id"), w, k = 15, seed = 5L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 15, "same seed must select the same 15 rows")
+    // τ=1 on this fixture has log-margins ~1.4 nats — comparable to Gumbel
+    // noise, so membership is diverse BY DESIGN; at τ=0.05 the scaled
+    // margin (~28) dwarfs the noise and all 15 are target-like docs
+    val sharp = Dsir.gumbelResample(df, col("text"), col("id"), w, k = 15,
+        temperature = 0.05, seed = 5L)
+      .select("id").as[Long].collect().toSet
+    assert(sharp.forall(id => id < 10 || (id >= 100 && id < 110)), s"got $sharp")
+    // τ→0: the selected SCORE multiset equals deterministic top-k's
+    // (ids may differ only inside exact-score ties, which Gumbel breaks)
+    val cold = Dsir.gumbelResample(df, col("text"), col("id"), w, k = 15,
+        temperature = 1e-12, seed = 5L)
+      .select(Dsir.score(col("text"), w).as("s")).as[Long].collect().sorted.toSeq
+    val topk = Dsir.selectTopK(df, col("text"), col("id"), w, k = 15)
+      .select("dsir_score").as[Long].collect().sorted.toSeq
+    assert(cold == topk)
+  }
+
   test("selectTopK plan is TakeOrdered over a map-only scored scan") {
     val df = (0L until 100L).map(i => (i, s"w$i common tok")).toDF("id", "text")
     val plan = Dsir.selectTopK(df, col("text"), col("id"),

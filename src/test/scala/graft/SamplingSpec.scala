@@ -166,4 +166,36 @@ class SamplingSpec extends SparkSpec {
     val others = per.collect { case (s, c) if !Set("src0", "src1", "src2")(s) => c }
     assert(math.abs(others.sum - 0.1 * 500 * 17) < 150, s"others=${others.sum}")
   }
+
+  test("budgetSample: rates = budget/tokens, keep-all arm, default-drop, NULL stratum") {
+    // 100 tokens per row → stratum totals of 50_000 each (500 rows/src)
+    val toks = ids.withColumn("tokens", lit(100L))
+    val rates = Sampling.budgetRates(
+      Seq("a" -> 1000L, "b" -> 400L, "c" -> 0L),
+      budgets = Map("a" -> 5000L, "b" -> 100L), defaultBudget = 0L)
+    assert(rates == Seq("a" -> 1.0, "b" -> 0.25, "c" -> 0.0))
+    val kept = Sampling.budgetSample(toks, $"source", $"id", $"tokens",
+      budgets = Map("src0" -> 100000L, "src1" -> 25000L), seed = 13L)
+    val per = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("src0") == 500L) // budget 2x the total → keep-all sentinel
+    assert(math.abs(per("src1") - 250L) < 70, s"src1=${per("src1")}") // rate 0.5
+    assert(per.keySet == Set("src0", "src1")) // defaultBudget 0 drops the rest
+    // id-stable under append: the kept src1 set is a superset-invariant
+    val half = toks.where($"id" < 5000L)
+    val keptHalf = Sampling.budgetSample(half, $"source", $"id", $"tokens",
+        budgets = Map("src1" -> 12500L), seed = 13L)
+      .select("id").as[Long].collect().toSet
+    val keptFull = Sampling.budgetSample(toks, $"source", $"id", $"tokens",
+        budgets = Map("src1" -> 25000L), seed = 13L)
+      .where($"id" < 5000L).select("id").as[Long].collect().toSet
+    assert(keptHalf == keptFull, "same rate + same ids => same membership")
+    // NULL stratum rows drop; empty input yields the empty sample
+    val withNull = toks.withColumn("source",
+      when($"id" % 2 === 0, $"source").otherwise(lit(null)))
+    assert(Sampling.budgetSample(withNull, $"source", $"id", $"tokens",
+      budgets = Map("src0" -> 100000L)).where($"source".isNull).count() == 0L)
+    assert(Sampling.budgetSample(toks.where(lit(false)), $"source", $"id",
+      $"tokens", budgets = Map("src0" -> 1L)).count() == 0L)
+  }
 }
