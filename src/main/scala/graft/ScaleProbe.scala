@@ -694,6 +694,60 @@ object ScaleProbe {
       println(f"[probe] vocab ($rows docs, |vocab|=$nvocab): med=${secs(1)}%.1f s " +
         f"(reps ${secs.map(s => f"$s%.1f").mkString(",")}), top-100 stable")
     }
+    if (ops("dsir")) {
+      // DSIR at corpus scale over the bench-corpus shape. Claims measured:
+      // FIT is one conditional count-agg pass whose shuffle is
+      // O(partitions·B) — wall must track the corpus SCAN, not grow with
+      // anything else; SCORE+SELECT is a map-only kernel + TakeOrdered —
+      // one more scan. Gates every run: (a) both fit histograms' total
+      // mass equals an independent pure-Column token recount (exact
+      // longs, no shared kernel code), (b) fitted weights and the selected
+      // top-k (id, score) set are bit-stable across reps.
+      val docs = ensurePipeCorpus(spark, rows)
+      val buckets = sys.env.getOrElse("SPARK_GRAFT_PROBE_DSIR_B", "4096").toInt
+      val tgt = col("lang") === "markdown" // prose target vs code raw — the DSIR setup
+      def toks(c: org.apache.spark.sql.Column) =
+        size(filter(split(lower(c), "\\s+"), w => length(w) > 0)).cast("long")
+      val control = time(s"dsir control recount ($rows rows)") {
+        docs.agg(sum(when(tgt, toks(col("content"))).otherwise(0L)).as("t"),
+          sum(toks(col("content"))).as("r")).head()
+      }
+      var w0: Seq[Long] = null
+      val fitSecs = (1 to 3).map { rep =>
+        val t0 = System.nanoTime()
+        val row = docs.agg(
+          operators.Dsir.bucketCounts(when(tgt, col("content")), buckets).as("t"),
+          operators.Dsir.bucketCounts(col("content"), buckets).as("r")).head()
+        val s = (System.nanoTime() - t0) / 1e9
+        val t = row.getSeq[Long](0); val r = row.getSeq[Long](1)
+        require(t.sum == control.getLong(0) && r.sum == control.getLong(1),
+          s"dsir rep $rep: histogram mass ${t.sum}/${r.sum} != control " +
+            s"${control.getLong(0)}/${control.getLong(1)}")
+        val w = operators.Dsir.weightsFromCounts(t.toArray, r.toArray).toSeq
+        if (rep == 1) w0 = w
+        require(w == w0, s"dsir rep $rep: fitted weights differ across reps")
+        s
+      }.sorted
+      var sel0: Int = 0
+      val selSecs = (1 to 3).map { rep =>
+        val t0 = System.nanoTime()
+        val top = operators.Dsir.selectTopK(docs, col("content"),
+            col("path"), w0.toArray, k = 100)
+          .select(col("path"), col("dsir_score")).collect()
+        val s = (System.nanoTime() - t0) / 1e9
+        val sig = top.map(r => r.getString(0) + ":" + r.getLong(1)).mkString("|").hashCode
+        if (rep == 1) sel0 = sig
+        require(sig == sel0 && top.length == 100,
+          s"dsir rep $rep: top-k unstable (${top.length} rows)")
+        s
+      }.sorted
+      println(f"[probe] dsir ($rows docs, B=$buckets): fit med=${fitSecs(1)}%.1f s " +
+        f"(reps ${fitSecs.map(s => f"$s%.1f").mkString(",")}), " +
+        f"select med=${selSecs(1)}%.1f s " +
+        f"(reps ${selSecs.map(s => f"$s%.1f").mkString(",")}), " +
+        s"weights/top-k bit-stable, mass gate exact")
+    }
+
     if (ops("bpe")) {
       // BPE at corpus scale, phased like the operator's architecture:
       // TRAIN = the distributed word count (|vocab|-sized post-partial

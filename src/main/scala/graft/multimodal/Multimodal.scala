@@ -169,6 +169,44 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(media_id: Long, width: Int, height: Int, ahash: Long)
+
+  /** 64-bit average hash (aHash) of the decoded luma plane: mean-pool to
+    * 8×8 (the [[imageFeatures]] grid), bit i set iff cell i's mean exceeds
+    * the grid mean — the classic perceptual near-dup fingerprint, stable
+    * under lossless re-encoding (identical plane ⇒ identical hash) and
+    * mild resampling (pooled means move little). Map-only, like every
+    * decode op here. */
+  def imageAHash(media: Dataset[MediaRow],
+                 codec: MediaCodec = StubCodec): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    imageFeatures(media, grid = 8, codec).map { f =>
+      var sum = 0.0
+      f.features.foreach(sum += _)
+      val mean = sum / 64.0
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (f.features(i) > mean) h |= 1L << i; i += 1 }
+      ImageHash(f.media_id, f.width, f.height, h)
+    }
+  }
+
+  /** Perceptual near-dup image pairs: [[imageAHash]] fingerprints fed to
+    * the generic Hamming block-pigeonhole candidate machinery
+    * ([[graft.operators.Dedup.hammingPairs64]]) — decode is map-only in
+    * the scan, candidate generation carries (id, block, value) only, and
+    * the exact popcount verifies. The image-side twin of text SimHash
+    * dedup: at 10^12 files the payload bytes never shuffle, only 8-byte
+    * hashes do. Returns (id_a, id_b, hamming), id_a < id_b. */
+  def nearDupImagePairs(media: Dataset[MediaRow], hammingThreshold: Int = 3,
+                        codec: MediaCodec = StubCodec,
+                        maxBucketSize: Int = graft.operators.Dedup.DefaultBucketCap): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Dedup.hammingPairs64(imageAHash(media, codec).toDF(),
+      col("media_id"), col("ahash"), hammingThreshold,
+      maxBucketSize = maxBucketSize)
+  }
+
   /** Video → every k-th frame sampled as a thumbnail payload (stub decode;
     * frame timing math real). */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 1000): Dataset[VideoFrame] = {

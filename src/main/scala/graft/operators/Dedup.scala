@@ -248,6 +248,37 @@ object Dedup {
     df.join(drops, idCol === col("__drop_id"), "left_anti")
   }
 
+  /** Pairs within Hamming distance `threshold` over ANY 64-bit signature
+    * column — the SimHash candidate machinery generalized to arbitrary
+    * fingerprints (perceptual image hashes, feature sketches): `blocks`
+    * equal bit-slices pigeonhole candidacy (hamming ≤ threshold < blocks ⇒
+    * the pair shares at least one equal block), buckets are frequency-
+    * capped, and signatures re-join by id for the exact popcount verify —
+    * the same (id, block, value)-only wire shape as [[simHashDedup]].
+    * Returns (id_a, id_b, hamming) with id_a < id_b. */
+  def hammingPairs64(df: DataFrame, idCol: Column, sigCol: Column,
+                     threshold: Int = 3, blocks: Int = 4,
+                     maxBucketSize: Int = DefaultBucketCap,
+                     persistSignatures: Boolean = true): DataFrame = {
+    require(blocks > 0 && 64 % blocks == 0, s"blocks must divide 64, got $blocks")
+    require(threshold >= 0 && threshold < blocks,
+      s"block pigeonhole needs threshold < blocks, got $threshold >= $blocks")
+    val bits = 64 / blocks
+    val mask = if (bits == 64) "-1" else ((1L << bits) - 1).toString
+    val sigs = maybePersist(
+      df.select(idCol.as("__id"), sigCol.as("__sig")), persistSignatures)
+    val banded = sigs.select(col("__id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${blocks - 1}), b -> shiftright(__sig, b * $bits) & $mask)"))
+        .as(Seq("__band", "__bucket")))
+    cappedCandidates(banded, "id_a", "id_b", maxBucketSize)
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__s_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__s_b")), Seq("id_b"))
+      .withColumn("hamming", expr("bit_count(__s_a ^ __s_b)"))
+      .where(col("hamming") <= threshold)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact n-gram (character shingle) Jaccard similar pairs, LSH-prefiltered:
     * MinHash banding proposes candidates, exact Jaccard on distinct shingle
     * sets confirms. Returns (doc_id_a, doc_id_b, jaccard ≥ threshold). */

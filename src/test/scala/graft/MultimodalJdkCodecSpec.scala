@@ -92,6 +92,57 @@ class MultimodalJdkCodecSpec extends SparkSpec {
     }
   }
 
+  // ---- perceptual near-dup over REAL decoded pixels ----------------------
+
+  /** 32×32 plane of 4×4 uniform blocks — each block is exactly one aHash
+    * pooling cell, values {10, 240} from a seeded draw per (id, cell). */
+  private def blockPlane(id: Long, scale: Int = 1): Array[Byte] = {
+    val r = new java.util.Random(id * 2654435761L + 17)
+    val cells = Array.fill(64)(if (r.nextBoolean()) 240 else 10)
+    val w = 32 * scale
+    Array.tabulate(w * w) { i =>
+      val x = (i % w) / (4 * scale); val y = (i / w) / (4 * scale)
+      cells(y * 8 + x).toByte
+    }
+  }
+
+  test("imageAHash: stable under re-encode and 2x upsample; far for unrelated planes") {
+    import Multimodal.{MediaMeta, MediaRow}
+    def row(id: Long, w: Int, plane: Array[Byte]) = MediaRow(id,
+      MediaMeta("image", w, w, 0, 0, "png"), JdkCodec.encodePngGray(w, w, plane))
+    val p = blockPlane(1L)
+    val rows = Seq(
+      row(1L, 32, p),
+      row(2L, 32, p), // lossless re-encode of the same plane
+      row(3L, 64, blockPlane(1L, scale = 2)), // 2x nearest upsample
+      row(4L, 32, blockPlane(99L))) // unrelated pattern
+    val h = Multimodal.imageAHash(rows.toDS(), codec = JdkCodec)
+      .collect().map(r => r.media_id -> r.ahash).toMap
+    assert(h(1L) == h(2L), "identical plane must hash identically")
+    assert(h(1L) == h(3L), "2x nearest upsample pools to the same cell means")
+    val far = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(far > 16, s"unrelated patterns should be distant, got hamming $far")
+  }
+
+  test("nearDupImagePairs: planted noisy copies found exactly, nothing else") {
+    import Multimodal.{MediaMeta, MediaRow}
+    val rows = (0L until 40L).map { id =>
+      val plane =
+        if (id % 4 == 3) { // noisy copy of id-1: +-1 on a few pixels
+          val c = blockPlane(id - 1).clone()
+          (0 until 8).foreach(j => c(j * 131) = (c(j * 131) + 1).toByte)
+          c
+        } else blockPlane(id)
+      MediaRow(id, MediaMeta("image", 32, 32, 0, 0, "png"),
+        JdkCodec.encodePngGray(32, 32, plane))
+    }
+    val pairs = Multimodal.nearDupImagePairs(rows.toDS(), hammingThreshold = 3,
+        codec = JdkCodec)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 40L).filter(_ % 4 == 3).map(i => (i - 1, i)).toSet
+    assert(pairs == expected, s"got $pairs")
+  }
+
   test("resizeImages with the real codec uses decoded geometry") {
     val media = Multimodal.syntheticRealMedia(spark, 8)
     val out = Multimodal.resizeImages(media, 8, 8, codec = JdkCodec).collect()
