@@ -417,6 +417,10 @@ object Bench {
         "sample_shuffle_rank",
         // C4-style corpus-wide paragraph dedup (first occurrence wins)
         "dedup_paragraphs",
+        // ExactSubstr duplicated-span removal (Lee et al. 2022 §4.1):
+        // rolling window hashes + hash-aggregated canonical min + map-side
+        // span strip — the suffix-array-free distributed reduction
+        "strip_dup_spans",
         // quality-aware cluster-canonical dedup (keep best member per
         // transitive cluster, ties to min id)
         "dedup_cluster_best",

@@ -1646,6 +1646,56 @@ object QueryCatalog {
              |SELECT d.doc_id, coalesce(s.content, '') AS content
              |FROM d LEFT JOIN s USING (doc_id)""".stripMargin)),
 
+    // ExactSubstr span removal (Lee et al. 2022 §4.1): every ≥40-char
+    // substring occurring more than once in the corpus is cut from all
+    // occurrences but the globally first (smallest (doc, pos)). The fixture
+    // plants an autogenerated-header (doc_id%4) and a provenance footer
+    // (doc_id%10) — classic cross-file boilerplate — on top of the natural
+    // text; natural 40-char repeats across the vocab-generated docs are
+    // covered by the same semantics, so the oracle recomputes the FULL rule
+    // on window STRINGS (the engine keys on 64-bit rolling hashes —
+    // hash-exact agreement doubles as collision evidence, the
+    // dedup_paragraphs argument at 40× the key mass).
+    Q("strip_dup_spans",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), concat(
+          when(col("doc_id") % 4 === 0,
+            lit("/* Auto-generated by build tool v3. Do not edit this header block. */ "))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 10 === 0,
+            lit(" /* End of generated section: see build manifest for provenance. */"))
+            .otherwise(lit(""))).as("text"))
+        graft.operators.ExactSubstr.stripDupSpans(d, "text", "doc_id", gramLen = 40)
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 4 = 0 THEN '/* Auto-generated by build tool v3. Do not edit this header block. */ ' ELSE '' END)
+             |    || text ||
+             |    (CASE WHEN doc_id % 10 = 0 THEN ' /* End of generated section: see build manifest for provenance. */' ELSE '' END) AS text
+             |  FROM documents),
+             |idx AS (SELECT CAST(i AS INT) AS i FROM range(0, 4096) AS t(i)),
+             |occ AS (
+             |  SELECT doc_id, i AS p, substr(text, i+1, 40) AS g
+             |  FROM docs JOIN idx ON i <= length(text) - 40),
+             |marked AS (
+             |  SELECT doc_id, p,
+             |         row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+             |         count(*) OVER (PARTITION BY g) AS c
+             |  FROM occ),
+             |dup AS (SELECT doc_id, p FROM marked WHERE c >= 2 AND rn > 1),
+             |chars AS (
+             |  SELECT d.doc_id, i, substr(d.text, i+1, 1) AS ch
+             |  FROM docs d JOIN idx ON i <= length(d.text) - 1),
+             |kept AS (
+             |  SELECT c.doc_id, c.i, c.ch FROM chars c
+             |  WHERE NOT EXISTS (SELECT 1 FROM dup u
+             |                    WHERE u.doc_id = c.doc_id AND c.i >= u.p AND c.i < u.p + 40))
+             |SELECT d.doc_id AS doc_id,
+             |       coalesce((SELECT string_agg(ch, '' ORDER BY i)
+             |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
+             |FROM docs d""".stripMargin)),
+
     // Deterministic global shuffle rank (training-order assignment): exact
     // rank in (md5 key, id) order computed with bucket-partitioned windows
     // + broadcast base offsets — the oracle recomputes it with the naive

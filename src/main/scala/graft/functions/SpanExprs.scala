@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kernels for EXACT duplicated-substring ("ExactSubstr") span removal —
+  * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  * Better" §4.1: any substring of length ≥ L that occurs more than once in
+  * the corpus is removed from every occurrence but the globally first.
+  *
+  * The reference algorithm builds a corpus-wide suffix array — a
+  * single-node shape. The distributed reduction here rests on the exact
+  * window equivalence: two documents share a substring of length ≥ L iff
+  * they share some length-L window, so hashing EVERY length-L window
+  * (one per character position — [[GramHashesExpr]], O(len) rolling, not
+  * O(len·L) rehashing) turns duplicated-span discovery into a frequency
+  * count over 8-byte keys, and span REMOVAL into per-document interval
+  * arithmetic over the non-canonical occurrences ([[SpanStripExpr]]).
+  * Consecutive duplicated windows of a copied span ≥ L chars merge back
+  * into the full span because coverage is per-character.
+  *
+  * Positions are UTF-16 code-unit indices on both kernels (self-consistent;
+  * equal to codepoint indices for BMP-only text — the fixtures are ASCII,
+  * mirroring the `\s` note in QueryCatalog's header).
+  */
+object SpanKernels {
+  /** Polynomial rolling-hash base (odd ⇒ invertible mod 2^64) and the
+    * splitmix64 finalizer that de-correlates the raw rolling values (raw
+    * polynomial hashes of overlapping windows differ by low-entropy
+    * algebra; the avalanche makes bucket keys behave ~uniform). */
+  final val Base = 0x100000001B3L
+
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** B^(e) mod 2^64. */
+  def basePow(e: Int): Long = {
+    var r = 1L; var i = 0
+    while (i < e) { r *= Base; i += 1 }
+    r
+  }
+
+  /** All length-L window hashes of s: result(i) = mix64(poly(s[i..i+L))).
+    * O(len) via the rolling recurrence h' = (h − s[i]·B^(L−1))·B + s[i+L]. */
+  def gramHashes(s: String, gramLen: Int): Array[Long] = {
+    val n = s.length - gramLen + 1
+    if (n <= 0) return Array.emptyLongArray
+    val pow = basePow(gramLen - 1)
+    val out = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < gramLen) { h = h * Base + s.charAt(i); i += 1 }
+    out(0) = mix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * Base + s.charAt(i + gramLen - 1)
+      out(i) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
+  /** Remove every character covered by some interval [p, p+L) for p in
+    * `positions` (any order, duplicates fine); keep the rest in order. */
+  def stripSpans(s: String, positions: Array[Int], gramLen: Int): String = {
+    if (positions.isEmpty) return s
+    val ps = positions.clone()
+    java.util.Arrays.sort(ps)
+    val sb = new java.lang.StringBuilder(s.length)
+    var cur = 0
+    var i = 0
+    while (i < ps.length) {
+      val p = ps(i)
+      if (p > cur) sb.append(s, cur, math.min(p, s.length))
+      if (p + gramLen > cur) cur = math.min(p + gramLen, s.length)
+      i += 1
+    }
+    if (cur < s.length) sb.append(s, cur, s.length)
+    sb.toString
+  }
+}
+
+/** `array<bigint>` of one 64-bit hash per length-`gramLen` window of the
+  * string, at every character position (index i ⇒ window [i, i+gramLen)).
+  * Shorter text ⇒ empty array; NULL ⇒ NULL. The per-doc side of exact
+  * duplicated-span detection: only these 8-byte keys ride the corpus
+  * shuffle, never window text (a 40-char gram exploded as a string would
+  * put ~40× the corpus on the wire). */
+case class GramHashesExpr(child: Expression, gramLen: Int) extends UnaryExpression {
+  require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SpanKernels.gramHashes(input.asInstanceOf[UTF8String].toString, gramLen))
+
+  /** Loop emitted as a private function — see [[MinHashExpr.doGenCode]];
+    * generics-free Java (long[]/char arithmetic only). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fname = ctx.freshName("gramHashKernel")
+      val pow = SpanKernels.basePow(gramLen - 1)
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private org.apache.spark.sql.catalyst.util.GenericArrayData $fname(java.lang.String s) {
+            int n = s.length() - $gramLen + 1;
+            if (n <= 0) {
+              return new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+            }
+            long[] out = new long[n];
+            long h = 0L;
+            for (int i = 0; i < $gramLen; i++) { h = h * ${SpanKernels.Base}L + (long) s.charAt(i); }
+            long z = h;
+            z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L;
+            z ^= (z >>> 27); z *= 0x94D049BB133111EBL;
+            out[0] = z ^ (z >>> 31);
+            for (int i = 1; i < n; i++) {
+              h = (h - (long) s.charAt(i - 1) * ${pow}L) * ${SpanKernels.Base}L
+                  + (long) s.charAt(i + $gramLen - 1);
+              z = h;
+              z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L;
+              z ^= (z >>> 27); z *= 0x94D049BB133111EBL;
+              out[i] = z ^ (z >>> 31);
+            }
+            return new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+          }
+        """)
+      s"${ev.value} = $fn($c.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
+}
+
+/** Rebuild a string with every [p, p+gramLen) interval removed, p drawn
+  * from an `array<int>` of window positions (unsorted, possibly
+  * overlapping — coverage is a union). The removal side of exact
+  * duplicated-span dedup: runs once per document that HAS duplicated
+  * windows (dup-mass-sized), a single pass after an in-kernel sort of the
+  * (≤ len) position array. Out-of-range positions are clamped. */
+case class SpanStripExpr(left: Expression, right: Expression, gramLen: Int)
+    extends BinaryExpression {
+  require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(text: Any, positions: Any): Any = {
+    val s = text.asInstanceOf[UTF8String].toString
+    val arr = positions.asInstanceOf[ArrayData].toIntArray()
+    UTF8String.fromString(SpanKernels.stripSpans(s, arr, gramLen))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, ps) => {
+      val fname = ctx.freshName("spanStripKernel")
+      val fn = ctx.addNewFunction(fname,
+        s"""
+          private org.apache.spark.unsafe.types.UTF8String $fname(
+              java.lang.String s, org.apache.spark.sql.catalyst.util.ArrayData pos) {
+            int[] ps = pos.toIntArray();
+            if (ps.length == 0) return org.apache.spark.unsafe.types.UTF8String.fromString(s);
+            java.util.Arrays.sort(ps);
+            java.lang.StringBuilder sb = new java.lang.StringBuilder(s.length());
+            int cur = 0;
+            for (int i = 0; i < ps.length; i++) {
+              int p = ps[i];
+              if (p > cur) sb.append(s, cur, java.lang.Math.min(p, s.length()));
+              if (p + $gramLen > cur) cur = java.lang.Math.min(p + $gramLen, s.length());
+            }
+            if (cur < s.length()) sb.append(s, cur, s.length());
+            return org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString());
+          }
+        """)
+      s"${ev.value} = $fn($t.toString(), $ps);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SpanStripExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SpanSignatures {
+  /** One hash per length-L window ([[GramHashesExpr]]). */
+  def gramHashes(c: Column, gramLen: Int): Column =
+    ColumnBridge.column(GramHashesExpr(ColumnBridge.expression(c), gramLen))
+  /** Text minus the union of [p, p+L) intervals ([[SpanStripExpr]]). */
+  def stripSpans(text: Column, positions: Column, gramLen: Int): Column =
+    ColumnBridge.column(SpanStripExpr(
+      ColumnBridge.expression(text), ColumnBridge.expression(positions), gramLen))
+}

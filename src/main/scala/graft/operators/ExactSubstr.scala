@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SpanSignatures
+
+/** EXACT duplicated-substring span removal — Lee et al. 2022 ("Deduplicating
+  * Training Data Makes Language Models Better", §4.1 ExactSubstr): every
+  * substring of length ≥ L occurring more than once in the corpus is
+  * removed from all occurrences EXCEPT the globally first (smallest
+  * (doc id, position)). Complements the document-granularity dedup family
+  * (Dedup.scala): MinHash/SimHash drop whole near-duplicate documents;
+  * winnowing DETECTS copied passages; this operator is the one that
+  * actually CUTS the copied passage out of every later document while
+  * keeping the rest of the text.
+  *
+  * The reference implementation is a corpus-wide suffix array — a
+  * single-node shape (the paper's own release shards and merges it by
+  * hand). The Spark-native reduction uses the exact window equivalence
+  * (shared substring ≥ L ⟺ shared length-L window, so a duplicated span of
+  * length M ≥ L is exactly a run of M−L+1 duplicated windows and
+  * per-character coverage reassembles it):
+  *
+  *   1. per-doc window hashes in the scan's codegen span
+  *      ([[graft.functions.GramHashesExpr]] — O(len) rolling, one 8-byte
+  *      key per char position; window TEXT never leaves the scan);
+  *   2. one hash-keyed shuffle of (packed id·pos, hash) — 16 bytes/char:
+  *      count + min(packed) per key, HASH-aggregated map-side (see the
+  *      packing note below — the struct-min alternative is a per-partition
+  *      sort of one row per corpus character) ⇒ the canonical (exempt)
+  *      occurrence of every window;
+  *   3. the drop relation = non-canonical occurrences of keys with
+  *      count ≥ 2 — DUP-MASS-sized, not corpus-sized. The occurrence
+  *      relation is deliberately COMPUTED TWICE (scan + rolling hash are
+  *      cheaper than materializing one row per corpus character): when the
+  *      dup-key set broadcasts, the probe side never shuffles at all; when
+  *      it outgrows the broadcast threshold both sides hash-partition on
+  *      the same key and AQE reuses the step-2 exchange;
+  *   4. per-doc position lists (ints, ≤ len each) aggregate on the id key
+  *      and join back to the full rows, where
+  *      [[graft.functions.SpanStripExpr]] cuts the covered intervals in one
+  *      pass. Docs with no duplicated windows pass through byte-identical
+  *      (left join + coalesce; only dup-carrying docs pay the strip). This
+  *      join-back is the ONE place corpus text may shuffle (only if the
+  *      span lists outgrow broadcast), the floor for any global rewrite —
+  *      pre-bucketed-by-id corpora skip it entirely.
+  *
+  * Hash note: keys are mixed 64-bit rolling hashes; a collision would wrongly
+  * remove a unique span, at the same documented odds as
+  * [[Boilerplate.dedupParagraphs]]'s xxhash64 keys (~|windows|²·2⁻⁶⁴).
+  * The DuckDB oracle recomputes the semantics on window STRINGS.
+  *
+  * Reference anchor: DataQualityEngine has no span-level operator; this is
+  * part of the training-data extension surface (prompt §"Deduplication"),
+  * with the keep-first policy mirroring the reference's DuplicatesFlag
+  * pinned tie-break (Database Deployment/StoredProcedures/DQProfiling.sql:
+  * ROW_NUMBER ... ORDER BY natural key — first occurrence survives).
+  */
+object ExactSubstr {
+
+  /** Positions are packed with the doc id into ONE long for the canonical-
+    * occurrence min-aggregate: `min(id * 2^24 + pos)` hash-aggregates
+    * (HashAggregate, map-side combined), where the lexicographic
+    * `min(struct(id, pos))` it replaces forces SortAggregate — a per-
+    * partition sort of the occurrence relation, i.e. one row per corpus
+    * CHARACTER, exactly the suffix-array work this operator exists to
+    * avoid. Packing is order-preserving and injective iff 0 ≤ id <
+    * 2^39 and pos < 2^24 (docs ≤ 16M chars); both bounds are enforced
+    * per row with `raise_error` (a codegen'd branch, not a sort). Callers
+    * with hash-shaped ids re-key first (shuffleRank / zip-style). */
+  private val MaxPos: Long = 1L << 24
+  private val MaxId: Long = Long.MaxValue / MaxPos // 2^39
+
+  private def packed(id: Column, pos: Column): Column =
+    when(id >= 0 && id < MaxId && pos < MaxPos, id * MaxPos + pos)
+      .otherwise(raise_error(concat(
+        lit(s"ExactSubstr: need 0 <= id < $MaxId and pos < $MaxPos, got ("),
+        id, lit(", "), pos, lit(")"))).cast("long"))
+
+  /** Non-canonical duplicated-window occurrences: (id, pos) pairs whose
+    * length-`gramLen` window also occurs at some smaller (doc, pos).
+    * Exposed for diagnostics (dup-span mass reports) and tests. */
+  def dupSpanOccurrences(df: DataFrame, contentColName: String, idColName: String,
+                         gramLen: Int): DataFrame = {
+    val occ = df.select(
+      col(idColName).as("__id"),
+      posexplode(SpanSignatures.gramHashes(col(contentColName), gramLen))
+        .as(Seq("__pos", "__h")))
+      .withColumn("__pk", packed(col("__id"), col("__pos")))
+    val winners = occ.groupBy("__h")
+      .agg(count(lit(1)).as("__n"), min(col("__pk")).as("__wp"))
+      .where(col("__n") >= 2)
+      .select(col("__h"), col("__wp"))
+    occ.join(winners, Seq("__h"))
+      .where(col("__pk") =!= col("__wp"))
+      .select(col("__id").as(idColName), col("__pos").as("pos"))
+  }
+
+  /** The corpus with duplicated spans cut: content column rewritten with
+    * every non-first occurrence of a length-≥-`gramLen` repeat removed;
+    * all other columns carried through unchanged. */
+  def stripDupSpans(df: DataFrame, contentColName: String, idColName: String,
+                    gramLen: Int = 40): DataFrame = {
+    require(df.columns.contains(contentColName) && df.columns.contains(idColName),
+      s"need columns $contentColName and $idColName in ${df.columns.mkString(",")}")
+    val spans = dupSpanOccurrences(df, contentColName, idColName, gramLen)
+      .groupBy(idColName)
+      .agg(collect_list(col("pos")).as("__spanpos"))
+    df.join(spans, Seq(idColName), "left")
+      .withColumn(contentColName,
+        when(col("__spanpos").isNull, col(contentColName))
+          .otherwise(SpanSignatures.stripSpans(
+            col(contentColName), col("__spanpos"), gramLen)))
+      .drop("__spanpos")
+  }
+}

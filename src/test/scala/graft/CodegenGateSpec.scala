@@ -60,7 +60,8 @@ class CodegenGateSpec extends SparkSpec {
       ("[A-Za-z]+word", "<W>", Some("word")),
       ("[a-z]{40,}", "<LONG>", None))),
     "DsirScoreExpr" -> DsirScoreExpr(strIn,
-      graft.operators.Dsir.syntheticWeights(256, seed = 3L))
+      graft.operators.Dsir.syntheticWeights(256, seed = 3L)),
+    "GramHashesExpr" -> GramHashesExpr(strIn, gramLen = 10)
   )
 
   private val sampleTexts = Seq(
@@ -210,6 +211,26 @@ class CodegenGateSpec extends SparkSpec {
     assert(expr.toString.contains("benchSet[4]"), expr.toString)
   }
 
+  test("SpanStripExpr (text, positions) force-compiles, codegen == interpreted") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val posIn = BoundReference(1, ArrayType(IntegerType, containsNull = false), nullable = true)
+    val expr = SpanStripExpr(strIn, posIn, gramLen = 4)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val cases = Seq(
+      ("abcdefghij", Array(2, 5)),
+      ("abcdefghij", Array(5, 2, 2)),   // unsorted + dup positions
+      ("abcdefghij", Array(8)),          // tail clamp
+      ("abcdefghij", Array.emptyIntArray),
+      ("abc", Array(0)),                 // cover-all on short text
+      ("", Array.emptyIntArray))
+    cases.foreach { case (s, ps) =>
+      val row = InternalRow(UTF8String.fromString(s), new GenericArrayData(ps))
+      assert(proj(row).getUTF8String(0) == expr.eval(row), s"on '$s' ${ps.toSeq}")
+    }
+    val nullRow = InternalRow(null, new GenericArrayData(Array(1)))
+    assert(proj(nullRow).isNullAt(0) && expr.eval(nullRow) == null)
+  }
+
   test("plan-level: kernels run whole-stage with codegen fallback disabled") {
     // Own SQLConf (shared SparkContext): a whole-stage janino failure here
     // throws instead of logging "falling back to interpreter mode".
@@ -228,7 +249,10 @@ class CodegenGateSpec extends SparkSpec {
       HashSignatures.simHash($"text").as("sh"),
       HashSignatures.winnowFingerprints($"text").as("wf"),
       HashSignatures.lineKeyHash($"text", 3).as("lkh"),
-      HashSignatures.stripLines($"text", Array(42L), 3).as("ls")
+      HashSignatures.stripLines($"text", Array(42L), 3).as("ls"),
+      SpanSignatures.gramHashes($"text", 10).as("gh"),
+      SpanSignatures.stripSpans($"text",
+        org.apache.spark.sql.functions.array(org.apache.spark.sql.functions.lit(1)), 4).as("ss")
     ).collect()
     // dual-use regression (bp probe, round 4): the SAME nullable-emitting
     // kernel inlined into one generated function twice — filter predicate +

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SpanKernels
+import graft.operators.ExactSubstr
+
+/** ExactSubstr duplicated-span removal (Lee et al. 2022 §4.1): kernel
+  * differentials plus operator semantics on pencil fixtures — the
+  * hash-exact DuckDB oracle `strip_dup_spans` carries the cross-engine
+  * evidence at fixture scale. */
+class ExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- SpanKernels.gramHashes: rolling == direct polynomial recompute ----
+
+  private def directHash(s: String, from: Int, len: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < from + len) { h = h * SpanKernels.Base + s.charAt(i); i += 1 }
+    SpanKernels.mix64(h)
+  }
+
+  test("gramHashes: rolling recurrence matches direct per-window recompute") {
+    val s = "the quick brown fox jumps over the lazy dog 0123456789"
+    for (l <- Seq(2, 5, 13, s.length)) {
+      val got = SpanKernels.gramHashes(s, l)
+      assert(got.length == s.length - l + 1)
+      for (i <- got.indices)
+        assert(got(i) == directHash(s, i, l), s"L=$l pos=$i")
+    }
+    assert(SpanKernels.gramHashes("ab", 3).isEmpty)   // shorter than L
+    assert(SpanKernels.gramHashes("", 2).isEmpty)
+    // equal windows hash equal; the corpus-level converse (no collisions)
+    // is the documented 2^-64 odds, string-verified by the DuckDB oracle
+    val t = "xyabcdexy"
+    assert(SpanKernels.gramHashes(t, 2).head == SpanKernels.gramHashes(t, 2).last)
+  }
+
+  test("stripSpans: interval union, overlap merge, clamping, empty input") {
+    assert(SpanKernels.stripSpans("abcdefgh", Array(2), 3) == "abfgh")
+    assert(SpanKernels.stripSpans("abcdefgh", Array(2, 4), 3) == "abh") // overlap merges
+    assert(SpanKernels.stripSpans("abcdefgh", Array(4, 2), 3) == "abh") // order-free
+    assert(SpanKernels.stripSpans("abcdefgh", Array(2, 2, 2), 3) == "abfgh") // dups fine
+    assert(SpanKernels.stripSpans("abcdefgh", Array(6), 4) == "abcdef")  // tail clamp
+    assert(SpanKernels.stripSpans("abcdefgh", Array(0, 5), 5) == "")     // full cover
+    assert(SpanKernels.stripSpans("abcdefgh", Array.emptyIntArray, 3) == "abcdefgh")
+  }
+
+  // ---- operator semantics ----
+
+  private val L = 10
+  private val span = "SHAREDSPAN0123456789" // 20 chars ≥ L
+
+  test("stripDupSpans: later copies cut, first occurrence and unique text kept") {
+    val docs = Seq(
+      (1L, s"alpha $span omega"),         // first occurrence — kept whole
+      (2L, s"beta $span tail"),           // later copy — span (plus window bleed) cut
+      (3L, "entirely unique content x")   // untouched, byte-identical
+    ).toDF("doc_id", "text")
+    val got = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == s"alpha $span omega")
+    assert(got(3L) == "entirely unique content x")
+    // doc 2: the maximal substring shared with doc 1 is "a <span> " — the
+    // copied span, both flanking spaces, AND the final 'a' both "alpha"
+    // and "beta" end with; exactly the windows fully inside that run are
+    // duplicated, so coverage is exactly the run and nothing bleeds
+    // further into doc-2-unique text
+    assert(got(2L) == "bettail")
+  }
+
+  test("stripDupSpans: intra-doc repeat — second occurrence cut") {
+    val docs = Seq((7L, s"$span--------$span")).toDF("doc_id", "text")
+    val got = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // first copy + separator survive; second copy (its own windows all
+    // duplicate the first occurrence's) is removed
+    assert(got(7L).startsWith(span))
+    assert(got(7L).sliding(span.length).count(_ == span) == 1)
+  }
+
+  test("stripDupSpans: global first = smallest (doc, pos), not per-pair") {
+    // three copies: only doc 1's survives; 2 and 3 both cut
+    val docs = Seq(
+      (1L, s"a $span"), (2L, s"b $span"), (3L, s"c $span")
+    ).toDF("doc_id", "text")
+    val got = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == s"a $span")
+    assert(!got(2L).contains(span) && !got(3L).contains(span))
+  }
+
+  test("stripDupSpans: docs shorter than gramLen never touched; carried columns survive") {
+    val docs = Seq(
+      (1L, "short", "meta1"), (2L, "short", "meta2") // equal but < L ⇒ no windows
+    ).toDF("doc_id", "text", "extra")
+    val got = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L)
+    assert(got.columns.toSeq == Seq("doc_id", "text", "extra"))
+    val rows = got.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "short", "meta1"), (2L, "short", "meta2")))
+  }
+
+  test("dupSpanOccurrences: exposes exactly the non-canonical window positions") {
+    val docs = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    val occ = ExactSubstr.dupSpanOccurrences(docs, "text", "doc_id", gramLen = L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // doc 2 contributes all span.length - L + 1 window positions; doc 1 none
+    assert(occ == (0 to span.length - L).map(p => (2L, p)).toSet)
+  }
+}

@@ -516,4 +516,35 @@ class PlanQualitySpec extends SparkSpec {
           out.queryExecution.executedPlan.toString)
     } finally spark.sharedState.cacheManager.clearCache()
   }
+
+  test("stripDupSpans: canonical-min is a HashAggregate (zero sorts); text never rides a shuffle") {
+    import spark.implicits._
+    // 50 copies of a 70-char autogenerated header ⇒ real dup mass, so the
+    // strip branch and both exchanges actually execute at fixture scale.
+    val docs = (0L until 200L).map { i =>
+      (i, (if (i % 4 == 0)
+             "/* Autogenerated header block: do not edit; build tool v3 output. */ "
+           else "") + s"unique body text $i with its own filler ${i * 13} tail padding")
+    }.toDF("doc_id", "text")
+    val out = operators.ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = 40)
+    out.collect() // drive AQE to the final plan
+    val p = out.queryExecution.executedPlan.toString
+    // The packed-long canonical occurrence (ExactSubstr.packed) is the point:
+    // count+min(pk) HASH-aggregates with a map-side partial. The
+    // min(struct(id,pos)) form it replaced compiles to SortAggregate — a
+    // per-partition SORT of one row per corpus CHARACTER, the suffix-array
+    // work this operator exists to avoid.
+    assert(p.contains("partial_min"), s"map-side partial min missing:\n$p")
+    assert(!p.contains("SortAggregate"), s"canonical min must hash-aggregate:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("+- Sort ") || l.contains(":- Sort ")),
+      s"stripDupSpans plan must be sort-free:\n$p")
+    // Corpus text stays in the scans and the final strip projection; every
+    // shuffle carries 8-byte window keys / packed ids / int positions only.
+    val stages = shuffleStages(out.queryExecution.executedPlan)
+    assert(stages.nonEmpty, p)
+    stages.foreach { s =>
+      s.plan.output.foreach(a => assert(!a.name.contains("text"),
+        s"corpus text must not ride a shuffle: ${s.plan.output.mkString(",")}\n$p"))
+    }
+  }
 }
