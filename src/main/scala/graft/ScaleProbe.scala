@@ -628,6 +628,49 @@ object ScaleProbe {
       println(s"[probe] pack: width-invariant (2^20 vs 512) at $rows docs")
       p.unpersist()
     }
+    if (ops("es")) {
+      // ExactSubstr duplicated-span removal at corpus scale. Fixture: every
+      // 5th doc is an exact copy of one of 20 ~165-char templates (index
+      // (id/5)%20 — all 20 hit); the rest are unique avalanche-token bodies.
+      // Template copies make the closed form EXACT with no boundary-window
+      // bleed (a planted header/footer INSIDE a doc leaks coverage through
+      // straddle windows whenever another doc shares the 1-char body prefix
+      // after the region — whole-doc spans have no straddle windows): every
+      // window of a copy duplicates the canonical (min-id) copy, coverage is
+      // the whole doc, so the stripped corpus loses exactly
+      // Σ_t (n_t − 1)·len(T_t) characters. What must hold at scale: wall
+      // tracks the occ relation (ONE hash-keyed exchange of 16-byte rows,
+      // ~len−39 per doc — corpus-character-sized, the operator's floor) and
+      // the join-back stays dup-mass-sized. Dup keys here are maximally
+      // adversarial for the count+min aggregate: each template window is
+      // ONE key carrying rows/100 occurrences — partial aggregation must
+      // collapse it map-side or the exchange skews.
+      import spark.implicits._
+      val nTemplates = 20
+      val templates = (0 until nTemplates).map(t =>
+        s"/* shared autogenerated block $t, emitted by the build pipeline */ " +
+          tokens(900000000L + t, 0, 8)).toArray
+      templates.foreach(t => require(t.length >= 40))
+      val docs = materialize(
+        spark.range(0, rows, 1, 256).map { id =>
+          val text = if (id % 5 == 0) templates(((id / 5) % nTemplates).toInt)
+                     else tokens(id, 300, 12)
+          (id, text)
+        }.toDF("doc_id", "text"),
+        s"/tmp/graft_probe_es_${CorpusGenVersion}_$rows")
+      val orig = docs.agg(sum(length(col("text")))).head().getLong(0)
+      val got = time(s"es strip ($rows docs, L=40)") {
+        operators.ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = 40)
+          .agg(sum(length(col("text")))).head().getLong(0)
+      }
+      val m = (rows + 4) / 5 // copies: ids 0,5,...; template index m%20
+      val expected = orig - (0 until nTemplates).map { t =>
+        val nT = if (t < m) (m - 1 - t) / nTemplates + 1 else 0L
+        (nT - 1).max(0L) * templates(t).length
+      }.sum
+      require(got == expected, s"es: stripped total $got != expected $expected (orig $orig)")
+      println(s"[probe] es: removed ${orig - got} of $orig chars, closed-form exact")
+    }
     if (ops("bp")) {
       // Corpus-frequency boilerplate stripping at corpus scale: three
       // injected header lines at densities 1/2, 1/3, 1/7 of the corpus over
