@@ -383,6 +383,77 @@ object QueryCatalog {
       " || CASE WHEN doc_id % 37 = 4 THEN ' ' || repeat(chr(233), 200) ELSE '' END" +
       " || CASE WHEN doc_id % 37 = 5 THEN ' c1' || chr(129) || 'residue' || chr(141) ELSE '' END"
 
+  /** Secret-scanner fixture: content built ONLY from literal constants (no
+    * doc text — natural ≥24-char identifier runs would add uncontrolled
+    * candidates), with planted tokens whose entropies are closed-form and
+    * ≥ 0.4 bits from the 4.0 threshold: 40 distinct chars → exactly
+    * log2(40) ≈ 5.32 (flag), 32 distinct → 5.0 (flag), 8 distinct evenly →
+    * 3.0, 3 distinct evenly → 1.585, one char → 0 (all keep).
+    * Tokens are substring-free of each other, so the oracle's replace-all
+    * reconstruction equals the kernel's per-match splice. */
+  private val secHi = "AbCdEfGhIjKlMnOpQrStUvWxYz0123456789+/=_"
+  private val secHi2 = "ZyXwVuTsRqPoNmLkJiHgFeDcBa987654"
+  private val secLo = "a" * 30
+  private val secLo2 = "abc" * 10
+  private val secMid = "abcdefgh" * 3
+  private def secContent: Column = concat(lit("key = \""),
+    when(col("doc_id") % 11 === 1, lit(secHi))
+      .when(col("doc_id") % 11 === 2, lit(secLo))
+      .when(col("doc_id") % 11 === 3, lit(secHi2 + "\" + \"" + secLo2))
+      .when(col("doc_id") % 11 === 4, lit(secMid))
+      .when(col("doc_id") % 11 === 5, lit(secLo2))
+      .otherwise(lit("plain value")),
+    lit("\" // tail"))
+  private val secContentSql: String =
+    s"""'key = "' || CASE
+       | WHEN doc_id % 11 = 1 THEN '$secHi'
+       | WHEN doc_id % 11 = 2 THEN '$secLo'
+       | WHEN doc_id % 11 = 3 THEN '$secHi2' || '" + "' || '$secLo2'
+       | WHEN doc_id % 11 = 4 THEN '$secMid'
+       | WHEN doc_id % 11 = 5 THEN '$secLo2'
+       | ELSE 'plain value'
+       |END || '" // tail'""".stripMargin
+  /** Notebook fixture: ipynb JSON built by identical string concatenation
+    * on both sides (no serializer in the loop, so no format divergence is
+    * possible); `\n` is the two-character escape INSIDE the JSON string.
+    * Families: md+code / code+code / md-only / empty-source cell /
+    * malformed / empty cells / no cells field. */
+  private def nbContent: Column =
+    when(col("doc_id") % 7 === 0, concat(
+        lit("{\"cells\":[{\"cell_type\":\"markdown\",\"source\":[\"# t\"]}," +
+          "{\"cell_type\":\"code\",\"source\":[\"x = "),
+        col("doc_id").cast("string"), lit("\\n\",\"print(x)\\n\"]}]}")))
+      .when(col("doc_id") % 7 === 1, lit("{\"cells\":[{\"cell_type\":\"code\"," +
+        "\"source\":[\"a=1\\n\"]},{\"cell_type\":\"code\",\"source\":[\"b=2\\n\",\"c=3\\n\"]}]}"))
+      .when(col("doc_id") % 7 === 2, lit("{\"cells\":[{\"cell_type\":\"markdown\"," +
+        "\"source\":[\"# only text\"]}]}"))
+      .when(col("doc_id") % 7 === 3, lit("{\"cells\":[{\"cell_type\":\"code\",\"source\":[]}]}"))
+      .when(col("doc_id") % 7 === 4, lit("not a notebook {"))
+      .when(col("doc_id") % 7 === 5, lit("{\"cells\":[]}"))
+      .otherwise(lit("{\"nbformat\":4,\"metadata\":{}}"))
+  // NOTE: no line may BEGIN with '||' — these fragments are interpolated
+  // into outer .stripMargin oracle strings, which would eat the first '|'
+  private val nbContentSql: String =
+    """CASE
+      | WHEN doc_id % 7 = 0 THEN '{"cells":[{"cell_type":"markdown","source":["# t"]},{"cell_type":"code","source":["x = ' || CAST(doc_id AS VARCHAR) || '\n","print(x)\n"]}]}'
+      | WHEN doc_id % 7 = 1 THEN '{"cells":[{"cell_type":"code","source":["a=1\n"]},{"cell_type":"code","source":["b=2\n","c=3\n"]}]}'
+      | WHEN doc_id % 7 = 2 THEN '{"cells":[{"cell_type":"markdown","source":["# only text"]}]}'
+      | WHEN doc_id % 7 = 3 THEN '{"cells":[{"cell_type":"code","source":[]}]}'
+      | WHEN doc_id % 7 = 4 THEN 'not a notebook {'
+      | WHEN doc_id % 7 = 5 THEN '{"cells":[]}'
+      | ELSE '{"nbformat":4,"metadata":{}}'
+      |END""".stripMargin
+
+  /** DuckDB rendering of EntropyKernel.entropy over a `dt(doc_id, token)`
+    * relation (distinct tokens, so per-char counts aren't double-merged;
+    * multiplicity restored by joining back to the raw candidate list). */
+  private val secEntropySql: String =
+    """chars AS (SELECT doc_id, token, unnest(string_split(token, '')) AS ch FROM dt),
+      |freq AS (SELECT doc_id, token, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3),
+      |ent AS (SELECT doc_id, token,
+      |  log2(length(token)) - SUM(c * log2(c)) / length(token) AS h
+      |  FROM freq GROUP BY doc_id, token, length(token))""".stripMargin
+
   /** The DuckDB rendering of [[graft.operators.License.detectLicense]] over
     * a `content` column — tag extraction, then the phrase precedence chain
     * verbatim (shared by the three license queries). */
@@ -2729,7 +2800,96 @@ object QueryCatalog {
              |FROM co
              |JOIN sizes sa ON sa.r = repo_a
              |JOIN sizes sb ON sb.r = repo_b
-             |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.7""".stripMargin))
+             |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.7""".stripMargin)),
+
+    // --------------------------------------------- entropy secret scanner
+    Q("secret_tokens",
+      // hash-exact despite double-precision entropy: planted-literal tokens
+      // with ≥ 0.4-bit margins to the 4.0 threshold (see secContent doc)
+      (s, dir) => graft.operators.Secrets.secretTokens(
+        t(s, dir, "documents").select(col("doc_id"), secContent.as("content")),
+        Seq(col("doc_id")), col("content"), minLen = 24, threshold = 4.0),
+      Some(s"""WITH d AS (SELECT doc_id, $secContentSql AS content FROM documents),
+             |toks AS (SELECT doc_id, unnest(regexp_extract_all(content,
+             |  '[A-Za-z0-9+/=_-]{24,}')) AS token FROM d),
+             |dt AS (SELECT DISTINCT doc_id, token FROM toks),
+             |$secEntropySql
+             |SELECT t.doc_id, t.token FROM toks t
+             |JOIN ent e ON t.doc_id = e.doc_id AND t.token = e.token
+             |WHERE e.h >= 4.0""".stripMargin)),
+
+    Q("scrub_secrets",
+      // full scrubbed-TEXT oracle (string hash-exact): the oracle's
+      // replace-all reconstruction equals the kernel's per-match splice
+      // because identical matches share one entropy decision and the
+      // planted tokens never substring-shadow each other
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), secContent.as("content"))
+        .select(col("doc_id"),
+          graft.operators.Secrets.scrubSecrets(col("content"),
+            minLen = 24, threshold = 4.0).as("scrubbed")),
+      Some(s"""WITH d AS (SELECT doc_id, $secContentSql AS content FROM documents),
+             |toks AS (SELECT doc_id, unnest(regexp_extract_all(content,
+             |  '[A-Za-z0-9+/=_-]{24,}')) AS token FROM d),
+             |dt AS (SELECT DISTINCT doc_id, token FROM toks),
+             |$secEntropySql,
+             |fl AS (SELECT doc_id, list(DISTINCT token) AS toklist
+             |       FROM ent WHERE h >= 4.0 GROUP BY doc_id),
+             |scr AS (SELECT d.doc_id, COALESCE(fl.toklist, []) AS hot, d.content
+             |        FROM d LEFT JOIN fl ON d.doc_id = fl.doc_id)
+             |SELECT doc_id, list_reduce(list_prepend(content, hot),
+             |  (acc, t) -> replace(acc, t, '<SECRET>')) AS scrubbed
+             |FROM scr""".stripMargin)),
+
+    // ------------------------------------------------- version collapse
+    Q("head_snapshot",
+      // 3 versions per synthetic (repo, path); head = max (version, commit)
+      // — a total order (commit = md5(doc_id) is unique), so max_by is
+      // deterministic and equals the oracle's ROW_NUMBER form
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(
+          concat(lit("r"), floor(col("doc_id") / 30).cast("long").cast("string")).as("repo"),
+          concat(lit("f"), floor(col("doc_id") / 3).cast("long").cast("string")).as("path"),
+          (col("doc_id") % 3).as("version"),
+          md5(col("doc_id").cast("string")).as("commit"),
+          col("text").as("content"))
+        graft.operators.Versions.headSnapshot(d, Seq("repo", "path"),
+          Seq(col("version"), col("commit")))
+      },
+      Some("""WITH d AS (SELECT
+             |  'r' || CAST(CAST(floor(doc_id / 30) AS BIGINT) AS VARCHAR) AS repo,
+             |  'f' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS VARCHAR) AS path,
+             |  doc_id % 3 AS version,
+             |  md5(CAST(doc_id AS VARCHAR)) AS commit,
+             |  text AS content
+             |FROM documents)
+             |SELECT repo, path, version, commit, content FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path
+             |    ORDER BY version DESC, commit DESC) AS rn FROM d)
+             |WHERE rn = 1""".stripMargin)),
+
+    // --------------------------------------------- notebook conversion
+    Q("nb_extract",
+      (s, dir) => graft.operators.Notebooks.notebooksToScripts(
+        t(s, dir, "documents").select(col("doc_id"), nbContent.as("content")),
+        Seq(col("doc_id")), col("content")),
+      Some(s"""WITH d AS (SELECT doc_id, $nbContentSql AS content FROM documents),
+             |p AS (SELECT doc_id, CASE WHEN json_valid(content) THEN
+             |  json_transform(content,
+             |    '{"cells":[{"cell_type":"VARCHAR","source":["VARCHAR"]}]}')
+             |  END AS nb FROM d)
+             |SELECT doc_id,
+             |  -- COALESCEs: DuckDB's array_to_string([]) is NULL where
+             |  -- Spark's array_join([]) is '' (both levels can go empty)
+             |  CASE WHEN nb IS NULL OR nb.cells IS NULL THEN NULL ELSE
+             |    COALESCE(array_to_string(list_transform(
+             |      list_filter(nb.cells, c -> c.cell_type = 'code'),
+             |      c -> COALESCE(array_to_string(c.source, ''), '')), chr(10)), '')
+             |  END AS script,
+             |  CASE WHEN nb IS NULL OR nb.cells IS NULL THEN NULL ELSE
+             |    CAST(length(list_filter(nb.cells, c -> c.cell_type = 'code'))
+             |      AS BIGINT) END AS n_code_cells
+             |FROM p""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Entropy-based secret detection (the truffleHog family of scanners —
+  * public technique: flag long base64/hex-ish character runs whose Shannon
+  * entropy says "random key material", which regex-only scrubbers (our
+  * PiiScrubExpr vendor-token stages) cannot see because a generic API key
+  * has no fixed prefix. Extends the reference's Harmonization/scrub family
+  * ($P/DQ.sApplyDQRuleHarmonization.sql:557-586 SpecialOperation — a named
+  * scalar rewrite) with an entropy-gated rewrite.
+  *
+  * Determinism contract: entropy is computed in IEEE doubles (log2 over
+  * per-character frequencies, summed in ascending code-point order), and
+  * every DECISION column the oracle replays is `entropy >= threshold` on a
+  * fixture whose planted tokens are literal constants with ≥ 0.4-bit
+  * margins — astronomically wider than any Java-vs-C libm divergence — so
+  * the boolean survives hash-exact comparison even though the raw double
+  * would not.
+  */
+object EntropyKernel {
+
+  /** Shannon entropy in bits/char of the string's code-point distribution.
+    * ASCII (the candidate-token domain — the extraction regex is an ASCII
+    * class) stays on a flat 128-slot table; any non-ASCII input falls back
+    * to a sorted table so the summation order stays canonical (ascending
+    * code point) regardless of input order. Empty → 0.0. */
+  def entropy(s: UTF8String): Double = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n == 0) return 0.0
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) { if (str.charAt(i) >= 128) ascii = false; i += 1 }
+    if (ascii) {
+      val counts = new Array[Int](128)
+      i = 0
+      while (i < str.length) { counts(str.charAt(i)) += 1; i += 1 }
+      sumEntropy(counts.iterator.filter(_ > 0), n)
+    } else {
+      // code points, counted then iterated in ascending order
+      val m = new java.util.TreeMap[Integer, Integer]()
+      i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        m.merge(cp, 1, (a, b) => a + b)
+        i += Character.charCount(cp)
+      }
+      import scala.jdk.CollectionConverters._
+      sumEntropy(m.values().iterator().asScala.map(_.intValue()), n)
+    }
+  }
+
+  private def sumEntropy(counts: Iterator[Int], n: Int): Double = {
+    // H = log2(n) - (Σ c·log2 c)/n  — one log per DISTINCT char, no
+    // division inside the loop (matches the DuckDB oracle's algebraic form)
+    var s = 0.0
+    while (counts.hasNext) {
+      val c = counts.next().toDouble
+      s += c * (math.log(c) / math.log(2.0))
+    }
+    math.log(n.toDouble) / math.log(2.0) - s / n
+  }
+
+  /** One pass of the entropy-gated scrub: every maximal match of `pat`
+    * whose entropy ≥ `threshold` is replaced by `repl`; everything else is
+    * byte-identical. Returns the input object unchanged when nothing fired
+    * (no allocation on the overwhelmingly-common clean row). */
+  def scrub(in: UTF8String, pat: Pattern, threshold: Double,
+            repl: String): UTF8String = {
+    val s = in.toString
+    val m = pat.matcher(s)
+    var out: java.lang.StringBuilder = null
+    var last = 0
+    while (m.find()) {
+      if (entropy(UTF8String.fromString(m.group())) >= threshold) {
+        if (out == null) out = new java.lang.StringBuilder(s.length)
+        out.append(s, last, m.start()).append(repl)
+        last = m.end()
+      }
+    }
+    if (out == null) in
+    else UTF8String.fromString(out.append(s, last, s.length).toString)
+  }
+}
+
+/** Shannon entropy (bits/char) of a string column — the per-token scoring
+  * half of the secret scanner; NULL in → NULL out. */
+case class ShannonEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    EntropyKernel.entropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.EntropyKernel.entropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShannonEntropyExpr =
+    copy(child = newChild)
+}
+
+/** The whole-document entropy-gated scrub as ONE map-only expression node:
+  * candidates are maximal `pattern` matches; a match with entropy ≥
+  * `threshold` is replaced by `replacement`. Same plan-literal posture as
+  * [[PiiScrubExpr]] (pattern compiled once per plan, rides to executors),
+  * and composes after it in the same scan projection — zero shuffle at any
+  * corpus size. NULL in → NULL out. */
+case class SecretScrubExpr(child: Expression, pattern: String,
+                           threshold: Double, replacement: String)
+    extends UnaryExpression {
+  require(threshold > 0.0, "entropy threshold must be positive")
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, pattern, threshold, replacement)
+
+  @transient private lazy val pat: Pattern = Pattern.compile(pattern)
+
+  override def nullSafeEval(input: Any): Any =
+    EntropyKernel.scrub(input.asInstanceOf[UTF8String], pat, threshold, replacement)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("secretPat", pat, "java.util.regex.Pattern")
+    val replRef = ctx.addReferenceObj("secretRepl", replacement, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.EntropyKernel.scrub($c, $patRef, $threshold, $replRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SecretScrubExpr =
+    copy(child = newChild)
+}

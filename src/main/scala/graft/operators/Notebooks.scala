@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Jupyter-notebook conversion: an `.ipynb` file is a JSON document whose
+  * code lives in `cells[*].source` line arrays; training pipelines (The
+  * Stack / StarCoder notebook conversion) flatten the code cells into a
+  * plain script before quality filtering, so notebooks aren't judged (and
+  * deduped) on their JSON scaffolding and base64 output blobs.
+  *
+  * 100 TB shape: map-only — `from_json` with a PARTIAL schema (just
+  * `cells[].cell_type` + `cells[].source`; Jackson skips every other field,
+  * including multi-MB base64 `outputs`), then higher-order array functions,
+  * all inside the scan's codegen stage. Zero shuffle at any scale.
+  *
+  * Malformed JSON and JSON without a `cells` array yield NULL script /
+  * NULL cell count (Spark PERMISSIVE parse), so callers can route
+  * non-notebook rows with a simple `isNull` filter — mirrored exactly by
+  * the DuckDB oracle's `json_valid` guard.
+  */
+object Notebooks {
+
+  /** The partial ipynb schema — only what extraction reads. */
+  val cellsSchema: StructType = StructType(Seq(
+    StructField("cells", ArrayType(StructType(Seq(
+      StructField("cell_type", StringType),
+      StructField("source", ArrayType(StringType))))))))
+
+  private def cells(content: Column): Column =
+    from_json(content, cellsSchema).getField("cells")
+
+  private def codeCells(content: Column): Column =
+    filter(cells(content), c => c.getField("cell_type") === "code")
+
+  /** Code cells flattened to one script: each cell's source lines joined
+    * as-is (they carry their own trailing newlines), cells joined by
+    * `cellSep`. NULL for malformed/cell-less input. */
+  def extractCode(content: Column, cellSep: String = "\n"): Column =
+    array_join(transform(codeCells(content),
+      c => array_join(c.getField("source"), "")), cellSep)
+
+  /** Number of code cells; NULL for malformed/cell-less input. */
+  def codeCellCount(content: Column): Column =
+    size(codeCells(content)).cast(LongType)
+
+  /** The conversion as a frame op: id columns + `script` + `n_code_cells`.
+    * Rows that aren't parseable notebooks keep NULLs (route, don't drop —
+    * the caller decides whether a broken notebook is junk or raw text). */
+  def notebooksToScripts(df: DataFrame, idCols: Seq[Column],
+                         content: Column): DataFrame =
+    df.select(idCols ++ Seq(
+      extractCode(content).as("script"),
+      codeCellCount(content).as("n_code_cells")): _*)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.{SecretScrubExpr, ShannonEntropyExpr}
+
+/** Entropy-based secret detection and scrubbing (the truffleHog recipe):
+  * generic high-entropy key material — AWS secret halves, random API
+  * tokens, private-key body lines — that the fixed-prefix regex stages of
+  * the PII chain can never enumerate.
+  *
+  * 100 TB shape: both forms are map-only. [[scrubSecrets]] is one codegen
+  * kernel in the scan projection (composes with PiiScrubExpr in the same
+  * WholeStageCodegen span, zero shuffle). [[secretTokens]] explodes only
+  * the CANDIDATE tokens (≥ minLen-char class runs — a tiny fraction of
+  * corpus bytes; clean rows emit nothing), so the post-explode relation is
+  * finding-sized, not corpus-sized.
+  *
+  * The candidate class is the RE2∩java.util.regex common subset (plain
+  * character class + bounded repetition), so the DuckDB oracle replays
+  * extraction byte-identically; decisions are `entropy >= threshold` with
+  * fixture margins ≥ 0.4 bits (see EntropyKernel's determinism contract).
+  */
+object Secrets {
+
+  /** Base64-ish candidate runs (covers hex and URL-safe variants; `-` last
+    * so the class parses identically in RE2 and Java). */
+  def candidatePattern(minLen: Int = 24): String =
+    s"[A-Za-z0-9+/=_-]{$minLen,}"
+
+  /** truffleHog's published base64 threshold is 4.5 bits and hex 3.0; one
+    * mixed-class scanner sits between them. */
+  val DefaultThreshold = 4.0
+
+  /** Shannon entropy (bits/char) of a string column. */
+  def tokenEntropy(c: Column): Column =
+    ColumnBridge.column(ShannonEntropyExpr(ColumnBridge.expression(c)))
+
+  /** Entropy-gated scrub of `content`: every maximal candidate match with
+    * entropy ≥ threshold becomes `replacement`; all other bytes unchanged. */
+  def scrubSecrets(content: Column, minLen: Int = 24,
+                   threshold: Double = DefaultThreshold,
+                   replacement: String = "<SECRET>"): Column =
+    ColumnBridge.column(SecretScrubExpr(ColumnBridge.expression(content),
+      candidatePattern(minLen), threshold, replacement))
+
+  /** Audit-side finding list: one row per flagged token occurrence class —
+    * (id columns…, token). Explodes candidates, keeps the hot ones. */
+  def secretTokens(df: DataFrame, idCols: Seq[Column], content: Column,
+                   minLen: Int = 24,
+                   threshold: Double = DefaultThreshold): DataFrame =
+    df.select(idCols :+
+        explode(regexp_extract_all(content, lit(candidatePattern(minLen)), lit(0)))
+          .as("token"): _*)
+      .where(tokenEntropy(col("token")) >= threshold)
+}

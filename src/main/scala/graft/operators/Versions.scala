@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Version collapse: a repository crawl carries many snapshots of the same
+  * file — `(repo, path)` at several commits — and every downstream stage
+  * (dedup, quality, packing) wants exactly one, the latest. The reference's
+  * cleanse-entity load has the same "one authoritative row per natural key"
+  * posture ($P/DQ.sLoadCleanseEntity.sql:236-251 DQRowId over a keyed copy;
+  * P3 DuplicatesFlag keeps row_number = 1 per key); The Stack / StarCoder
+  * pipelines do this as "keep the head revision" before near-dedup.
+  *
+  * 100 TB shape: ONE shuffle keyed by the natural key, as an aggregation —
+  * NOT a window. `max_by` has a map-side partial (each input partition
+  * forwards at most one candidate row per key it holds), so the exchange
+  * carries ~unique-file bytes instead of every version, and there is no
+  * per-group sort. A row_number window over (repo, path) would shuffle
+  * every version AND sort each group; at 10¹²-file scale with deep
+  * histories that is strictly worse on both axes. Mega-repo skew is a
+  * non-issue: the partial-aggregate state is one row per key per partition.
+  *
+  * Determinism contract: `orderCols` must be a TOTAL order within each key
+  * group (Spark's max_by is explicitly indeterminate on ties) — pass the
+  * version/time column first and a unique tiebreaker (the commit hash)
+  * last. The struct comparison is lexicographic, matching the SQL oracle's
+  * `ORDER BY ... DESC` chain.
+  */
+object Versions {
+
+  /** One row per `keyCols` group: the row whose `orderCols` tuple is
+    * lexicographically greatest. Column set and types pass through. */
+  def headSnapshot(df: DataFrame, keyCols: Seq[String],
+                   orderCols: Seq[Column]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "headSnapshot needs key and order columns")
+    val all = df.columns.toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(all.map(col): _*), struct(orderCols: _*)).as("__head"))
+      .select(all.map(c => col(s"__head.`$c`").as(c)): _*)
+  }
+}

@@ -61,7 +61,10 @@ class CodegenGateSpec extends SparkSpec {
       ("[a-z]{40,}", "<LONG>", None))),
     "DsirScoreExpr" -> DsirScoreExpr(strIn,
       graft.operators.Dsir.syntheticWeights(256, seed = 3L)),
-    "GramHashesExpr" -> GramHashesExpr(strIn, gramLen = 10)
+    "GramHashesExpr" -> GramHashesExpr(strIn, gramLen = 10),
+    "ShannonEntropyExpr" -> ShannonEntropyExpr(strIn),
+    "SecretScrubExpr" -> SecretScrubExpr(strIn,
+      graft.operators.Secrets.candidatePattern(24), 4.0, "<SECRET>")
   )
 
   private val sampleTexts = Seq(

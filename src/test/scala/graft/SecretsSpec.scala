@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Secrets
+
+/** Entropy secret scanner: hand-computed entropies, scrub splicing,
+  * candidate extraction edges, and the no-allocation pass-through. */
+class SecretsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def entropyOf(s: String): Double = {
+    val df = Seq(s).toDF("t").select(Secrets.tokenEntropy(col("t")).as("h"))
+    df.head.getDouble(0)
+  }
+
+  test("Shannon entropy: closed-form values") {
+    // n distinct chars, uniform → exactly log2(n)
+    assert(entropyOf("abcd") == 2.0)
+    assert(entropyOf("aaaa") == 0.0)
+    assert(math.abs(entropyOf("abcabcabc") - math.log(3) / math.log(2)) < 1e-12)
+    // 40 distinct chars → log2(40)
+    val hi = "AbCdEfGhIjKlMnOpQrStUvWxYz0123456789+/=_"
+    assert(math.abs(entropyOf(hi) - math.log(40) / math.log(2)) < 1e-12)
+    // mixed frequencies: "aab" → H = log2(3) - (2·log2 2)/3
+    val expected = math.log(3) / math.log(2) - 2.0 / 3.0
+    assert(math.abs(entropyOf("aab") - expected) < 1e-12)
+    // empty string → 0; non-ASCII path agrees with the ASCII path's math
+    assert(entropyOf("") == 0.0)
+    assert(entropyOf("éé") == 0.0)
+    assert(entropyOf("éá") == 1.0)
+  }
+
+  test("scrubSecrets: per-match splice, multi-candidate docs, pass-through") {
+    val rows = Seq(
+      (1L, "key = \"AbCdEfGhIjKlMnOpQrStUvWxYz0123456789+/=_\" done"),
+      (2L, "low = \"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa\" done"),
+      (3L, "a \"ZyXwVuTsRqPoNmLkJiHgFeDcBa987654\" b \"abcabcabcabcabcabcabcabcabcabc\" c"),
+      (4L, "no candidates here at all"),
+      (5L, "")
+    ).toDF("id", "content")
+    val out = rows.select(col("id"),
+        Secrets.scrubSecrets(col("content"), minLen = 24, threshold = 4.0).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "key = \"<SECRET>\" done")
+    assert(out(2L) == "low = \"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa\" done")
+    assert(out(3L) == "a \"<SECRET>\" b \"abcabcabcabcabcabcabcabcabcabc\" c")
+    assert(out(4L) == "no candidates here at all")
+    assert(out(5L) == "")
+  }
+
+  test("secretTokens: extraction is maximal-run, threshold gates, multiplicity kept") {
+    val hi = "ZyXwVuTsRqPoNmLkJiHgFeDcBa987654"
+    val rows = Seq(
+      (1L, s"one $hi two $hi three"),          // same token twice → 2 rows
+      (2L, "just aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa here"), // low entropy
+      (3L, "short run Abc123 only")            // < 24 chars → no candidate
+    ).toDF("id", "content")
+    val toks = Secrets.secretTokens(rows, Seq(col("id")), col("content"),
+      minLen = 24, threshold = 4.0).collect()
+    assert(toks.length == 2)
+    assert(toks.forall(r => r.getLong(0) == 1L && r.getString(1) == hi))
+  }
+
+  test("threshold sits between the planted families (fixture margin)") {
+    // families used by the secret_tokens/scrub_secrets oracles
+    assert(entropyOf("AbCdEfGhIjKlMnOpQrStUvWxYz0123456789+/=_") > 4.4)
+    assert(entropyOf("ZyXwVuTsRqPoNmLkJiHgFeDcBa987654") >= 5.0 - 1e-12)
+    assert(math.abs(entropyOf("abcdefgh" * 3) - 3.0) < 1e-12) // 1 bit under
+    assert(entropyOf("abc" * 10) < 1.6)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Notebooks, Versions}
+
+class VersionsNotebooksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("headSnapshot: one row per key, max (version, tiebreak) wins, columns pass through") {
+    val df = Seq(
+      ("r1", "a.py", 1L, "c1", "v1"),
+      ("r1", "a.py", 3L, "c3", "v3"),
+      ("r1", "a.py", 2L, "c2", "v2"),
+      ("r1", "b.py", 1L, "c9", "only"),
+      ("r2", "a.py", 3L, "aa", "tie-lo"), // same version: commit breaks the tie
+      ("r2", "a.py", 3L, "zz", "tie-hi")
+    ).toDF("repo", "path", "version", "commit", "content")
+    val head = Versions.headSnapshot(df, Seq("repo", "path"),
+      Seq(col("version"), col("commit")))
+    assert(head.columns.toSeq == Seq("repo", "path", "version", "commit", "content"))
+    val got = head.collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(4)).toMap
+    assert(got == Map(("r1", "a.py") -> "v3", ("r1", "b.py") -> "only",
+      ("r2", "a.py") -> "tie-hi"))
+  }
+
+  test("headSnapshot plan: aggregation with map-side partials, no window sort") {
+    val df = Seq(("r", "p", 1L, "c", "x")).toDF("repo", "path", "version", "commit", "content")
+    val plan = Versions.headSnapshot(df, Seq("repo", "path"),
+      Seq(col("version"), col("commit"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no window operator:\n$plan")
+    // partial + final aggregate pair = the map-side-combine shape
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
+      .findAllIn(plan).size >= 2, s"expected two-phase aggregation:\n$plan")
+  }
+
+  test("notebook extraction: code cells flatten, others route to NULL") {
+    val rows = Seq(
+      (0L, """{"cells":[{"cell_type":"markdown","source":["# t"]},{"cell_type":"code","source":["x = 1\n","print(x)\n"]}]}"""),
+      (1L, """{"cells":[{"cell_type":"code","source":["a=1\n"]},{"cell_type":"code","source":["b=2\n","c=3\n"]}]}"""),
+      (2L, """{"cells":[{"cell_type":"markdown","source":["# only"]}]}"""),
+      (3L, """{"cells":[{"cell_type":"code","source":[]}]}"""),
+      (4L, "not a notebook {"),
+      (5L, """{"cells":[]}"""),
+      (6L, """{"nbformat":4,"metadata":{}}""")
+    ).toDF("id", "content")
+    val out = Notebooks.notebooksToScripts(rows, Seq(col("id")), col("content"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+         (if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(0L) == ("x = 1\nprint(x)\n", 1L))
+    assert(out(1L) == ("a=1\n" + "\n" + "b=2\nc=3\n", 2L))
+    assert(out(2L) == ("", 0L))
+    assert(out(3L) == ("", 1L))
+    assert(out(4L) == (null, -1L))
+    assert(out(5L) == ("", 0L))
+    assert(out(6L) == (null, -1L))
+  }
+}
