@@ -441,7 +441,11 @@ object Bench {
         "quality_classifier", "bpe_token_count",
         // DSIR importance resampling end-to-end (one conditional count-agg
         // fit pass + map-only fixed-point scoring + TakeOrdered selection)
-        "dsir_select")
+        "dsir_select",
+        // entropy secret scrub (map-only codegen kernel), head-snapshot
+        // version collapse (max_by agg, map-side partials, no window sort),
+        // notebook -> script conversion (partial-schema from_json, map-only)
+        "scrub_secrets", "head_snapshot", "nb_extract")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: ONE shuffle keyed by the natural key, as an aggregation —
   * NOT a window. `max_by` has a map-side partial (each input partition
   * forwards at most one candidate row per key it holds), so the exchange
-  * carries ~unique-file bytes instead of every version, and there is no
-  * per-group sort. A row_number window over (repo, path) would shuffle
-  * every version AND sort each group; at 10¹²-file scale with deep
-  * histories that is strictly worse on both axes. Mega-repo skew is a
+  * carries ~unique-file bytes instead of every version. Struct buffers
+  * aren't hash-mutable, so this compiles to a SortAggregate pair — the
+  * per-partition sorts are spillable pointer sorts, and they are the
+  * honest cost of the shape (ObjectHashAggregate would not help: typed
+  * buffers fall back to sort-based past the 128-group threshold anyway).
+  * A row_number window over (repo, path) would shuffle EVERY version and
+  * then sort; at 10¹²-file scale with deep histories that is strictly
+  * worse on the only axis that matters, wire bytes. Mega-repo skew is a
   * non-issue: the partial-aggregate state is one row per key per partition.
   *
   * Determinism contract: `orderCols` must be a TOTAL order within each key
