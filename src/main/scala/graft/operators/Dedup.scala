@@ -375,6 +375,39 @@ object Dedup {
     (k, maxDf)
   }
 
+  /** Probability that banded MinHash proposes a pair of true Jaccard `s`
+    * as a candidate: 1 − (1 − s^r)^b (the LSH S-curve, Broder/MMDS ch.3). */
+  def minhashCandidateProb(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+
+  /** Banding for [[minHashDedup]] at a given threshold — the S-curve
+    * companion to [[winnowParams]] / [[Similarity.lshParams]]. Returns
+    * (bands, rowsPerBand) with bands · rowsPerBand = numHashes.
+    *
+    * Selection rule: the LONGEST bands (max rowsPerBand = sharpest S-curve
+    * = fewest sub-threshold false candidates — candidate volume, not
+    * verification, is what melts down at corpus scale) whose recall at the
+    * design similarity `atSim` still clears `minRecall`. `atSim` defaults a
+    * decade above the drop threshold (min(θ+0.1, 0.95)): pairs AT a 0.8
+    * threshold are coin-flip dups; the pairs a dedup run must not miss are
+    * the clearly-over ones. The 64-hash θ=0.8 production default resolves
+    * to (8, 8) — at-0.9 recall 0.989, at-0.8 recall 0.77 (the documented
+    * trade) — while θ=0.5 resolves to (32, 2), paying candidate volume for
+    * recall where the S-curve midpoint must sit lower. */
+  def minhashParams(threshold: Double, numHashes: Int = 64,
+                    atSim: Double = Double.NaN,
+                    minRecall: Double = 0.95): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    require(numHashes >= 2, s"numHashes >= 2: $numHashes")
+    val design = if (atSim.isNaN) math.min(threshold + 0.1, 0.95) else atSim
+    require(design >= threshold && design <= 1.0,
+      s"design similarity $design must sit in [threshold, 1]")
+    val options = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b)) // (bands, rowsPerBand), rows descending in b
+    options.find { case (b, r) => minhashCandidateProb(design, b, r) >= minRecall }
+      .getOrElse(options.maxBy { case (b, r) => minhashCandidateProb(design, b, r) })
+  }
+
   /** Winnowing-fingerprint containment pairs (MOSS-style): detects COPIED
     * PASSAGES — a doc embedding another doc's text scores near-1 containment
     * while its whole-document Jaccard may sit far below any minhash

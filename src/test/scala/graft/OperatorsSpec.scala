@@ -258,6 +258,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("minhashParams: S-curve banding matches the production default and moves with θ") {
+    // θ=0.8, 64 hashes → the documented production banding (8 bands × r=8)
+    assert(Dedup.minhashParams(0.8) == ((8, 8)))
+    // the chosen banding really does clear the recall bar at the design sim
+    assert(Dedup.minhashCandidateProb(0.9, 8, 8) >= 0.95)
+    // ...and the next-sharper option really doesn't (selection is tight)
+    assert(Dedup.minhashCandidateProb(0.9, 4, 16) < 0.95)
+    // lower thresholds buy recall with shorter bands (more candidates)
+    val (b5, r5) = Dedup.minhashParams(0.5)
+    assert(r5 < 8 && b5 * r5 == 64)
+    assert(Dedup.minhashCandidateProb(0.6, b5, r5) >= 0.95)
+    // higher thresholds keep bands long
+    val (b9, r9) = Dedup.minhashParams(0.9, numHashes = 128)
+    assert(b9 * r9 == 128)
+    assert(Dedup.minhashCandidateProb(0.95, b9, r9) >= 0.95)
+    assert(r9 >= 8, s"θ=0.9 should band long, got r=$r9")
+    // S-curve sanity: probability is monotone in similarity
+    assert(Dedup.minhashCandidateProb(0.9, 8, 8) > Dedup.minhashCandidateProb(0.5, 8, 8))
+  }
+
   test("winnowParams sizes k against gram-space saturation, mirrors the probe findings") {
     // the 16M probe corpus: ~11-char effective alphabet, ~160-char docs —
     // the measured sweet spot was k=12 (0.24 cands/row, 94.2% recall)

@@ -62,6 +62,29 @@ class SecretsSpec extends SparkSpec {
     assert(toks.forall(r => r.getLong(0) == 1L && r.getString(1) == hi))
   }
 
+  test("secret scrub is a legal stateless streaming projection (continuous-ingest shape)") {
+    // the kernel is a pure per-row expression, so the same scrub that fuses
+    // into the batch scan must run unchanged on a micro-batch stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val scrubbed = stream.toDF().toDF("doc_id", "content")
+      .select(col("doc_id"),
+        Secrets.scrubSecrets(col("content"), minLen = 24, threshold = 4.0).as("s"))
+    val q = scrubbed.writeStream.format("memory").queryName("secret_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (1L, "k = \"AbCdEfGhIjKlMnOpQrStUvWxYz0123456789+/=_\""),
+        (2L, "low entropy aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa kept")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("secret_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "k = \"<SECRET>\"",
+      2L -> "low entropy aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa kept"))
+  }
+
   test("threshold sits between the planted families (fixture margin)") {
     // families used by the secret_tokens/scrub_secrets oracles
     assert(entropyOf("AbCdEfGhIjKlMnOpQrStUvWxYz0123456789+/=_") > 4.4)
