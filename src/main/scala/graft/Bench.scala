@@ -445,7 +445,10 @@ object Bench {
         // entropy secret scrub (map-only codegen kernel), head-snapshot
         // version collapse (max_by agg, map-side partials, no window sort),
         // notebook -> script conversion (partial-schema from_json, map-only)
-        "scrub_secrets", "head_snapshot", "nb_extract")
+        "scrub_secrets", "head_snapshot", "nb_extract",
+        // span-level benchmark decontamination (broadcast bench window-hash
+        // set -> shuffle-free corpus probe -> span-list join-back + strip)
+        "decontaminate_spans")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

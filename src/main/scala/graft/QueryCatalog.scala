@@ -1767,6 +1767,41 @@ object QueryCatalog {
              |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
              |FROM docs d""".stripMargin)),
 
+    // SPAN-level benchmark decontamination: every ≥40-char training-corpus
+    // substring that also appears in the benchmark suite is cut (document
+    // kept). Benchmark = an 80-char excerpt of every 23rd doc, so those
+    // docs (and any doc naturally sharing a window with the excerpts) get
+    // exactly the leaked span removed. Oracle recomputes the FULL rule on
+    // window STRINGS (engine keys 64-bit rolling hashes — hash-exact
+    // agreement doubles as collision evidence, the strip_dup_spans
+    // argument).
+    Q("decontaminate_spans",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val bench = t(s, dir, "documents").where(col("doc_id") % 23 === 0)
+          .select(substring(col("text"), 11, 80).as("btext"))
+        graft.operators.ExactSubstr.stripContaminatedSpans(
+          docs, "text", "doc_id", bench, "btext", gramLen = 40)
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents),
+             |bench AS (SELECT substr(text, 11, 80) AS btext FROM documents
+             |          WHERE doc_id % 23 = 0),
+             |idx AS (SELECT CAST(i AS INT) AS i FROM range(0, 4096) AS t(i)),
+             |bwin AS (SELECT DISTINCT substr(btext, i+1, 40) AS g
+             |         FROM bench JOIN idx ON i <= length(btext) - 40),
+             |occ AS (SELECT doc_id, i AS p FROM docs JOIN idx ON i <= length(text) - 40
+             |        WHERE substr(text, i+1, 40) IN (SELECT g FROM bwin)),
+             |chars AS (SELECT d.doc_id, i, substr(d.text, i+1, 1) AS ch
+             |          FROM docs d JOIN idx ON i <= length(d.text) - 1),
+             |kept AS (SELECT c.doc_id, c.i, c.ch FROM chars c
+             |         WHERE NOT EXISTS (SELECT 1 FROM occ u
+             |                           WHERE u.doc_id = c.doc_id
+             |                             AND c.i >= u.p AND c.i < u.p + 40))
+             |SELECT d.doc_id,
+             |       coalesce((SELECT string_agg(ch, '' ORDER BY i)
+             |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
+             |FROM docs d""".stripMargin)),
+
     // Deterministic global shuffle rank (training-order assignment): exact
     // rank in (md5 key, id) order computed with bucket-partitioned windows
     // + broadcast base offsets — the oracle recomputes it with the naive

@@ -107,11 +107,62 @@ object ExactSubstr {
     val spans = dupSpanOccurrences(df, contentColName, idColName, gramLen)
       .groupBy(idColName)
       .agg(collect_list(col("pos")).as("__spanpos"))
+    stripAt(df, contentColName, idColName, spans, gramLen)
+  }
+
+  /** Training-doc positions whose length-`gramLen` window occurs ANYWHERE
+    * in the benchmark suite — the span-granular contamination relation.
+    * Exposed for audit reports (contaminated-char mass per doc/benchmark). */
+  def contaminatedSpanOccurrences(df: DataFrame, contentColName: String,
+                                  idColName: String, bench: DataFrame,
+                                  benchContentColName: String,
+                                  gramLen: Int): DataFrame = {
+    val benchHashes = bench.select(
+      explode(SpanSignatures.gramHashes(col(benchContentColName), gramLen))
+        .as("__h")).distinct()
+    df.select(
+        col(idColName).as("__id"),
+        posexplode(SpanSignatures.gramHashes(col(contentColName), gramLen))
+          .as(Seq("__pos", "__h")))
+      .join(broadcast(benchHashes), Seq("__h"), "left_semi")
+      .select(col("__id").as(idColName), col("__pos").as("pos"))
+  }
+
+  /** SPAN-level benchmark decontamination: every training-corpus substring
+    * of length ≥ `gramLen` that also appears in `bench` is cut from the
+    * training text (the PaLM/Lee-et-al posture taken to span granularity —
+    * [[Decontaminate]] drops or flags whole documents; this keeps the
+    * document and removes exactly the leaked benchmark text, the right
+    * call when one benchmark snippet sits inside a 10k-line vendored file).
+    *
+    * 100 TB shape: the benchmark side reduces to a DISTINCT window-hash
+    * set — benchmark-suite-mass (MBs — eval suites, not corpora; the
+    * explicit `broadcast` encodes that contract) — so the corpus side is a
+    * map-only semi-join probe: NO corpus shuffle for detection, and docs
+    * with no contamination pass through byte-identical. The only corpus
+    * exchange is the span-list join-back shared with [[stripDupSpans]]
+    * (skipped entirely for pre-bucketed-by-id corpora). */
+  def stripContaminatedSpans(df: DataFrame, contentColName: String,
+                             idColName: String, bench: DataFrame,
+                             benchContentColName: String,
+                             gramLen: Int = 40): DataFrame = {
+    require(df.columns.contains(contentColName) && df.columns.contains(idColName),
+      s"need columns $contentColName and $idColName in ${df.columns.mkString(",")}")
+    val spans = contaminatedSpanOccurrences(df, contentColName, idColName,
+        bench, benchContentColName, gramLen)
+      .groupBy(idColName)
+      .agg(collect_list(col("pos")).as("__spanpos"))
+    stripAt(df, contentColName, idColName, spans, gramLen)
+  }
+
+  /** Shared join-back + one-pass interval-union strip: rows absent from
+    * `spans` pass through byte-identical (left join + null guard). */
+  private def stripAt(df: DataFrame, contentColName: String, idColName: String,
+                      spans: DataFrame, gramLen: Int): DataFrame =
     df.join(spans, Seq(idColName), "left")
       .withColumn(contentColName,
         when(col("__spanpos").isNull, col(contentColName))
           .otherwise(SpanSignatures.stripSpans(
             col(contentColName), col("__spanpos"), gramLen)))
       .drop("__spanpos")
-  }
 }

@@ -107,4 +107,41 @@ class ExactSubstrSpec extends SparkSpec {
     // doc 2 contributes all span.length - L + 1 window positions; doc 1 none
     assert(occ == (0 to span.length - L).map(p => (2L, p)).toSet)
   }
+
+  test("stripContaminatedSpans: leaked benchmark span cut from EVERY occurrence, rest kept") {
+    val docs = Seq(
+      (1L, "prefix one " + span + " suffix one"),   // leaked
+      (2L, "prefix two " + span + " suffix two"),   // leaked (no first-wins exemption)
+      (3L, "clean document with nothing shared here"),
+      (4L, "short")                                  // < L, untouched
+    ).toDF("doc_id", "text")
+    val bench = Seq(("question: " + span + " answer: 42")).toDF("btext")
+    val got = ExactSubstr.stripContaminatedSpans(docs, "text", "doc_id",
+        bench, "btext", gramLen = L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // unlike stripDupSpans there is NO canonical exemption: the benchmark is
+    // external, so both training copies lose the span — including the
+    // flanking spaces, which sit inside benchmark windows (" SHAREDSPA",
+    // "123456789 ") and are therefore themselves leaked context
+    assert(got(1L) == "prefix onesuffix one")
+    assert(got(2L) == "prefix twosuffix two")
+    assert(got(3L) == "clean document with nothing shared here")
+    assert(got(4L) == "short")
+  }
+
+  test("stripContaminatedSpans: detection probe is shuffle-free (broadcast bench set)") {
+    val docs = Seq((1L, span + " tail")).toDF("doc_id", "text")
+    val bench = Seq((span)).toDF("btext")
+    val occ = ExactSubstr.contaminatedSpanOccurrences(docs, "text", "doc_id",
+      bench, "btext", gramLen = L)
+    val plan = occ.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast semi-join:\n$plan")
+    // exactly ONE hash exchange in the whole plan — the benchmark-side
+    // DISTINCT that feeds the broadcast; the corpus probe side never
+    // shuffles (the operator's detection contract)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 (bench-side) hash exchange, got $exchanges:\n$plan")
+    val hits = occ.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(hits == (0 to span.length - L).map(p => (1L, p)).toSet)
+  }
 }
