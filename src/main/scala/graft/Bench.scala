@@ -448,7 +448,9 @@ object Bench {
         "scrub_secrets", "head_snapshot", "nb_extract",
         // span-level benchmark decontamination (broadcast bench window-hash
         // set -> shuffle-free corpus probe -> span-list join-back + strip)
-        "decontaminate_spans")
+        "decontaminate_spans",
+        // FIM transformation (exact integer cut points, map-only)
+        "fim_transform")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

@@ -2903,6 +2903,58 @@ object QueryCatalog {
              |    ORDER BY version DESC, commit DESC) AS rn FROM d)
              |WHERE rn = 1""".stripMargin)),
 
+    // contamination audit report over the same fixture: windows hit +
+    // interval-union char mass per contaminated doc
+    Q("decontaminate_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val bench = t(s, dir, "documents").where(col("doc_id") % 23 === 0)
+          .select(substring(col("text"), 11, 80).as("btext"))
+        graft.operators.ExactSubstr.contaminationReport(
+          docs, "text", "doc_id", bench, "btext", gramLen = 40)
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents),
+             |bench AS (SELECT substr(text, 11, 80) AS btext FROM documents
+             |          WHERE doc_id % 23 = 0),
+             |idx AS (SELECT CAST(i AS INT) AS i FROM range(0, 4096) AS t(i)),
+             |bwin AS (SELECT DISTINCT substr(btext, i+1, 40) AS g
+             |         FROM bench JOIN idx ON i <= length(btext) - 40),
+             |occ AS (SELECT doc_id, i AS p FROM docs JOIN idx ON i <= length(text) - 40
+             |        WHERE substr(text, i+1, 40) IN (SELECT g FROM bwin)),
+             |cut AS (SELECT c.doc_id, c.i FROM
+             |          (SELECT d.doc_id, i FROM docs d
+             |           JOIN idx ON i <= length(d.text) - 1) c
+             |        WHERE EXISTS (SELECT 1 FROM occ u
+             |                      WHERE u.doc_id = c.doc_id
+             |                        AND c.i >= u.p AND c.i < u.p + 40))
+             |SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cut
+             |        WHERE cut.doc_id = o.doc_id) AS n_chars_cut
+             |FROM occ o GROUP BY o.doc_id""".stripMargin)),
+
+    // ------------------------------------------------ FIM transformation
+    Q("fim_transform",
+      // exact integer-arithmetic cut points (no RNG) make the transform
+      // replayable AND SQL-replayable; DuckDB folds 2654435761 % 1000003
+      // itself so both engines share the multiplier literal
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        graft.operators.Fim.fimTransform(col("text"), col("doc_id"), 0.5)
+          .as("fim_text")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN text IS NULL THEN NULL
+             |       WHEN ((doc_id % 1000003) * 75321) % 100 < 50
+             |            AND length(text) > 0 THEN
+             |         '<fim_prefix>' || substr(text, 1, lo) ||
+             |         '<fim_suffix>' || substr(text, hi + 1, length(text) - hi) ||
+             |         '<fim_middle>' || substr(text, lo + 1, hi - lo)
+             |       ELSE text END AS fim_text
+             |FROM (SELECT doc_id, text, least(c1, c2) AS lo, greatest(c1, c2) AS hi
+             |      FROM (SELECT doc_id, text,
+             |        ((doc_id % 1000003) * (2654435761 % 1000003))
+             |          % (length(text) + 1) AS c1,
+             |        ((doc_id % 1000003) * 40503) % (length(text) + 1) AS c2
+             |      FROM documents))""".stripMargin)),
+
     // --------------------------------------------- notebook conversion
     Q("nb_extract",
       (s, dir) => graft.operators.Notebooks.notebooksToScripts(

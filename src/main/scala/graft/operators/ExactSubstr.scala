@@ -155,6 +155,26 @@ object ExactSubstr {
     stripAt(df, contentColName, idColName, spans, gramLen)
   }
 
+  /** Audit-side contamination report: one row per CONTAMINATED doc —
+    * (id, n_windows, n_chars_cut) where n_chars_cut is the interval-union
+    * mass the strip would remove (length delta of the strip kernel; no
+    * second operator needed). Feeds the run audit the way rule-hit
+    * summaries do for the rule engine (S5/S6 posture). */
+  def contaminationReport(df: DataFrame, contentColName: String,
+                          idColName: String, bench: DataFrame,
+                          benchContentColName: String,
+                          gramLen: Int = 40): DataFrame = {
+    val spans = contaminatedSpanOccurrences(df, contentColName, idColName,
+        bench, benchContentColName, gramLen)
+      .groupBy(idColName)
+      .agg(count(lit(1)).as("n_windows"), collect_list(col("pos")).as("__spanpos"))
+    df.join(spans, Seq(idColName))
+      .select(col(idColName), col("n_windows"),
+        (length(col(contentColName)) - length(SpanSignatures.stripSpans(
+          col(contentColName), col("__spanpos"), gramLen)))
+          .cast("long").as("n_chars_cut"))
+  }
+
   /** Shared join-back + one-pass interval-union strip: rows absent from
     * `spans` pass through byte-identical (left join + null guard). */
   private def stripAt(df: DataFrame, contentColName: String, idColName: String,

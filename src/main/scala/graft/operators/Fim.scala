@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fill-in-the-middle (FIM) transformation — Bavarian et al. 2022 ("Efficient
+  * Training of Language Models to Fill in the Middle"), the StarCoder/code-
+  * model data transform: a deterministic fraction of documents is rewritten
+  * as `<fim_prefix> P <fim_suffix> S <fim_middle> M` (PSM mode) so the model
+  * learns infilling from the same corpus bytes.
+  *
+  * Everything here is exact integer arithmetic on the id — NOT an RNG — so
+  * (a) the transform is replayable (the same corpus always yields the same
+  * training bytes, the property checkpoint/resume needs), and (b) a SQL
+  * oracle can recompute it verbatim. Cut points use multiplicative hashing
+  * on `id mod 1000003` (a prime < 2²⁰, so the product stays ≪ 2⁶³ —
+  * DuckDB errors on BIGINT overflow where the JVM would silently wrap;
+  * keeping the intermediate small keeps both engines on the same value).
+  *
+  * 100 TB shape: map-only — three substrings and a concat in the scan
+  * projection; zero shuffle at any scale. Character-based cuts (the
+  * documented contract — token-aware cutting belongs downstream of BPE).
+  */
+object Fim {
+
+  val PrefixTok = "<fim_prefix>"
+  val SuffixTok = "<fim_suffix>"
+  val MiddleTok = "<fim_middle>"
+
+  private val P = 1000003L // prime modulus keeping products overflow-safe
+  private val K1 = 2654435761L % P
+  private val K2 = 40503L
+  private val K3 = 75321L
+
+  /** h(id, k) in [0, m): multiplicative hash with overflow-safe intermediates
+    * (id folds to [0, P) first; k < P, so the product < P² ≈ 2⁴⁰). */
+  private def mix(id: Column, k: Long, m: Column): Column =
+    pmod(pmod(id, lit(P)) * lit(k), m)
+
+  /** PSM FIM over `content`: documents selected by the deterministic
+    * `fimRate` gate are rewritten with two id-derived cut points
+    * 0 ≤ lo ≤ hi ≤ len; the rest pass through byte-identical. `id` must be
+    * non-negative. Empty docs pass through (no cut points exist). */
+  def fimTransform(content: Column, id: Column, fimRate: Double): Column = {
+    require(fimRate >= 0.0 && fimRate <= 1.0, s"fimRate in [0,1]: $fimRate")
+    val len = length(content)
+    val gate = mix(id, K3, lit(100)) < lit((fimRate * 100).round)
+    val c1 = mix(id, K1, len + 1)
+    val c2 = mix(id, K2, len + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    when(content.isNull, lit(null))
+      .when(gate && len > 0,
+        concat(lit(PrefixTok), content.substr(lit(1), lo),
+          lit(SuffixTok), content.substr(hi + 1, len - hi),
+          lit(MiddleTok), content.substr(lo + 1, hi - lo)))
+      .otherwise(content)
+  }
+
+  /** Frame form: rewrites `contentColName` in place, carries other columns. */
+  def applyFim(df: DataFrame, contentColName: String, id: Column,
+               fimRate: Double = 0.5): DataFrame =
+    df.withColumn(contentColName, fimTransform(col(contentColName), id, fimRate))
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Fim
+
+class FimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fimTransform: PSM reassembly is a permutation of the original bytes") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i " + ("abcdefg " * 8).trim))
+      .toDF("id", "content")
+    val out = Fim.applyFim(docs, "content", col("id"), fimRate = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var fimmed = 0
+    out.foreach { case (id, s) =>
+      if (s.startsWith(Fim.PrefixTok)) {
+        fimmed += 1
+        // <fim_prefix>P<fim_suffix>S<fim_middle>M with P+M+S = original
+        val afterP = s.stripPrefix(Fim.PrefixTok)
+        val Array(p, rest) = afterP.split(java.util.regex.Pattern.quote(Fim.SuffixTok), 2)
+        val Array(suf, mid) = rest.split(java.util.regex.Pattern.quote(Fim.MiddleTok), 2)
+        assert(p + mid + suf == orig(id), s"id=$id reassembly mismatch")
+      } else assert(s == orig(id), s"id=$id pass-through changed")
+    }
+    // the deterministic gate selects ~rate of documents
+    assert(fimmed > 60 && fimmed < 140, s"fimRate=0.5 selected $fimmed of 200")
+  }
+
+  test("fimTransform: deterministic (same input, same bytes), edge rates and empties") {
+    val docs = Seq((1L, ""), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "content")
+    val a = Fim.applyFim(docs, "content", col("id"), 1.0).collect()
+    val b = Fim.applyFim(docs, "content", col("id"), 1.0).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val m = a.map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m(1L).contains(""))             // empty passes through even at rate 1
+    assert(m(2L).exists(_.startsWith(Fim.PrefixTok))) // rate 1 hits everything non-empty
+    assert(m(3L).isEmpty)                  // null in, null out
+    // rate 0 is the identity
+    val z = Fim.applyFim(docs, "content", col("id"), 0.0)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(z == Map(1L -> Some(""), 2L -> Some("x"), 3L -> None))
+  }
+}
