@@ -671,6 +671,61 @@ object ScaleProbe {
       require(got == expected, s"es: stripped total $got != expected $expected (orig $orig)")
       println(s"[probe] es: removed ${orig - got} of $orig chars, closed-form exact")
     }
+    if (ops("dc")) {
+      // SPAN-level benchmark decontamination at corpus scale. Fixture: 50
+      // ~170-char benchmark snippets; every 7th doc (id ≡ 3 mod 7) embeds
+      // snippet ((id−3)/7 mod 50) between two unique avalanche-token bodies;
+      // the rest are fully unique. Bench windows exist only INSIDE snippets
+      // (the bench table carries the snippet text alone), so coverage per
+      // contaminated doc is exactly len(snippet) chars — no boundary-window
+      // bleed — and the closed form is exact. What must hold at scale: the
+      // benchmark hash set is CONSTANT-sized (broadcast), detection is a
+      // map-only probe that tracks the scan, and the only corpus-keyed work
+      // (span-list aggregation + join-back) is contamination-mass-sized,
+      // not corpus-sized — the opposite cost profile of the es op's
+      // corpus-character occ shuffle.
+      import spark.implicits._
+      val nSnippets = 50
+      val snippets = (0 until nSnippets).map(t =>
+        s"benchmark item $t: " + tokens(800000000L + t, 0, 10)).toArray
+      snippets.foreach(s => require(s.length >= 40))
+      val bcSnippets = spark.sparkContext.broadcast(snippets)
+      val docs = materialize(
+        spark.range(0, rows, 1, 256).map { id =>
+          val text =
+            if (id % 7 == 3)
+              tokens(id, 100, 6) + " " +
+                bcSnippets.value((((id - 3) / 7) % nSnippets).toInt) + " " +
+                tokens(id, 200, 6)
+            else tokens(id, 300, 14)
+          (id, text)
+        }.toDF("doc_id", "text"),
+        s"/tmp/graft_probe_dc_${CorpusGenVersion}_$rows")
+      val bench = snippets.toSeq.toDF("btext")
+      val orig = docs.agg(sum(length(col("text")))).head().getLong(0)
+      val hits = time(s"dc detection probe ($rows docs, $nSnippets snippets, L=40)") {
+        operators.ExactSubstr.contaminatedSpanOccurrences(
+          docs, "text", "doc_id", bench, "btext", gramLen = 40).count()
+      }
+      val got = time(s"dc strip ($rows docs, L=40)") {
+        operators.ExactSubstr.stripContaminatedSpans(
+            docs, "text", "doc_id", bench, "btext", gramLen = 40)
+          .agg(sum(length(col("text")))).head().getLong(0)
+      }
+      val m = if (rows > 3) (rows - 3 + 6) / 7 else 0L // ids 3, 10, 17, ...
+      val expected = orig - (0 until nSnippets).map { t =>
+        val nT = if (t < m) (m - 1 - t) / nSnippets + 1 else 0L
+        nT * snippets(t).length
+      }.sum
+      val expHits = (0 until nSnippets).map { t =>
+        val nT = if (t < m) (m - 1 - t) / nSnippets + 1 else 0L
+        nT * (snippets(t).length - 39)
+      }.sum
+      require(hits == expHits, s"dc: $hits contaminated windows != expected $expHits")
+      require(got == expected, s"dc: stripped total $got != expected $expected (orig $orig)")
+      println(s"[probe] dc: removed ${orig - got} of $orig chars " +
+        s"across ~${m} docs, closed-form exact")
+    }
     if (ops("bp")) {
       // Corpus-frequency boilerplate stripping at corpus scale: three
       // injected header lines at densities 1/2, 1/3, 1/7 of the corpus over
