@@ -30,8 +30,11 @@ object EntropyKernel {
     * class) stays on a flat 128-slot table; any non-ASCII input falls back
     * to a sorted table so the summation order stays canonical (ascending
     * code point) regardless of input order. Empty → 0.0. */
-  def entropy(s: UTF8String): Double = {
-    val str = s.toString
+  def entropy(s: UTF8String): Double = entropyOf(s.toString)
+
+  /** String-direct core — the scrub loop calls this per candidate match
+    * (re-wrapping in UTF8String would re-encode to UTF-8 for nothing). */
+  def entropyOf(str: String): Double = {
     val n = str.codePointCount(0, str.length)
     if (n == 0) return 0.0
     var ascii = true
@@ -78,7 +81,7 @@ object EntropyKernel {
     var out: java.lang.StringBuilder = null
     var last = 0
     while (m.find()) {
-      if (entropy(UTF8String.fromString(m.group())) >= threshold) {
+      if (entropyOf(m.group()) >= threshold) {
         if (out == null) out = new java.lang.StringBuilder(s.length)
         out.append(s, last, m.start()).append(repl)
         last = m.end()
