@@ -85,6 +85,27 @@ class SecretsSpec extends SparkSpec {
       2L -> "low entropy aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa kept"))
   }
 
+  test("catalog-driven scrub: an H5 SpecialOperation binding runs the kernel through the rule engine") {
+    import graft.catalog.{HarmonizeOp, RuleBinding, RuleSpec}
+    import graft.exec.StageExec
+    graft.rules.CodeQualityCatalog.registerOps()
+    val binding = RuleBinding(7001, "files", 1, "content",
+      RuleSpec.Harmonize(7001, "ScrubSecrets",
+        HarmonizeOp.SpecialOperation("graft.scrubSecrets")),
+      outputColumn = Some("content_clean"))
+    val corpus = Seq(
+      ("r1", "a.py", "c1", "py", "key = \"AbCdEfGhIjKlMnOpQrStUvWxYz0123456789+/=_\""),
+      // 32-char pure-hex token: 4.0-bit entropy ceiling < the registered
+      // 4.2 threshold — md5/sha tails in ordinary content never flag
+      ("r1", "b.py", "c2", "py", "hash = \"0123456789abcdef0123456789abcdef\"")
+    ).toDF("repo", "path", "commit", "lang", "content")
+    val out = StageExec.lazyApply(corpus, Seq(binding))
+      .select("path", "content_clean")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a.py") == "key = \"<SECRET>\"")
+    assert(out("b.py") == "hash = \"0123456789abcdef0123456789abcdef\"")
+  }
+
   test("threshold sits between the planted families (fixture margin)") {
     // families used by the secret_tokens/scrub_secrets oracles
     assert(entropyOf("AbCdEfGhIjKlMnOpQrStUvWxYz0123456789+/=_") > 4.4)
