@@ -430,6 +430,10 @@ object QueryCatalog {
       .when(col("doc_id") % 7 === 3, lit("{\"cells\":[{\"cell_type\":\"code\",\"source\":[]}]}"))
       .when(col("doc_id") % 7 === 4, lit("not a notebook {"))
       .when(col("doc_id") % 7 === 5, lit("{\"cells\":[]}"))
+      .when(col("doc_id") % 13 === 6, lit("{\"cells\":[{\"cell_type\":\"code\"," +
+        "\"source\":\"y=2\\n\"}]}")) // nbformat's string-source form
+      .when(col("doc_id") % 13 === 7, lit("{\"cells\":[{\"cell_type\":\"code\"}," +
+        "{\"cell_type\":\"code\",\"source\":[\"x\"]}]}")) // missing source
       .otherwise(lit("{\"nbformat\":4,\"metadata\":{}}"))
   // NOTE: no line may BEGIN with '||' — these fragments are interpolated
   // into outer .stripMargin oracle strings, which would eat the first '|'
@@ -441,6 +445,8 @@ object QueryCatalog {
       | WHEN doc_id % 7 = 3 THEN '{"cells":[{"cell_type":"code","source":[]}]}'
       | WHEN doc_id % 7 = 4 THEN 'not a notebook {'
       | WHEN doc_id % 7 = 5 THEN '{"cells":[]}'
+      | WHEN doc_id % 13 = 6 THEN '{"cells":[{"cell_type":"code","source":"y=2\n"}]}'
+      | WHEN doc_id % 13 = 7 THEN '{"cells":[{"cell_type":"code"},{"cell_type":"code","source":["x"]}]}'
       | ELSE '{"nbformat":4,"metadata":{}}'
       |END""".stripMargin
 
@@ -2942,7 +2948,7 @@ object QueryCatalog {
           .as("fim_text")),
       Some("""SELECT doc_id,
              |  CASE WHEN text IS NULL THEN NULL
-             |       WHEN ((doc_id % 1000003) * 75321) % 100 < 50
+             |       WHEN ((doc_id % 1000003) * 75321) % 10000 < 5000
              |            AND length(text) > 0 THEN
              |         '<fim_prefix>' || substr(text, 1, lo) ||
              |         '<fim_suffix>' || substr(text, hi + 1, length(text) - hi) ||
@@ -2960,23 +2966,37 @@ object QueryCatalog {
       (s, dir) => graft.operators.Notebooks.notebooksToScripts(
         t(s, dir, "documents").select(col("doc_id"), nbContent.as("content")),
         Seq(col("doc_id")), col("content")),
+      // dual parse mirrors the engine's two-schema union (nbformat allows
+      // source as list-of-lines OR one string); the body branch keys on the
+      // ARRAY's nullness — array_to_string([]) is NULL in DuckDB where
+      // Spark's array_join([]) is '', and the string-schema transform
+      // STRINGIFIES an array source, so the array form must win whenever
+      // the array is present
       Some(s"""WITH d AS (SELECT doc_id, $nbContentSql AS content FROM documents),
-             |p AS (SELECT doc_id, CASE WHEN json_valid(content) THEN
-             |  json_transform(content,
+             |p AS (SELECT doc_id,
+             |  CASE WHEN json_valid(content) THEN json_transform(content,
              |    '{"cells":[{"cell_type":"VARCHAR","source":["VARCHAR"]}]}')
-             |  END AS nb FROM d)
+             |  END AS nba,
+             |  CASE WHEN json_valid(content) THEN json_transform(content,
+             |    '{"cells":[{"cell_type":"VARCHAR","source":"VARCHAR"}]}')
+             |  END AS nbs FROM d),
+             |z AS (SELECT doc_id,
+             |  CASE WHEN nba IS NULL OR nba.cells IS NULL THEN NULL ELSE
+             |    list_transform(list_zip(nba.cells, nbs.cells),
+             |      t -> struct_pack(ct := t[1].cell_type,
+             |        body := CASE WHEN t[1].source IS NOT NULL
+             |                     THEN COALESCE(array_to_string(t[1].source, ''), '')
+             |                     ELSE COALESCE(t[2].source, '') END))
+             |  END AS cells FROM p)
              |SELECT doc_id,
-             |  -- COALESCEs: DuckDB's array_to_string([]) is NULL where
-             |  -- Spark's array_join([]) is '' (both levels can go empty)
-             |  CASE WHEN nb IS NULL OR nb.cells IS NULL THEN NULL ELSE
+             |  CASE WHEN cells IS NULL THEN NULL ELSE
              |    COALESCE(array_to_string(list_transform(
-             |      list_filter(nb.cells, c -> c.cell_type = 'code'),
-             |      c -> COALESCE(array_to_string(c.source, ''), '')), chr(10)), '')
-             |  END AS script,
-             |  CASE WHEN nb IS NULL OR nb.cells IS NULL THEN NULL ELSE
-             |    CAST(length(list_filter(nb.cells, c -> c.cell_type = 'code'))
+             |      list_filter(cells, c -> c.ct = 'code'), c -> c.body),
+             |      chr(10)), '') END AS script,
+             |  CASE WHEN cells IS NULL THEN NULL ELSE
+             |    CAST(length(list_filter(cells, c -> c.ct = 'code'))
              |      AS BIGINT) END AS n_code_cells
-             |FROM p""".stripMargin))
+             |FROM z""".stripMargin))
   )
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

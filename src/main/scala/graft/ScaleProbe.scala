@@ -25,8 +25,9 @@ object ScaleProbe {
     * probe writes. Bump when ANY probe corpus generator or its fixed
     * parameters change — [[containmentCorpus]], [[vectorCorpus]], the p7
     * wide fixture, the bp op's inline header/body generator (h2/h3/h7
-    * texts, densities, token layout), or [[graft.rules.CorpusFixture]]
-    * (pipeline/runner ops) —
+    * texts, densities, token layout), the dc op's inline snippet/doc
+    * generator (snippet count/length, the 1-in-7 density, body token
+    * layout), or [[graft.rules.CorpusFixture]] (pipeline/runner ops) —
     * or the probe silently re-reads a stale corpus. */
   private val CorpusGenVersion = "g2"
 

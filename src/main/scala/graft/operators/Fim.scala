@@ -40,11 +40,18 @@ object Fim {
   /** PSM FIM over `content`: documents selected by the deterministic
     * `fimRate` gate are rewritten with two id-derived cut points
     * 0 ≤ lo ≤ hi ≤ len; the rest pass through byte-identical. `id` must be
-    * non-negative. Empty docs pass through (no cut points exist). */
+    * non-negative. Empty docs pass through (no cut points exist).
+    * `fimRate` resolves at BASIS-POINT granularity (1/10000 — rounded, so
+    * 0.5 is exact and 0.12345 applies as 0.1235 ≈ 0.1234); a positive rate
+    * below half a basis point is rejected rather than silently rounding to
+    * "transform nothing". */
   def fimTransform(content: Column, id: Column, fimRate: Double): Column = {
     require(fimRate >= 0.0 && fimRate <= 1.0, s"fimRate in [0,1]: $fimRate")
+    val bps = (fimRate * 10000).round
+    require(fimRate == 0.0 || bps > 0,
+      s"fimRate $fimRate is below the 1/10000 gate granularity")
     val len = length(content)
-    val gate = mix(id, K3, lit(100)) < lit((fimRate * 100).round)
+    val gate = mix(id, K3, lit(10000)) < lit(bps)
     val c1 = mix(id, K1, len + 1)
     val c2 = mix(id, K2, len + 1)
     val lo = least(c1, c2)

@@ -22,24 +22,46 @@ import org.apache.spark.sql.types._
   */
 object Notebooks {
 
-  /** The partial ipynb schema — only what extraction reads. */
+  /** The partial ipynb schema — only what extraction reads. nbformat allows
+    * `source` as EITHER a list of lines or one string; a single schema can't
+    * express the union, so extraction parses with both (see [[cellBodies]]). */
   val cellsSchema: StructType = StructType(Seq(
     StructField("cells", ArrayType(StructType(Seq(
       StructField("cell_type", StringType),
       StructField("source", ArrayType(StringType))))))))
 
-  private def cells(content: Column): Column =
-    from_json(content, cellsSchema).getField("cells")
+  /** The string-`source` sibling: a type-mismatched field parses to NULL in
+    * PERMISSIVE mode (never the whole row), so each cell resolves under
+    * exactly one of the two schemas. */
+  val cellsStrSchema: StructType = StructType(Seq(
+    StructField("cells", ArrayType(StructType(Seq(
+      StructField("cell_type", StringType),
+      StructField("source", StringType)))))))
+
+  /** Per-cell (cell_type, body): the array form wins when present (keyed on
+    * the ARRAY's nullness, not the joined string's — an empty `source: []`
+    * is a present-but-empty body), the string form covers string-source
+    * notebooks, and a cell with NO source renders as an empty body so it
+    * still occupies its separator slot (body list stays congruent with the
+    * cell count). Both parses see the same `cells` array, so zip_with pairs
+    * each cell with itself. */
+  private def cellBodies(content: Column): Column = {
+    val a = from_json(content, cellsSchema).getField("cells")
+    val b = from_json(content, cellsStrSchema).getField("cells")
+    zip_with(a, b, (ca, cb) => struct(
+      ca.getField("cell_type").as("cell_type"),
+      when(ca.getField("source").isNotNull, array_join(ca.getField("source"), ""))
+        .otherwise(coalesce(cb.getField("source"), lit(""))).as("body")))
+  }
 
   private def codeCells(content: Column): Column =
-    filter(cells(content), c => c.getField("cell_type") === "code")
+    filter(cellBodies(content), c => c.getField("cell_type") === "code")
 
   /** Code cells flattened to one script: each cell's source lines joined
     * as-is (they carry their own trailing newlines), cells joined by
     * `cellSep`. NULL for malformed/cell-less input. */
   def extractCode(content: Column, cellSep: String = "\n"): Column =
-    array_join(transform(codeCells(content),
-      c => array_join(c.getField("source"), "")), cellSep)
+    array_join(transform(codeCells(content), c => c.getField("body")), cellSep)
 
   /** Number of code cells; NULL for malformed/cell-less input. */
   def codeCellCount(content: Column): Column =

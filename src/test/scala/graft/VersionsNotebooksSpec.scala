@@ -42,7 +42,9 @@ class VersionsNotebooksSpec extends SparkSpec {
       (3L, """{"cells":[{"cell_type":"code","source":[]}]}"""),
       (4L, "not a notebook {"),
       (5L, """{"cells":[]}"""),
-      (6L, """{"nbformat":4,"metadata":{}}""")
+      (6L, """{"nbformat":4,"metadata":{}}"""),
+      (7L, """{"cells":[{"cell_type":"code","source":"y=2\n"}]}"""), // string source
+      (8L, """{"cells":[{"cell_type":"code"},{"cell_type":"code","source":["x"]}]}""") // missing source
     ).toDF("id", "content")
     val out = Notebooks.notebooksToScripts(rows, Seq(col("id")), col("content"))
       .collect().map(r => r.getLong(0) ->
@@ -55,5 +57,10 @@ class VersionsNotebooksSpec extends SparkSpec {
     assert(out(4L) == (null, -1L))
     assert(out(5L) == ("", 0L))
     assert(out(6L) == (null, -1L))
+    // nbformat's string-source form is extracted, not routed to NULL
+    assert(out(7L) == ("y=2\n", 1L))
+    // a source-less cell renders as an empty body but KEEPS its separator
+    // slot, so the script stays congruent with n_code_cells
+    assert(out(8L) == ("\nx", 2L))
   }
 }
