@@ -2938,6 +2938,23 @@ object QueryCatalog {
              |        WHERE cut.doc_id = o.doc_id) AS n_chars_cut
              |FROM occ o GROUP BY o.doc_id""".stripMargin)),
 
+    // -------------------------------------------------- document chunking
+    Q("chunk_docs",
+      (s, dir) => graft.operators.Chunking.chunkDocs(
+        t(s, dir, "documents"), col("text"), Seq(col("doc_id")),
+        chunkChars = 64, overlapChars = 16),
+      // range() is exclusive-upper where Spark's sequence is inclusive:
+      // greatest(len-16, 1) exclusive ≡ greatest(len-16-1, 0) inclusive,
+      // with the ,1 floor yielding the single (possibly empty) chunk for
+      // docs no longer than the overlap
+      Some("""WITH e AS (SELECT doc_id, text,
+             |  unnest(range(0, greatest(length(text) - 16, 1), 48)) AS s
+             |  FROM documents)
+             |SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_idx,
+             |  CAST(s AS BIGINT) AS chunk_start,
+             |  substr(text, CAST(s AS INT) + 1, 64) AS chunk
+             |FROM e""".stripMargin)),
+
     // ------------------------------------------------ FIM transformation
     Q("fim_transform",
       // exact integer-arithmetic cut points (no RNG) make the transform

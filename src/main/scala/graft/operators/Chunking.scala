@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size overlapping document chunking — the embedding/passage-prep
+  * stage (long documents split into windows before encoding, retrieval
+  * indexing, or passage-level near-dup). Character-based, like [[Fim]]
+  * (token-aware splitting belongs downstream of BPE).
+  *
+  * Window arithmetic: starts at 0, step = chunkChars − overlapChars, last
+  * start = the largest multiple of step ≤ max(len − overlap − 1, 0). With
+  * step ≤ chunkChars this covers every character (tail window included,
+  * consecutive windows share exactly `overlapChars`), a doc shorter than
+  * one chunk yields itself, and an empty doc yields one empty chunk (the
+  * id survives; callers filter). Pure arithmetic on (len, step) — exactly
+  * SQL-replayable with generate_series.
+  *
+  * 100 TB shape: map-only explode in the scan stage — output rows ≈
+  * corpus_chars / step, each carrying its chunk text once; no shuffle at
+  * any scale. Chunk provenance is (id…, chunk_idx, chunk_start), the
+  * columns a passage-level dedup or ANN verdict needs to join back.
+  */
+object Chunking {
+
+  def chunkDocs(df: DataFrame, content: Column, idCols: Seq[Column],
+                chunkChars: Int, overlapChars: Int = 0): DataFrame = {
+    require(chunkChars > 0, s"chunkChars > 0: $chunkChars")
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      s"need 0 <= overlap < chunk, got $overlapChars / $chunkChars")
+    val step = chunkChars - overlapChars
+    val starts = sequence(lit(0),
+      greatest(length(content) - overlapChars - 1, lit(0)), lit(step))
+    df.select(idCols ++ Seq(content.as("__content"),
+        posexplode(starts).as(Seq("chunk_idx", "chunk_start"))): _*)
+      .withColumn("chunk",
+        col("__content").substr(col("chunk_start") + 1, lit(chunkChars)))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("chunk_start", col("chunk_start").cast("long"))
+      .drop("__content")
+  }
+}

@@ -63,4 +63,23 @@ class VersionsNotebooksSpec extends SparkSpec {
     // slot, so the script stays congruent with n_code_cells
     assert(out(8L) == ("\nx", 2L))
   }
+
+  test("chunkDocs: coverage, overlap, tail, short and empty docs") {
+    import graft.operators.Chunking
+    val text = ('a' to 'z').mkString * 2 // 52 chars
+    val rows = Seq((1L, text), (2L, "short"), (3L, "")).toDF("id", "content")
+    val chunks = Chunking.chunkDocs(rows, col("content"), Seq(col("id")),
+        chunkChars = 20, overlapChars = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byId = chunks.groupBy(_._1)
+    // 52 chars, step 15: starts 0, 15, 30, 45 — tail window 45..52
+    val c1 = byId(1L).sortBy(_._2)
+    assert(c1.map(_._3).toSeq == Seq(0L, 15L, 30L, 45L))
+    assert(c1.map(_._4.length).toSeq == Seq(20, 20, 20, 7))
+    // every char covered; consecutive windows share exactly overlap chars
+    assert(c1.map(c => c._4).reduce((a, b) => a + b.drop(5)) == text)
+    // short doc -> itself; empty doc -> one empty chunk, id survives
+    assert(byId(2L).toSeq == Seq((2L, 0L, 0L, "short")))
+    assert(byId(3L).toSeq == Seq((3L, 0L, 0L, "")))
+  }
 }
