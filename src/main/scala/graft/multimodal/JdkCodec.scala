@@ -37,10 +37,21 @@ object JdkCodec extends MediaCodec {
   override def image(data: Array[Byte], wHint: Int, hHint: Int): (Int, Int, Array[Byte]) = {
     val img = ImageIO.read(new ByteArrayInputStream(data))
     require(img != null, "undecodable image payload (no ImageIO reader matched)")
+    lumaOf(img)
+  }
+
+  /** BufferedImage → (w, h, luma plane). Single-band NON-INDEXED rasters
+    * read the sample directly (identity for 8-bit gray); indexed images
+    * (GIF, palette PNG) MUST resolve through the palette — their one band
+    * holds palette INDICES, and reading it as gray was a latent bug for
+    * palette stills — so they take the getRGB luma path, which is exact
+    * for gray palettes (r=g=b=v ⇒ (299+587+114)·v/1000 = v). */
+  private def lumaOf(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
     val w = img.getWidth; val h = img.getHeight
     val out = new Array[Byte](w * h)
     val raster = img.getRaster
-    if (raster.getNumBands == 1) {
+    val indexed = img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+    if (raster.getNumBands == 1 && !indexed) {
       var y = 0
       while (y < h) {
         var x = 0
@@ -62,6 +73,38 @@ object JdkCodec extends MediaCodec {
       }
     }
     (w, h, out)
+  }
+
+  /** REAL multi-frame decode via ImageIO's GIF reader (the one multi-frame
+    * container every JDK decodes; frames are lossless for ≤256-color
+    * palettes, spec-verified byte-exact for gray). Timing: GIF per-frame
+    * delays live in writer metadata; this path assumes UNIFORM spacing
+    * derived from the catalog duration hint (frameMs = durHint / nFrames)
+    * and samples every `everyMs` by frame stride — the honest JDK-only
+    * contract; a production codec (ffmpeg via JNI/mapInPandas per the
+    * documented boundary) returns true per-frame PTS through the same
+    * [[Multimodal.FramePlane]] shape. Frames decode as STORED (full-frame
+    * fixtures; animation sub-rectangle composition is likewise the
+    * production codec's job). */
+  override def videoFrames(data: Array[Byte], everyMs: Int,
+                           durationMsHint: Int): Seq[Multimodal.FramePlane] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(data))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "undecodable video payload (no ImageIO reader matched)")
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        val n = reader.getNumImages(true)
+        require(n > 0, "video payload holds no frames")
+        val frameMs = math.max(1, durationMsHint / n)
+        val stride = math.max(1, math.round(everyMs.toDouble / frameMs).toInt)
+        (0 until n by stride).map { i =>
+          val (w, h, luma) = lumaOf(reader.read(i))
+          Multimodal.FramePlane(i, i * frameMs, w, h, luma)
+        }
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   override def audio(data: Array[Byte], rateHint: Int, samplesHint: Int): (Int, Array[Short]) = {
@@ -114,6 +157,35 @@ object JdkCodec extends MediaCodec {
     }
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Gray frame planes → multi-frame (animated) GIF bytes — the fixture
+    * encoder for the video path (lossless for gray: the writer builds a
+    * 256-gray palette, spec-verified byte-exact through [[videoFrames]]). */
+  def encodeGifGray(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == w * h),
+      s"need non-empty $w x $h frames")
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { plane =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, plane(y * w + x) & 0xff); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 

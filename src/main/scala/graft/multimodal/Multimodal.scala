@@ -36,6 +36,11 @@ object Multimodal {
   case class VideoFrame(media_id: Long, frameIdx: Int, tsMs: Int,
                         thumb: Array[Byte])
 
+  /** One decoded, sampled video frame: index/timestamp plus its own
+    * geometry (real codecs return per-frame dims off the stream). */
+  case class FramePlane(frameIdx: Int, tsMs: Int, w: Int, h: Int,
+                        luma: Array[Byte])
+
   /** The codec boundary: bytes → pixels/samples. Implementations must be
     * pure functions of the payload (exact-testable) and Serializable (the
     * instance rides the closure to executors; decoding state — readers,
@@ -48,6 +53,12 @@ object Multimodal {
     /** payload → (sampleRate, mono PCM16). `samplesHint` is the expected
       * count from metadata; a real codec returns what the stream holds. */
     def audio(data: Array[Byte], rateHint: Int, samplesHint: Int): (Int, Array[Short])
+    /** payload → time-sampled frames (~one per `everyMs`). A real codec
+      * reads frame count/geometry off the stream; `durationMsHint` is the
+      * catalog duration used for timing when the container carries no
+      * per-frame timestamps (GIF delays, raw frame sequences). */
+    def videoFrames(data: Array[Byte], everyMs: Int,
+                    durationMsHint: Int): Seq[FramePlane]
   }
 
   /** ========== STUB codec (default; the video plug-point). ==========
@@ -85,6 +96,53 @@ object Multimodal {
       (wHint, hHint, decodeImage(data, wHint, hHint))
     override def audio(data: Array[Byte], rateHint: Int, samplesHint: Int): (Int, Array[Short]) =
       (rateHint, decodeAudio(data, samplesHint))
+    override def videoFrames(data: Array[Byte], everyMs: Int,
+                             durationMsHint: Int): Seq[FramePlane] = {
+      val n = math.max(durationMsHint / everyMs, 1)
+      (0 until n).map(i =>
+        FramePlane(i, i * everyMs, 16, 16, decodeImage(data, 16, 16)))
+    }
+  }
+
+  /** grid×grid mean-pool of a luma plane — the shared pooling kernel of
+    * [[imageFeatures]] and the frame/image aHashes. */
+  private[multimodal] def poolGrid(w: Int, h: Int, px: Array[Byte],
+                                   grid: Int): Array[Float] = {
+    val feats = new Array[Float](grid * grid)
+    val cw = math.max(w / grid, 1); val ch = math.max(h / grid, 1)
+    var gy = 0
+    while (gy < grid) {
+      var gx = 0
+      while (gx < grid) {
+        var sum = 0L; var n = 0
+        var y = gy * ch
+        while (y < math.min((gy + 1) * ch, h)) {
+          var x = gx * cw
+          while (x < math.min((gx + 1) * cw, w)) {
+            sum += px(y * w + x) & 0xFF; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        feats(gy * grid + gx) = if (n == 0) 0f else sum.toFloat / n
+        gx += 1
+      }
+      gy += 1
+    }
+    feats
+  }
+
+  /** 64-bit average hash of one luma plane (the [[imageAHash]] math,
+    * factored so video frames hash identically to still images). */
+  def aHashOfPlane(w: Int, h: Int, luma: Array[Byte]): Long = {
+    val feats = poolGrid(w, h, luma, 8)
+    var sum = 0.0
+    feats.foreach(sum += _)
+    val mean = sum / 64.0
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (feats(i) > mean) hash |= 1L << i; i += 1 }
+    hash
   }
 
   /** Image → fixed-size feature vector (8×8 mean-pool grid of the decoded
@@ -99,28 +157,7 @@ object Multimodal {
       it.grouped(64).flatMap { batch => // batch shape ≡ mapInPandas batches
         batch.iterator.map { r =>
           val (w, h, px) = codec.image(r.data, r.meta.width, r.meta.height)
-          val feats = new Array[Float](grid * grid)
-          val cw = math.max(w / grid, 1); val ch = math.max(h / grid, 1)
-          var gy = 0
-          while (gy < grid) {
-            var gx = 0
-            while (gx < grid) {
-              var sum = 0L; var n = 0
-              var y = gy * ch
-              while (y < math.min((gy + 1) * ch, h)) {
-                var x = gx * cw
-                while (x < math.min((gx + 1) * cw, w)) {
-                  sum += px(y * w + x) & 0xFF; n += 1
-                  x += 1
-                }
-                y += 1
-              }
-              feats(gy * grid + gx) = if (n == 0) 0f else sum.toFloat / n
-              gx += 1
-            }
-            gy += 1
-          }
-          ImageFeatures(r.media_id, w, h, feats)
+          ImageFeatures(r.media_id, w, h, poolGrid(w, h, px, grid))
         }
       }
     }
@@ -180,14 +217,11 @@ object Multimodal {
   def imageAHash(media: Dataset[MediaRow],
                  codec: MediaCodec = StubCodec): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
-    imageFeatures(media, grid = 8, codec).map { f =>
-      var sum = 0.0
-      f.features.foreach(sum += _)
-      val mean = sum / 64.0
-      var h = 0L
-      var i = 0
-      while (i < 64) { if (f.features(i) > mean) h |= 1L << i; i += 1 }
-      ImageHash(f.media_id, f.width, f.height, h)
+    media.filter(_.meta.kind == "image").mapPartitions { it =>
+      it.grouped(64).flatMap(_.iterator.map { r =>
+        val (w, h, px) = codec.image(r.data, r.meta.width, r.meta.height)
+        ImageHash(r.media_id, w, h, aHashOfPlane(w, h, px))
+      })
     }
   }
 
@@ -207,18 +241,50 @@ object Multimodal {
       maxBucketSize = maxBucketSize)
   }
 
-  /** Video → every k-th frame sampled as a thumbnail payload (stub decode;
-    * frame timing math real). */
-  def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 1000): Dataset[VideoFrame] = {
+  /** Video → time-sampled frames through the codec boundary (REAL
+    * multi-frame decode with [[JdkCodec]]'s GIF path; the stub keeps the
+    * old fake-thumb behavior). Map-only like every decode op here. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 1000,
+                   codec: MediaCodec = StubCodec): Dataset[VideoFrame] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "video").flatMap { r =>
-      val n = math.max(r.meta.durationMs / everyMs, 1)
-      (0 until n).map { i =>
-        val ts = i * everyMs
-        VideoFrame(r.media_id, i, ts,
-          StubCodec.decodeImage(r.data, 16, 16)) // thumb = tiny stub decode at ts
-      }
+      codec.videoFrames(r.data, everyMs, r.meta.durationMs)
+        .map(fp => VideoFrame(r.media_id, fp.frameIdx, fp.tsMs, fp.luma))
     }
+  }
+
+  /** Per-sampled-frame perceptual fingerprints: (media_id, frame_idx,
+    * ts_ms, ahash) — frames hash with the SAME aHash as still images, so a
+    * video frame and its exported still collide. */
+  def videoFrameHashes(media: Dataset[MediaRow], everyMs: Int = 1000,
+                       codec: MediaCodec = StubCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.kind == "video").flatMap { r =>
+      codec.videoFrames(r.data, everyMs, r.meta.durationMs)
+        .map(fp => (r.media_id, fp.frameIdx, fp.tsMs,
+          aHashOfPlane(fp.w, fp.h, fp.luma)))
+    }.toDF("media_id", "frame_idx", "ts_ms", "ahash")
+  }
+
+  /** Perceptual near-dup VIDEO pairs: videos whose sampled-frame
+    * fingerprint SETS overlap at Jaccard ≥ `threshold` — re-encodes, crops
+    * of the timeline, and re-containered copies share frame hashes the way
+    * forked repos share file fingerprints, so this rides
+    * [[graft.operators.Forks.forkPairs]]'s inverted-index machinery
+    * verbatim (postings capped by `maxFrameDf`: an intro/outro card shared
+    * by half the corpus is the vendored-file analog and must not go
+    * quadratic). Payload bytes never shuffle — only 8-byte frame hashes.
+    * Returns (media_id_a, media_id_b, n_a, n_b, n_shared, jaccard). */
+  def nearDupVideoPairs(media: Dataset[MediaRow], everyMs: Int = 1000,
+                        threshold: Double = 0.7,
+                        codec: MediaCodec = StubCodec,
+                        maxFrameDf: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Forks.forkPairs(
+        videoFrameHashes(media, everyMs, codec),
+        col("media_id"), col("ahash"), threshold, maxFrameDf)
+      .withColumnRenamed("repo_a", "media_id_a")
+      .withColumnRenamed("repo_b", "media_id_b")
   }
 
   /** Deterministic synthetic corpus with REAL payload bytes — PNG images

@@ -1,0 +1,40 @@
+package graft.tmpverify
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+object GifProbe { def main(args: Array[String]): Unit = {
+  def gray(w: Int, h: Int, f: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, (x * 7 + y * 13 + f * 31) % 256)
+    img
+  }
+  // multi-frame write
+  val writer = ImageIO.getImageWritersByFormatName("gif").next()
+  val bos = new ByteArrayOutputStream()
+  val ios = ImageIO.createImageOutputStream(bos)
+  writer.setOutput(ios)
+  println("canWriteSequence=" + writer.canWriteSequence)
+  writer.prepareWriteSequence(null)
+  for (f <- 0 until 3) writer.writeToSequence(new javax.imageio.IIOImage(gray(20, 12, f), null, null), null)
+  writer.endWriteSequence(); ios.close(); writer.dispose()
+  val bytes = bos.toByteArray
+  println("gif bytes=" + bytes.length)
+  // multi-frame read
+  val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+  val reader = ImageIO.getImageReaders(iis).next()
+  reader.setInput(iis)
+  val n = reader.getNumImages(true)
+  println("frames=" + n)
+  var exact = true
+  for (f <- 0 until n) {
+    val img = reader.read(f)
+    println(s"frame $f: ${img.getWidth}x${img.getHeight} type=${img.getType} bands=${img.getRaster.getNumBands}")
+    val ref = gray(20, 12, f)
+    for (y <- 0 until 12; x <- 0 until 20) {
+      val got = img.getRGB(x, y) & 0xff
+      val want = ref.getRaster.getSample(x, y, 0)
+      if (got != want) { if (exact) println(s"first diff f=$f ($x,$y): $got vs $want"); exact = false }
+    }
+  }
+  println("lossless=" + exact)
+}}

@@ -149,4 +149,76 @@ class MultimodalJdkCodecSpec extends SparkSpec {
     assert(out.length == 4)
     out.foreach(r => assert(r.getAs[Array[Byte]]("data").length == 64))
   }
+
+  // ---- video: REAL multi-frame decode via the JDK's GIF reader ----------
+
+  test("multi-frame gray GIF round-trip is byte-exact per frame") {
+    val (w, h) = (20, 12)
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 13 + f * 31).toByte))
+    val gif = JdkCodec.encodeGifGray(w, h, frames)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF")) // real container
+    // everyMs == frameMs -> stride 1, every frame decoded exactly
+    val got = JdkCodec.videoFrames(gif, everyMs = 100, durationMsHint = 500)
+    assert(got.length == 5)
+    got.zipWithIndex.foreach { case (fp, i) =>
+      assert((fp.w, fp.h, fp.frameIdx, fp.tsMs) == ((w, h, i, i * 100)))
+      assert(fp.luma.sameElements(frames(i)), s"frame $i luma differs")
+    }
+  }
+
+  test("frame sampling: everyMs strides over the uniform frame timing") {
+    val (w, h) = (16, 16)
+    val frames = (0 until 10).map(f => Array.fill(w * h)((f * 20).toByte))
+    val gif = JdkCodec.encodeGifGray(w, h, frames)
+    // 10 frames over 1000ms -> frameMs=100; everyMs=300 -> stride 3
+    val got = JdkCodec.videoFrames(gif, everyMs = 300, durationMsHint = 1000)
+    assert(got.map(_.frameIdx) == Seq(0, 3, 6, 9))
+    assert(got.map(_.tsMs) == Seq(0, 300, 600, 900))
+  }
+
+  test("palette stills resolve through the palette (indexed-image luma regression)") {
+    // a single-frame GIF IS an indexed image: reading its one raster band
+    // as gray would return palette indices, not values
+    val (w, h) = (9, 7)
+    val plane = gradPlane(w, h)
+    val gif = JdkCodec.encodeGifGray(w, h, Seq(plane))
+    val (gw, gh, luma) = JdkCodec.image(gif, w, h)
+    assert((gw, gh) == ((w, h)))
+    assert(luma.sameElements(plane), "indexed decode must be palette-resolved")
+  }
+
+  test("sampleFrames + videoFrameHashes: real decode, frames hash like stills") {
+    import Multimodal.{MediaMeta, MediaRow}
+    val (w, h) = (32, 32)
+    val mkFrames = (salt: Long) => (0 until 4).map(f => blockPlane(salt * 16 + f))
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("video", w, h, 0, 400, "gif"),
+        JdkCodec.encodeGifGray(w, h, mkFrames(1L))),
+      MediaRow(2L, MediaMeta("video", w, h, 0, 400, "gif"),
+        JdkCodec.encodeGifGray(w, h, mkFrames(2L)))).toDS()
+    val fr = Multimodal.sampleFrames(rows, everyMs = 100, codec = JdkCodec).collect()
+    assert(fr.length == 8 && fr.forall(_.thumb.length == w * h))
+    val hashes = Multimodal.videoFrameHashes(rows, everyMs = 100, codec = JdkCodec)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    // a frame and its still-image export share one fingerprint
+    val still = Multimodal.aHashOfPlane(w, h, mkFrames(1L)(2))
+    assert(hashes((1L, 2)) == still)
+  }
+
+  test("nearDupVideoPairs: re-encoded copy found via shared frame hashes, distinct video not") {
+    import Multimodal.{MediaMeta, MediaRow}
+    val (w, h) = (32, 32)
+    val a = (0 until 5).map(f => blockPlane(100L + f))
+    val c = (0 until 5).map(f => blockPlane(900L + f))
+    val rows = Seq(
+      MediaRow(1L, MediaMeta("video", w, h, 0, 500, "gif"), JdkCodec.encodeGifGray(w, h, a)),
+      MediaRow(2L, MediaMeta("video", w, h, 0, 500, "gif"), JdkCodec.encodeGifGray(w, h, a)), // re-encode
+      MediaRow(3L, MediaMeta("video", w, h, 0, 500, "gif"), JdkCodec.encodeGifGray(w, h, c))
+    ).toDS()
+    val pairs = Multimodal.nearDupVideoPairs(rows, everyMs = 100,
+        threshold = 0.7, codec = JdkCodec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)), s"got ${pairs.toSeq}")
+  }
 }
