@@ -450,7 +450,9 @@ object Bench {
         // set -> shuffle-free corpus probe -> span-list join-back + strip)
         "decontaminate_spans",
         // FIM transformation (exact integer cut points, map-only)
-        "fim_transform")
+        "fim_transform",
+        // overlapping passage chunking (map-only explode)
+        "chunk_docs")
     // a misspelled/renamed headline entry must not silently vanish from the
     // JSON (round-over-round totals would become incomparable with no signal)
     val unknown = headline.filterNot(QueryCatalog.byName.contains)

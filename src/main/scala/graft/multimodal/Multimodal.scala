@@ -99,8 +99,8 @@ object Multimodal {
     override def videoFrames(data: Array[Byte], everyMs: Int,
                              durationMsHint: Int): Seq[FramePlane] = {
       val n = math.max(durationMsHint / everyMs, 1)
-      (0 until n).map(i =>
-        FramePlane(i, i * everyMs, 16, 16, decodeImage(data, 16, 16)))
+      val plane = decodeImage(data, 16, 16) // same payload ⇒ same fake plane
+      (0 until n).map(i => FramePlane(i, i * everyMs, 16, 16, plane))
     }
   }
 
@@ -246,6 +246,7 @@ object Multimodal {
     * old fake-thumb behavior). Map-only like every decode op here. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Int = 1000,
                    codec: MediaCodec = StubCodec): Dataset[VideoFrame] = {
+    require(everyMs > 0, s"everyMs > 0: $everyMs") // fail on the driver, not in a task
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "video").flatMap { r =>
       codec.videoFrames(r.data, everyMs, r.meta.durationMs)
@@ -258,6 +259,7 @@ object Multimodal {
     * video frame and its exported still collide. */
   def videoFrameHashes(media: Dataset[MediaRow], everyMs: Int = 1000,
                        codec: MediaCodec = StubCodec): DataFrame = {
+    require(everyMs > 0, s"everyMs > 0: $everyMs")
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "video").flatMap { r =>
       codec.videoFrames(r.data, everyMs, r.meta.durationMs)
