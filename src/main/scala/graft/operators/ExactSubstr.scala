@@ -66,11 +66,47 @@ object ExactSubstr {
     * partition sort of the occurrence relation, i.e. one row per corpus
     * CHARACTER, exactly the suffix-array work this operator exists to
     * avoid. Packing is order-preserving and injective iff 0 ≤ id <
-    * 2^39 and pos < 2^24 (docs ≤ 16M chars); both bounds are enforced
-    * per row with `raise_error` (a codegen'd branch, not a sort). Callers
+    * 2^39 and pos < 2^24 (docs ≤ 16M chars). Oversized DOCS are routed by
+    * the caller-visible [[OversizeExempt]]/[[OversizeStrict]] policy above;
+    * the per-row `raise_error` guard here (a codegen'd branch, not a sort)
+    * is the strict-mode backstop and the always-on id-range check. Callers
     * with hash-shaped ids re-key first (shuffleRank / zip-style). */
   private val MaxPos: Long = 1L << 24
   private val MaxId: Long = Long.MaxValue / MaxPos // 2^39
+
+  /** Oversize routing policy for docs whose positions would overflow the
+    * 2²⁴ packing bound (≥ 16M chars — real crawls do contain them).
+    *  - [[OversizeExempt]] (default): the doc is ROUTED AROUND the operator —
+    *    it neither contributes windows nor gets stripped, and passes through
+    *    byte-identical; [[oversizedDocs]] is the matching audit relation.
+    *    This mirrors the reference's log-and-continue posture
+    *    ($P/DQ.sApplyDQRuleExpression.sql:616 — errors are logged so sibling
+    *    rules keep running, never job-fatal).
+    *  - [[OversizeStrict]]: opt-in strictness — any out-of-range row
+    *    raise_errors the job (the round-≤4 behavior), for callers who treat
+    *    an oversized doc as a data-contract violation.
+    * Id-range violations (id ≥ 2³⁹, i.e. hash-shaped ids) stay strict under
+    * BOTH policies: they are a caller contract (re-key first — shuffleRank /
+    * zip-style), not a data property, and silently exempting them would hide
+    * a mis-wired pipeline. */
+  val OversizeExempt = "exempt"
+  val OversizeStrict = "strict"
+
+  /** Audit relation for [[OversizeExempt]]: one row per routed-around doc —
+    * (id, n_chars). Sink it beside the run summary the way rule-hit logs are
+    * (S5/S6 posture), so exemptions are observable, not silent. */
+  def oversizedDocs(df: DataFrame, contentColName: String,
+                    idColName: String): DataFrame =
+    df.where(length(col(contentColName)).cast("long") >= MaxPos)
+      .select(col(idColName), length(col(contentColName)).cast("long").as("n_chars"))
+
+  private def eligible(df: DataFrame, contentColName: String,
+                       oversize: String): DataFrame = oversize match {
+    case OversizeExempt => df.where(length(col(contentColName)).cast("long") < MaxPos)
+    case OversizeStrict => df
+    case other => throw new IllegalArgumentException(
+      s"oversize policy must be '$OversizeExempt' or '$OversizeStrict', got '$other'")
+  }
 
   private def packed(id: Column, pos: Column): Column =
     when(id >= 0 && id < MaxId && pos < MaxPos, id * MaxPos + pos)
@@ -82,8 +118,8 @@ object ExactSubstr {
     * length-`gramLen` window also occurs at some smaller (doc, pos).
     * Exposed for diagnostics (dup-span mass reports) and tests. */
   def dupSpanOccurrences(df: DataFrame, contentColName: String, idColName: String,
-                         gramLen: Int): DataFrame = {
-    val occ = df.select(
+                         gramLen: Int, oversize: String = OversizeExempt): DataFrame = {
+    val occ = eligible(df, contentColName, oversize).select(
       col(idColName).as("__id"),
       posexplode(SpanSignatures.gramHashes(col(contentColName), gramLen))
         .as(Seq("__pos", "__h")))
@@ -101,10 +137,10 @@ object ExactSubstr {
     * every non-first occurrence of a length-≥-`gramLen` repeat removed;
     * all other columns carried through unchanged. */
   def stripDupSpans(df: DataFrame, contentColName: String, idColName: String,
-                    gramLen: Int = 40): DataFrame = {
+                    gramLen: Int = 40, oversize: String = OversizeExempt): DataFrame = {
     require(df.columns.contains(contentColName) && df.columns.contains(idColName),
       s"need columns $contentColName and $idColName in ${df.columns.mkString(",")}")
-    val spans = dupSpanOccurrences(df, contentColName, idColName, gramLen)
+    val spans = dupSpanOccurrences(df, contentColName, idColName, gramLen, oversize)
       .groupBy(idColName)
       .agg(collect_list(col("pos")).as("__spanpos"))
     stripAt(df, contentColName, idColName, spans, gramLen)

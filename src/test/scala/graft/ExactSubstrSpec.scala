@@ -108,6 +108,55 @@ class ExactSubstrSpec extends SparkSpec {
     assert(occ == (0 to span.length - L).map(p => (2L, p)).toSet)
   }
 
+  test("oversize routing: a >16M-char doc survives the job; dup spans among normal docs still cut") {
+    // the round-4 behavior raise_error'd the WHOLE job on one oversized doc;
+    // default policy now routes it around the operator (pass-through +
+    // audit), mirroring the reference's log-and-continue posture
+    val huge = "z" * ((1 << 24) + 100) // 16,777,316 chars — over the 2^24 bound
+    val docs = Seq(
+      (1L, s"alpha $span omega"),
+      (2L, s"beta $span tail"),
+      (7L, huge)
+    ).toDF("doc_id", "text")
+    val got = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(7L) == huge)                        // byte-identical pass-through
+    assert(got(1L) == s"alpha $span omega")        // first occurrence kept
+    assert(!got(2L).contains(span))                // later copy still cut
+    // the exemption is observable, not silent: one audit row with the size
+    val audit = ExactSubstr.oversizedDocs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(audit.toSeq == Seq((7L, huge.length.toLong)))
+    // the exempt filter sits BELOW the window-hash projection: the oversized
+    // doc must never pay the 16M-hash array, only the length check (asserted
+    // on the analyzed plan — on this LocalRelation fixture the optimizer
+    // folds the filter into the scan, which is the same guarantee, earlier)
+    val occPlan = ExactSubstr.dupSpanOccurrences(docs, "text", "doc_id", L)
+      .queryExecution.analyzed.toString
+    assert(occPlan.contains("length"))
+  }
+
+  test("oversize strict mode is the opt-in backstop; id-range stays strict under both") {
+    // strict: an out-of-range row fails the job (the data-contract posture)
+    val badId = Seq((1L << 40, "some text long enough to window here"))
+      .toDF("doc_id", "text")
+    intercept[Exception] {
+      ExactSubstr.stripDupSpans(badId, "text", "doc_id", gramLen = L,
+        oversize = ExactSubstr.OversizeStrict).collect()
+    }
+    // id-range violations are NOT exempted by the default policy either —
+    // hash-shaped ids are a caller contract (re-key first), not a data
+    // property; silently dropping them would hide a mis-wired pipeline
+    intercept[Exception] {
+      ExactSubstr.stripDupSpans(badId, "text", "doc_id", gramLen = L).collect()
+    }
+    // unknown policy names fail loudly at plan build
+    intercept[IllegalArgumentException] {
+      ExactSubstr.stripDupSpans(badId, "text", "doc_id", gramLen = L,
+        oversize = "lenient")
+    }
+  }
+
   test("stripContaminatedSpans: leaked benchmark span cut from EVERY occurrence, rest kept") {
     val docs = Seq(
       (1L, "prefix one " + span + " suffix one"),   // leaked

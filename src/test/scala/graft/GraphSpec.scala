@@ -53,6 +53,27 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L))
   }
 
+  test("structural early-out: star-shaped input converges in ZERO rounds") {
+    // the round-4 signature scheme paid one full large/small-star round to
+    // CONFIRM any fixpoint; the star-shape check detects an already-star
+    // input before the first round — the shallow-cluster common case
+    val stars = Seq((5L, 1L), (6L, 1L), (9L, 8L)).toDF("a", "b")
+    val (res, rounds) = Graph.connectedComponentsWithRounds(stars, $"a", $"b")
+    assert(rounds == 0)
+    assert(res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(5L -> 1L, 6L -> 1L, 1L -> 1L, 9L -> 8L, 8L -> 8L))
+  }
+
+  test("structural early-out: no redundant confirming round after the true fixpoint") {
+    // a 3-chain becomes a star after exactly one alternation — the loop must
+    // stop at 1 round, not run a second to watch the signature hold still
+    val chain = Seq((2L, 1L), (3L, 2L)).toDF("a", "b")
+    val (res, rounds) = Graph.connectedComponentsWithRounds(chain, $"a", $"b")
+    assert(rounds == 1)
+    assert(res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("empty edge set yields empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Graph.connectedComponents(empty, $"a", $"b").count() == 0)
