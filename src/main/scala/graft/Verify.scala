@@ -44,9 +44,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + data-dependent ones (model fits run on Spark against
+    // THIS sfDir, parameters embedded as exact integer literals — see
+    // QueryCatalog.Q.dynamicOracle). Dynamic build failures degrade that one
+    // query to rows-only rather than sinking the whole dump.
+    val dynamic = QueryCatalog.all.flatMap { entry =>
+      entry.dynamicOracle.flatMap { f =>
+        try Some(entry.name -> f(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] dynamic oracle ${entry.name} failed: ${e.getMessage}")
+          None
+        }
+      }
+    }.toMap
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared rows-only queries: name → the green hash-exact sibling that
+    // carries their evidence (these are excluded from SparkEntry.queries —
+    // the artifact should never contain an UNEXPLAINED no_oracle row)
+    val declared = QueryCatalog.declaredNoOracle
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/declared_no_oracle.json"), declared)
     spark.stop()
   }
 }

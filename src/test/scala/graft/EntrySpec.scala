@@ -15,4 +15,21 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.size >= 40)
   }
+
+  test("zero unexplained no_oracle rows by construction") {
+    // declared rows-only queries are excluded from the driver surface, each
+    // naming a sibling that DOES carry a hash-exact oracle; every query the
+    // driver runs has a static or dynamic (verify-time fitted) oracle
+    val declared = QueryCatalog.declaredNoOracle
+    assert(declared.nonEmpty)
+    declared.foreach { case (name, sibling) =>
+      assert(!SparkEntry.queries.contains(name), s"$name must be excluded")
+      assert(QueryCatalog.byName.contains(name), s"$name must stay runnable")
+      assert(SparkEntry.oracleSql.contains(sibling), s"$name -> $sibling")
+    }
+    val dynamicNames = QueryCatalog.all.filter(_.dynamicOracle.isDefined).map(_.name).toSet
+    assert(SparkEntry.queries.keySet
+      .subsetOf(SparkEntry.oracleSql.keySet ++ dynamicNames))
+    assert(dynamicNames.contains("dsir_select"))
+  }
 }
