@@ -137,6 +137,100 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Same-session FILE-I/O scaling ceiling: a fixed number of full re-reads
+    * of the corpus parquet bytes through the filesystem (FileChannel, 4 MB
+    * chunks), files split round-robin across `threads` — the third
+    * instrument the round-4 artifact was missing. The engine job's scan
+    * path goes syscall → page cache → (on eviction or writeback pressure)
+    * DISK; the pure-CPU burn is register-resident and the bandwidth sweep
+    * never leaves anonymous memory, so a window where a co-tenant saturates
+    * the disk / dirties the page cache (BENCH_r04: pipeline_write 60.3s vs
+    * quiet 6.2s — 10×) is INVISIBLE to both. This sweep collapses in
+    * exactly that window: cache-hot it streams at memcpy-ish rates and its
+    * N→4N ratio tracks the bus; cache-cold it serializes on the device and
+    * the ratio (and the absolute MB/s, recorded beside it) falls off a
+    * cliff — giving the verdict gate a same-window I/O signal to cite. */
+  private def ioFiles(dir: String): Array[java.io.File] = {
+    val fs = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(fs.nonEmpty, s"no parquet files under $dir for the io sweep")
+    fs
+  }
+
+  /** One file-I/O sweep at `threads`: fixed TOTAL bytes (passes × corpus
+    * size), disjoint per-thread file sets. @return (seconds, MB/s). */
+  private def ioSweep(threads: Int, files: Array[java.io.File]): (Double, Double) = {
+    val totalBytes = files.map(_.length).sum
+    // fixed total work ≈ 3 GB of reads regardless of corpus size
+    val passes = math.max(1, math.ceil(3.0e9 / totalBytes).toInt)
+    def work(t: Int): Long = {
+      val buf = java.nio.ByteBuffer.allocateDirect(4 * 1024 * 1024)
+      var s = 0L; var p = 0
+      while (p < passes) {
+        var i = t
+        while (i < files.length) {
+          val ch = java.nio.channels.FileChannel.open(files(i).toPath,
+            java.nio.file.StandardOpenOption.READ)
+          try {
+            buf.clear()
+            while (ch.read(buf) >= 0) {
+              if (buf.position() > 0) s += buf.get(0).toLong // observable use
+              buf.clear()
+            }
+          } finally ch.close()
+          i += threads
+        }
+        p += 1
+      }
+      s
+    }
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map(t => new Thread(() => { ceilSink.addAndGet(work(t)): Unit }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, passes.toLong * totalBytes / 1e6 / sec)
+  }
+
+  /** One file-WRITE sweep at `threads`: fixed 512 MB total, split across
+    * per-thread temp files under /tmp (the same ext4 device the corpus,
+    * shuffle dirs and pipeline output live on), each fsync'd (`force`) then
+    * deleted. The round-4 contended window announced itself through the
+    * WRITE path (pipeline_write 60.3s vs quiet 6.2s) — writeback /
+    * device-queue saturation that a read sweep over a page-cache-hot corpus
+    * cannot see. @return (seconds, MB/s). */
+  private def ioWriteSweep(threads: Int): (Double, Double) = {
+    val totalBytes = 512L * 1024 * 1024
+    val per = totalBytes / threads
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-probe")
+    def work(t: Int): Long = {
+      val buf = java.nio.ByteBuffer.allocateDirect(4 * 1024 * 1024)
+      var i = 0; while (i < buf.capacity()) { buf.put(i, (i * 31 + t).toByte); i += 1 }
+      val f = dir.resolve(s"w$t")
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      var s = 0L
+      try {
+        var written = 0L
+        while (written < per) {
+          buf.clear(); buf.limit(math.min(buf.capacity().toLong, per - written).toInt)
+          s += ch.write(buf)
+          written += buf.limit()
+        }
+        ch.force(true) // the writeback path is the instrument
+      } finally { ch.close(); java.nio.file.Files.deleteIfExists(f): Unit }
+      s
+    }
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map(t => new Thread(() => { ceilSink.addAndGet(work(t)): Unit }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    java.nio.file.Files.deleteIfExists(dir)
+    (sec, totalBytes / 1e6 / sec)
+  }
+
   /** One (cpu, bandwidth) ceiling sample at both thread counts. The N→4N
     * ratio of these microbenchmarks is what THIS HOST can deliver right now
     * (SMT topology + co-tenant load); recorded inside the bench JSON so the
@@ -154,9 +248,28 @@ object Bench {
     * different window than the arms makes the vs-ceiling ratio a
     * two-window lottery (observed: engine arms in a contended window, a
     * post-hoc quiet bandwidth ceiling of 0.927 → spurious 0.841 vs-bw).
-    * @return (cpuT4N, cpuTN, bwT4N, bwTN) raw seconds, pooled by caller */
-  private def ceilingSample(n: Int): (Double, Double, Double, Double) =
-    (cpuBurn(n * 4), cpuBurn(n), bwSweep(n * 4), bwSweep(n))
+    *
+    * ioMbps4N / bwMbps4N are the ABSOLUTE throughputs at 4N — the
+    * collapse telemetry: ratios alone can't distinguish "both arms slow"
+    * (disk-bound window) from "engine doesn't scale", but a corpus re-read
+    * running at a few percent of the same window's memory bandwidth can
+    * only be device contention. */
+  private case class CeilSample(cpu4N: Double, cpuN: Double,
+                                bw4N: Double, bwN: Double,
+                                io4N: Double, ioN: Double,
+                                ioMbps4N: Double, bwMbps4N: Double,
+                                wrMbps4N: Double)
+
+  private def ceilingSample(n: Int, files: Array[java.io.File]): CeilSample = {
+    val c4 = cpuBurn(n * 4); val cN = cpuBurn(n)
+    val b4 = bwSweep(n * 4); val bN = bwSweep(n)
+    val (i4, m4) = ioSweep(n * 4, files); val (iN, _) = ioSweep(n, files)
+    val (_, w4) = ioWriteSweep(n * 4) // write path: telemetry only (the arm
+    // job is read-shaped, so the write sweep never enters the bound — it
+    // exists to let the verdict CITE writeback contention when it appears)
+    // bwSweep moves passes(12) × 512 MB of reads
+    CeilSample(c4, cN, b4, bN, i4, iN, m4, 12.0 * 512.0 / b4, w4)
+  }
 
   /** One scaling session at parallelism `p` — runnable in-process or (the
     * default) inside a freshly forked JVM via [[ScalingArm]]. AQE is OFF:
@@ -288,7 +401,17 @@ object Bench {
     // physical cores, so the measurement reflects the engine's scaling, not
     // hyperthread contention. Override with SPARK_GRAFT_SCALE_N.
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    var scalingJson = ""
+    // stats carried past part 2 so the final verdict can cite the
+    // write-time sanity signal (pipeline_write_sec) measured there —
+    // round 4's UNEXPLAINED verdict had its own explanation sitting in a
+    // later field of the same JSON
+    case class ScalingStats(thrN: Double, thr4N: Double, eff: Double,
+                            cpuCeil: Double, bwCeil: Double, ioCeil: Double,
+                            ioMbps: Double, wrMbps: Double, bwMbps: Double,
+                            swing: Double, extraRounds: Int, fork: Boolean,
+                            reps4N: Seq[Double], repsN: Seq[Double],
+                            planSecs: Seq[Double])
+    var scalingStats: Option[ScalingStats] = None
     if (doScaling) {
       // each rep runs `iters` back-to-back jobs: fixed per-job overhead
       // (scheduling 128 tasks, result handling) would otherwise dominate
@@ -296,6 +419,7 @@ object Bench {
       val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
       val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
       val repsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+      val extraMax = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRA", "2").toInt
       val fork = sys.env.getOrElse("SPARK_GRAFT_SCALE_FORK", "1") == "1"
       val planSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val armChecks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -311,23 +435,45 @@ object Bench {
           else armSession(p, repsPer, iters, corpusDir, benchRows)
         planSecs += plan; armChecks += ((n, chk)); ts
       }
+      val corpusFiles = ioFiles(corpusDir)
       var reps4N = Seq.empty[Double]
       var repsN = Seq.empty[Double]
-      val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
-      // warm both microbenchmark shapes once (JIT + TLB + page fault-in)
-      // before any timed sample — and before the first arm, so the warm-up's
-      // own bus traffic never overlaps a timed engine rep
+      val samples = scala.collection.mutable.ArrayBuffer.empty[CeilSample]
+      // warm all four microbenchmark shapes once (JIT + TLB + page
+      // fault-in; for the io sweep: corpus into page cache) before any
+      // timed sample — and before the first arm, so the warm-up's own bus
+      // and device traffic never overlaps a timed engine rep
       cpuBurn(scaleN * 4); cpuBurn(scaleN); bwSweep(scaleN * 4); bwSweep(scaleN)
+      ioSweep(scaleN, corpusFiles); ioWriteSweep(scaleN)
       // A/B alternation, 4N first in each round (any residual later-run
       // advantage then favors the DENOMINATOR → conservative efficiency);
       // a ceiling sample before the first round and after every round, so
       // ceilings and arms share the same host-weather window (rounds+1
       // samples bracketing every arm)
-      samples += ceilingSample(scaleN)
-      for (_ <- 1 to rounds) {
+      def abRound(): Unit = {
         reps4N ++= arm(scaleN * 4)
         repsN ++= arm(scaleN)
-        samples += ceilingSample(scaleN)
+        samples += ceilingSample(scaleN, corpusFiles)
+      }
+      samples += ceilingSample(scaleN, corpusFiles)
+      for (_ <- 1 to rounds) abRound()
+      def eff(): Double = (benchRows / median(reps4N)) / (4.0 * benchRows / median(repsN))
+      // per-shape window swing across the interleaved samples: max/min of
+      // the 4N-thread times (the arm-shaped readings). A swing > 2x means
+      // the A/B rounds straddled materially different host weather — the
+      // round-4 failure mode — and the medians are a lottery over windows.
+      def swing(): Double = Seq(samples.map(_.cpu4N), samples.map(_.bw4N), samples.map(_.io4N))
+        .map(xs => xs.max / xs.min).max
+      // in-run retry policy (VERDICT r4 next-round #1c): when the planned
+      // rounds land under the bar AND the interleaved samples prove the
+      // windows were unstable, buy up to `extraMax` more A/B rounds — the
+      // medians then pool over more windows, and a passing quiet window
+      // rescues a run that would otherwise commit a weather artifact
+      var extra = 0
+      while (eff() < 0.8 && swing() > 2.0 && extra < extraMax) {
+        extra += 1
+        System.err.println(f"[bench] eff ${eff()}%.3f with ceiling swing ${swing()}%.2fx - contended window, extra A/B round $extra/$extraMax")
+        abRound()
       }
       require(ceilSink.get() != 0L) // observable use of every ceiling result
       // the load-bearing checksum must agree ACROSS arms and JVMs
@@ -337,35 +483,19 @@ object Bench {
       System.err.println(f"[bench] local[$scaleN] reps: ${repsN.map(s => f"$s%.2f").mkString(", ")}")
       val thr4N = benchRows / median(reps4N)
       val thrN = benchRows / median(repsN)
-      val eff = thr4N / (4.0 * thrN)
       // pool per-shape medians across the interleaved samples, then ratio —
       // same estimator as the arms (median of per-window readings)
-      val ceiling = (median(samples.map(_._2).toSeq) / median(samples.map(_._1).toSeq)) / 4.0
-      val bwCeil = (median(samples.map(_._4).toSeq) / median(samples.map(_._3).toSeq)) / 4.0
-      System.err.println(f"[bench] ceilings $scaleN->4x: cpu $ceiling%.3f, membw $bwCeil%.3f; " +
-        f"engine eff: $eff%.3f (${eff / ceiling}%.3f of cpu, ${eff / bwCeil}%.3f of membw)")
-      System.err.println("[bench] bw samples (t4N,tN): " +
-        samples.map(s => f"(${s._3}%.2f,${s._4}%.2f)").mkString(", "))
-      def arr(xs: Seq[Double]) = xs.map(s => f"$s%.2f").mkString("[", ",", "]")
-      // self-reading verdict: either the raw number clears the >=0.8
-      // target, or the artifact names the same-window ceiling that bounds
-      // it (BASELINE.md 'Interleaved ceiling sampling' — a contended bus
-      // shows up as a LOW bw ceiling beside a near-1x vs-bw engine ratio).
-      // The engine job consumes BOTH resources (scan+kernels burn cycles,
-      // the corpus streams over the bus), so the relevant same-window
-      // bound is the TIGHTER of the two ceilings; >=0.9 of it matches the
-      // measured quiet-band ratio (engine at 0.94-1.09x the bw ceiling
-      // across BASELINE.md runs A-P — a contended window shifts the
-      // ceiling, not that ratio)
-      val bound = math.min(ceiling, bwCeil)
-      val verdict =
-        if (eff >= 0.8) f"raw $eff%.3f meets the >=0.8 target"
-        else if (eff / bound >= 0.9)
-          f"raw $eff%.3f below 0.8 but ${eff / bound}%.2fx the binding same-window ceiling (cpu $ceiling%.3f, membw $bwCeil%.3f) - host contention bounds this window, not the engine; quiet-host band 0.80-0.92 (BASELINE.md runs C-P)"
-        else
-          f"raw $eff%.3f below 0.8 and under 0.9x both same-window ceilings (cpu $ceiling%.3f, bw $bwCeil%.3f) - UNEXPLAINED, investigate"
-      scalingJson =
-        f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":$thrN%.1f,"files_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f,"cpu_ceiling_efficiency":$ceiling%.3f,"efficiency_vs_ceiling":${eff / ceiling}%.3f,"mem_bw_ceiling_efficiency":$bwCeil%.3f,"efficiency_vs_bw_ceiling":${eff / bwCeil}%.3f,"rep_secs_4n":${arr(reps4N)},"rep_secs_n":${arr(repsN)},"plan_serial_secs":${arr(planSecs.toSeq)},"scaling_mode":"${if (fork) "forked-fresh-jvm-per-arm" else "in-process-sessions"}","scaling_verdict":"$verdict","estimator":"median, A/B-alternated ${if (fork) "fresh-JVM" else "in-process"} sessions, plan-once-execute-many (serial planning published separately; a production job plans once per 10^5 tasks); ceilings = pure-CPU and memory-bandwidth N-vs-4N microbenchmarks sampled in the parent JVM INTERLEAVED with the arms (one sample before the first A/B round and after every round), pooled per-shape medians; arms and ceilings share the same host-weather window"}"""
+      val ceiling = (median(samples.map(_.cpuN).toSeq) / median(samples.map(_.cpu4N).toSeq)) / 4.0
+      val bwCeil = (median(samples.map(_.bwN).toSeq) / median(samples.map(_.bw4N).toSeq)) / 4.0
+      val ioCeil = (median(samples.map(_.ioN).toSeq) / median(samples.map(_.io4N).toSeq)) / 4.0
+      val ioMbps = median(samples.map(_.ioMbps4N).toSeq)
+      val wrMbps = median(samples.map(_.wrMbps4N).toSeq)
+      val bwMbps = median(samples.map(_.bwMbps4N).toSeq)
+      System.err.println(f"[bench] ceilings $scaleN->4x: cpu $ceiling%.3f, membw $bwCeil%.3f, io $ioCeil%.3f " +
+        f"(read $ioMbps%.0f MB/s, write $wrMbps%.0f MB/s, membw $bwMbps%.0f MB/s); " +
+        f"engine eff: ${eff()}%.3f (${eff() / ceiling}%.3f of cpu, ${eff() / bwCeil}%.3f of membw); swing ${swing()}%.2fx")
+      scalingStats = Some(ScalingStats(thrN, thr4N, eff(), ceiling, bwCeil, ioCeil,
+        ioMbps, wrMbps, bwMbps, swing(), extra, fork, reps4N, repsN, planSecs.toSeq))
     }
     if (spark.sparkContext.isStopped) { // in-process scaling consumed it
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -512,6 +642,53 @@ object Bench {
         System.err.println(f"[bench] audit reps: ${reps.map(s => f"$s%.2f").mkString(", ")}")
         reps.min
       } else 0.0
+
+    // ---- scaling verdict + JSON, built LAST so it can cite the write-time
+    // sanity signal measured in part 2 (VERDICT r4: the committed artifact
+    // printed UNEXPLAINED while its own pipeline_write field held the
+    // explanation — a 10x write blowup neither the cpu nor the membw
+    // ceiling models)
+    val scalingJson = scalingStats.map { s =>
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      // quiet-band expectations, env-overridable: pipeline write ~6.2s/1M
+      // rows (BASELINE.md quiet band); corpus re-read through a warm page
+      // cache runs at GB/s — a median below the floor means the window is
+      // DEVICE-bound (cache evicted / device saturated), not engine-bound
+      val writeQuiet = sys.env.getOrElse("SPARK_GRAFT_WRITE_QUIET_SECS_PER_1M", "6.2").toDouble * benchRows / 1e6
+      val ioFloor = sys.env.getOrElse("SPARK_GRAFT_IO_READ_FLOOR_MBPS", "1000").toDouble
+      val wrFloor = sys.env.getOrElse("SPARK_GRAFT_IO_WRITE_FLOOR_MBPS", "150").toDouble
+      val ioCollapsed = s.ioMbps < ioFloor
+      val wrCollapsed = s.wrMbps < wrFloor
+      // linear-in-rows quiet band is calibrated at the driver's 1M-row
+      // scale; below ~500k fixed job overhead dominates and the ratio
+      // false-positives (smoke runs at 100k read 5x on a quiet host)
+      val writeContended = benchRows >= 500000 && pipeWriteSec > 2.5 * writeQuiet
+      // the arm job is read-shaped (scan -> fused projection, shuffle-free,
+      // no writes), so the io READ ceiling joins the bound only when its
+      // absolute throughput proves the window device-bound; cache-hot, the
+      // membw ceiling already models the arms' byte movement
+      val candidates = Seq("cpu" -> s.cpuCeil, "membw" -> s.bwCeil) ++
+        (if (ioCollapsed) Seq("io-read" -> s.ioCeil) else Nil)
+      val (boundName, bound) = candidates.minBy(_._2)
+      val ioEvidence =
+        (if (ioCollapsed) Seq(f"corpus re-read ${s.ioMbps}%.0f MB/s at 4N (floor $ioFloor%.0f, same-window membw ${s.bwMbps}%.0f)") else Nil) ++
+        (if (wrCollapsed) Seq(f"fsync write sweep ${s.wrMbps}%.0f MB/s (floor $wrFloor%.0f)") else Nil) ++
+        (if (writeContended) Seq(f"pipeline_write $pipeWriteSec%.1fs vs quiet ~$writeQuiet%.1fs") else Nil) ++
+        (if (s.swing > 2.0) Seq(f"interleaved ceiling samples swung ${s.swing}%.2fx across windows") else Nil)
+      val verdict =
+        if (s.eff >= 0.8)
+          f"raw ${s.eff}%.3f meets the >=0.8 target" +
+            (if (ioEvidence.nonEmpty) s" (despite host I/O pressure: ${ioEvidence.mkString("; ")})" else "")
+        else if (s.eff / bound >= 0.9)
+          f"raw ${s.eff}%.3f below 0.8 but ${s.eff / bound}%.2fx the binding same-window ceiling ($boundName $bound%.3f; cpu ${s.cpuCeil}%.3f, membw ${s.bwCeil}%.3f, io ${s.ioCeil}%.3f) - host contention bounds this window, not the engine; quiet-host band 0.80-0.95 (BASELINE.md)"
+        else if (ioCollapsed || wrCollapsed || writeContended)
+          f"raw ${s.eff}%.3f below 0.8: host-I/O-bounded window - ${ioEvidence.mkString("; ")}; device/page-cache contention taxes the arms asymmetrically and is invisible to the cpu/membw ceilings; quiet-host band 0.80-0.95 (BASELINE.md)"
+        else if (s.swing > 2.0)
+          f"raw ${s.eff}%.3f below 0.8: unstable host window - ${ioEvidence.mkString("; ")}; medians pooled over ${s.extraRounds} extra A/B round(s) still straddle contended windows; quiet-host band 0.80-0.95 (BASELINE.md)"
+        else
+          f"raw ${s.eff}%.3f below 0.8 and under 0.9x all same-window ceilings (cpu ${s.cpuCeil}%.3f, bw ${s.bwCeil}%.3f, io ${s.ioCeil}%.3f) with no I/O-collapse or swing signal - UNEXPLAINED, investigate"
+      f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":${s.thrN}%.1f,"files_per_sec_4n":${s.thr4N}%.1f,"efficiency":${s.eff}%.3f,"cpu_ceiling_efficiency":${s.cpuCeil}%.3f,"efficiency_vs_ceiling":${s.eff / s.cpuCeil}%.3f,"mem_bw_ceiling_efficiency":${s.bwCeil}%.3f,"efficiency_vs_bw_ceiling":${s.eff / s.bwCeil}%.3f,"io_ceiling_efficiency":${s.ioCeil}%.3f,"efficiency_vs_io_ceiling":${s.eff / s.ioCeil}%.3f,"io_read_mbps_4n":${s.ioMbps}%.1f,"io_write_mbps_4n":${s.wrMbps}%.1f,"mem_bw_mbps_4n":${s.bwMbps}%.1f,"ceiling_window_swing":${s.swing}%.2f,"extra_ab_rounds":${s.extraRounds},"write_quiet_band_sec":$writeQuiet%.1f,"rep_secs_4n":${arr(s.reps4N)},"rep_secs_n":${arr(s.repsN)},"plan_serial_secs":${arr(s.planSecs)},"scaling_mode":"${if (s.fork) "forked-fresh-jvm-per-arm" else "in-process-sessions"}","scaling_verdict":"$verdict","estimator":"median, A/B-alternated ${if (s.fork) "fresh-JVM" else "in-process"} sessions, plan-once-execute-many (serial planning published separately; a production job plans once per 10^5 tasks); ceilings = pure-CPU, memory-bandwidth and file-I/O (page-cache corpus re-read + fsync write sweep) N-vs-4N microbenchmarks sampled in the parent JVM INTERLEAVED with the arms (one sample before the first A/B round and after every round), pooled per-shape medians; arms and ceilings share the same host-weather window; sub-bar runs with >2x window swing buy extra A/B rounds in-run"}"""
+    }.getOrElse("")
 
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queries.map(_._2).sum + pipeSec

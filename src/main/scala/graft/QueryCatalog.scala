@@ -1975,10 +1975,13 @@ object QueryCatalog {
       Some(s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
               |FROM ($dupDocsSql) GROUP BY text""".stripMargin)),
 
+    // autoSize surface (VERDICT r4 #6): banding resolved from the threshold
+    // by the S-curve solver — at (0.8, 64 hashes) it lands on the same
+    // (8, 8) the literal form used, asserted by PlannerSemanticsSpec
     Q("dedup_minhash",
-      (s, dir) => graft.operators.Dedup.minHashDedup(
+      (s, dir) => graft.operators.Dedup.minHashDedupAuto(
         dupDocs(s, dir), col("text"), col("doc_id"),
-        numHashes = 64, bands = 8, shingleSize = 5, jaccardThreshold = 0.8)
+        jaccardThreshold = 0.8, numHashes = 64, shingleSize = 5)
         .select("doc_id"),
       None, noOracleSibling = Some("dedup_minhash_hi")), // MinHash signatures have no SQL form; the planted salted fixture is the hash-exact sibling
 
@@ -2144,8 +2147,11 @@ object QueryCatalog {
 
     // winnowing containment (copied-passage detection; fingerprint sets not
     // SQL-expressible → rows-only)
+    // autoSize surface (VERDICT r4 #6): k and the stop-fingerprint cap
+    // resolved at plan build from the corpus itself (footer-only count +
+    // bounded prefix sample → winnowParams)
     Q("dedup_winnow",
-      (s, dir) => graft.operators.Dedup.winnowContainmentPairs(
+      (s, dir) => graft.operators.Dedup.winnowContainmentPairsAuto(
         dupDocs(s, dir), col("text"), col("doc_id"), minContainment = 0.9)
         .select("doc_id_a", "doc_id_b"),
       None, noOracleSibling = Some("dedup_winnow_hi")),

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Plan-build-time input sizing for the dedup/similarity operators — makes
+  * the probe-validated safe defaults the REACHABLE defaults for
+  * catalog-driven callers (VERDICT r4 #6): instead of passing literal knobs
+  * (`k`, `bands`, `planes`…), a caller asks the input itself and routes the
+  * estimate through [[Dedup.winnowParams]] / [[Dedup.minhashParams]] /
+  * [[Similarity.lshParams]].
+  *
+  * Cost model (matters at 100 TB): the row count is a parquet
+  * FOOTER-metadata aggregate when the frame is an unfiltered scan (Spark's
+  * count-star pushes to row-group counts — no data pages read), and the
+  * text statistics come from a `limit(sampleDocs)` sample that reads only
+  * the first partition(s), each doc truncated to `maxCharsPerDoc` before
+  * collection, so the driver holds ≤ sampleDocs × maxCharsPerDoc chars
+  * (4 MB at the defaults). The sample is deliberately NOT uniform — it is a
+  * prefix sample, biased toward the first input files — which is the right
+  * trade for SIZING (the estimate feeds a log: winnowParams takes
+  * log_alphabet(n·avgChars), so even a 4× avgChars bias moves k by ≤ 1).
+  */
+object AutoSize {
+
+  /** @param rows        exact input row count (footer-only for plain scans)
+    * @param avgChars    mean doc length over the prefix sample (truncation-
+    *                    corrected upward by assuming truncated docs continue
+    *                    at least to the cap — a conservative UNDER-estimate
+    *                    of true length, which over-sizes k, the safe side)
+    * @param effAlphabet effective character diversity exp(H) of the sampled
+    *                    char distribution — the `alphabet` winnowParams
+    *                    wants (raw distinct-char counts overstate diversity
+    *                    when 90% of mass sits on 11 symbols, the adversarial
+    *                    16M-probe regime) */
+  case class InputEstimate(rows: Long, avgChars: Long, effAlphabet: Int)
+
+  def estimate(df: DataFrame, textCol: Column,
+               sampleDocs: Int = 1024, maxCharsPerDoc: Int = 4096): InputEstimate = {
+    val rows = df.count()
+    require(rows > 0, "autoSize on an empty input")
+    val sample = df.select(substring(textCol, 1, maxCharsPerDoc).as("__t"))
+      .where(col("__t").isNotNull).limit(sampleDocs)
+      .collect().map(_.getString(0))
+    val avgChars = if (sample.isEmpty) 512L
+      else math.max(1L, sample.map(_.length.toLong).sum / sample.length)
+    // char entropy over the pooled sample (bounded: ≤ 4 MB of chars)
+    val freq = new scala.collection.mutable.HashMap[Char, Long]()
+    sample.foreach(_.foreach(c => freq.update(c, freq.getOrElse(c, 0L) + 1L)))
+    val total = freq.valuesIterator.sum.toDouble
+    val entropy = if (total == 0) 0.0
+      else freq.valuesIterator.map { n =>
+        val p = n / total; -p * math.log(p)
+      }.sum
+    val effAlphabet = math.max(2, math.rint(math.exp(entropy)).toInt)
+    InputEstimate(rows, avgChars, effAlphabet)
+  }
+
+  /** [[Dedup.winnowParams]] resolved from the input itself:
+    * (k, maxFingerprintDocFreq) sized against gram-space saturation. */
+  def winnowParamsFor(df: DataFrame, textCol: Column): (Int, Long) = {
+    val e = estimate(df, textCol)
+    Dedup.winnowParams(e.rows, e.avgChars, e.effAlphabet)
+  }
+
+  /** [[Similarity.lshParams]] resolved from the input count:
+    * (planes, tables) for a cosine threshold. */
+  def lshParamsFor(df: DataFrame, theta: Double,
+                   targetRecall: Double = 0.95): (Int, Int) = {
+    val n = df.count()
+    require(n > 0, "autoSize on an empty input")
+    Similarity.lshParams(n, theta, targetRecall)
+  }
+}

@@ -171,6 +171,22 @@ object Dedup {
     *
     * @return surviving rows of `df` (original columns).
     */
+  /** [[minHashDedup]] with banding resolved from the THRESHOLD via the
+    * S-curve solver ([[minhashParams]]) — the catalog-reachable form
+    * (VERDICT r4 #6): a caller states the drop threshold and hash budget;
+    * the solver picks the sharpest banding whose design-point recall
+    * clears 0.95, instead of inheriting a literal (bands, rows) tuned for
+    * a different θ. Pure driver arithmetic — no input scan. */
+  def minHashDedupAuto(df: DataFrame, textCol: Column, idCol: Column,
+                       jaccardThreshold: Double = 0.8, numHashes: Int = 64,
+                       shingleSize: Int = 5,
+                       maxBucketSize: Int = DefaultBucketCap,
+                       persistSignatures: Boolean = true): DataFrame = {
+    val (bands, _) = minhashParams(jaccardThreshold, numHashes)
+    minHashDedup(df, textCol, idCol, numHashes, bands, shingleSize,
+      jaccardThreshold, maxBucketSize, persistSignatures)
+  }
+
   def minHashDedup(df: DataFrame, textCol: Column, idCol: Column,
                    numHashes: Int = 64, bands: Int = 8,
                    shingleSize: Int = 5, jaccardThreshold: Double = 0.8,
@@ -424,6 +440,23 @@ object Dedup {
     * are boilerplate-quadratic on saturating corpora (20.4 candidates/row
     * at 1M vs 0.05 true) and were a known-bad configuration for a naive
     * caller. Pass [[winnowParams]] output to size k for a given corpus. */
+  /** [[winnowContainmentPairs]] with (k, maxFingerprintDocFreq) resolved at
+    * plan build from the input itself ([[AutoSize.winnowParamsFor]] →
+    * [[winnowParams]]) — the catalog-reachable form of the probe-validated
+    * sizing (VERDICT r4 #6): a caller that knows only its detection knobs
+    * (window, minContainment) gets gram-space-safe k for ITS corpus, not a
+    * literal that saturates on an unusual alphabet. Costs one footer-only
+    * count + a bounded prefix sample before planning. */
+  def winnowContainmentPairsAuto(df: DataFrame, textCol: Column, idCol: Column,
+                                 window: Int = 12,
+                                 minContainment: Double = 0.5,
+                                 maxBucketSize: Int = DefaultBucketCap,
+                                 persistSignatures: Boolean = true): DataFrame = {
+    val (k, maxDf) = AutoSize.winnowParamsFor(df, textCol)
+    winnowContainmentPairs(df, textCol, idCol, k, window, minContainment,
+      maxBucketSize, maxDf, persistSignatures)
+  }
+
   def winnowContainmentPairs(df: DataFrame, textCol: Column, idCol: Column,
                              k: Int = 12, window: Int = 12,
                              minContainment: Double = 0.5,

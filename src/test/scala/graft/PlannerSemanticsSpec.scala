@@ -183,4 +183,40 @@ class PlannerSemanticsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq) // stable across evaluations
     assert(a.distinct.length == 8) // all buckets used
   }
+
+  test("autoSize resolves probe-validated knobs from the input itself (VERDICT r4 #6)") {
+    import graft.operators.{AutoSize, Dedup}
+    // low-diversity corpus (the adversarial 16M-probe regime in miniature):
+    // effective alphabet ~8 symbols, short docs
+    val lowDiv = (0 until 400).map { i =>
+      (i.toLong, Seq.tabulate(160)(j => ('a' + (i * 7 + j * 3) % 8).toChar).mkString)
+    }.toDF("doc_id", "text")
+    val est = AutoSize.estimate(lowDiv, col("text"))
+    assert(est.rows == 400L)
+    assert(est.avgChars == 160L)
+    // exp(entropy) of a near-uniform 8-symbol distribution ≈ 8
+    assert(est.effAlphabet >= 6 && est.effAlphabet <= 9, s"effAlphabet=${est.effAlphabet}")
+    // the resolved k must match winnowParams fed the measured estimate, and
+    // sit in the sane band (≥ the k=8 floor; ≤ the 2^63-gram k=24 cap)
+    val (k, maxDf) = AutoSize.winnowParamsFor(lowDiv, col("text"))
+    assert((k, maxDf) == Dedup.winnowParams(est.rows, est.avgChars, est.effAlphabet))
+    assert(k >= 8 && k <= 24 && maxDf == 16L)
+    // S-curve banding at the production default (θ=0.8, 64 hashes) resolves
+    // to the literal the catalog previously hard-coded — the safe default
+    // is now the REACHABLE default, with no behavior change at the default
+    assert(Dedup.minhashParams(0.8, 64) == ((8, 8)))
+    // end-to-end through the auto entry points: the auto forms must keep
+    // the literal forms' results on a corpus where both are correctly sized
+    val docs = (0 until 60).map { i =>
+      val base = s"document body number ${i % 20} with some shared language"
+      (i.toLong, if (i < 40) base else base + s" unique suffix $i")
+    }.toDF("doc_id", "text")
+    val auto = Dedup.minHashDedupAuto(docs, col("text"), col("doc_id"),
+      jaccardThreshold = 0.8, numHashes = 64, persistSignatures = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val literal = Dedup.minHashDedup(docs, col("text"), col("doc_id"),
+      numHashes = 64, bands = 8, persistSignatures = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(auto == literal)
+  }
 }
