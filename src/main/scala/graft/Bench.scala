@@ -271,6 +271,62 @@ object Bench {
     CeilSample(c4, cN, b4, bN, i4, iN, m4, 12.0 * 512.0 / b4, w4)
   }
 
+  /** Everything the self-reading scaling verdict needs — pure data, so the
+    * classification logic is unit-testable (BenchVerdictSpec replays the
+    * actual BENCH_r04 numbers and asserts they classify as I/O-bounded
+    * instead of the UNEXPLAINED that artifact printed). */
+  private[graft] case class VerdictInputs(
+      eff: Double, cpuCeil: Double, bwCeil: Double, ioCeil: Double,
+      ioMbps: Double, wrMbps: Double, bwMbps: Double,
+      swing: Double, extraRounds: Int,
+      pipeWriteSec: Double, benchRows: Long,
+      writeQuietPer1M: Double = 6.2, ioFloor: Double = 1000.0,
+      wrFloor: Double = 150.0)
+
+  /** Self-reading verdict over the full instrument set. Classification
+    * order: (1) raw number clears the ≥0.8 target; (2) ≥0.9× the TIGHTER
+    * same-window ceiling → host-bounded (the engine job is mixed
+    * compute+bandwidth, measured at 0.94–1.23× the bw ceiling and
+    * 0.75–0.97× the cpu ceiling across BASELINE.md runs — a contended
+    * window shifts the ceiling, not that ratio); (3) any I/O-collapse
+    * signal → host-I/O-bounded (the round-4 gap: disk/page-cache
+    * contention taxes the arms but is invisible to cpu/membw ceilings);
+    * (4) window swing > 2× → unstable window; (5) UNEXPLAINED.
+    *
+    * The io READ ceiling joins the bound only when its absolute throughput
+    * is below `ioFloor` (window proven device-bound — cache-hot it streams
+    * at memcpy rates and the membw ceiling already models the arms' byte
+    * movement); the WRITE sweep and the pipeline-write sanity ratio are
+    * citations, never bounds, because the arm job performs no writes. */
+  private[graft] def scalingVerdict(v: VerdictInputs): String = {
+    val writeQuiet = v.writeQuietPer1M * v.benchRows / 1e6
+    val ioCollapsed = v.ioMbps < v.ioFloor
+    val wrCollapsed = v.wrMbps < v.wrFloor
+    // linear-in-rows quiet band is calibrated at the driver's 1M-row scale;
+    // below ~500k fixed job overhead dominates and the ratio
+    // false-positives (smoke runs at 100k read 5x on a quiet host)
+    val writeContended = v.benchRows >= 500000 && v.pipeWriteSec > 2.5 * writeQuiet
+    val candidates = Seq("cpu" -> v.cpuCeil, "membw" -> v.bwCeil) ++
+      (if (ioCollapsed) Seq("io-read" -> v.ioCeil) else Nil)
+    val (boundName, bound) = candidates.minBy(_._2)
+    val ioEvidence =
+      (if (ioCollapsed) Seq(f"corpus re-read ${v.ioMbps}%.0f MB/s at 4N (floor ${v.ioFloor}%.0f, same-window membw ${v.bwMbps}%.0f)") else Nil) ++
+      (if (wrCollapsed) Seq(f"fsync write sweep ${v.wrMbps}%.0f MB/s (floor ${v.wrFloor}%.0f)") else Nil) ++
+      (if (writeContended) Seq(f"pipeline_write ${v.pipeWriteSec}%.1fs vs quiet ~$writeQuiet%.1fs") else Nil) ++
+      (if (v.swing > 2.0) Seq(f"interleaved ceiling samples swung ${v.swing}%.2fx across windows") else Nil)
+    if (v.eff >= 0.8)
+      f"raw ${v.eff}%.3f meets the >=0.8 target" +
+        (if (ioEvidence.nonEmpty) s" (despite host I/O pressure: ${ioEvidence.mkString("; ")})" else "")
+    else if (v.eff / bound >= 0.9)
+      f"raw ${v.eff}%.3f below 0.8 but ${v.eff / bound}%.2fx the binding same-window ceiling ($boundName $bound%.3f; cpu ${v.cpuCeil}%.3f, membw ${v.bwCeil}%.3f, io ${v.ioCeil}%.3f) - host contention bounds this window, not the engine; quiet-host band 0.80-0.95 (BASELINE.md)"
+    else if (ioCollapsed || wrCollapsed || writeContended)
+      f"raw ${v.eff}%.3f below 0.8: host-I/O-bounded window - ${ioEvidence.mkString("; ")}; device/page-cache contention taxes the arms asymmetrically and is invisible to the cpu/membw ceilings; quiet-host band 0.80-0.95 (BASELINE.md)"
+    else if (v.swing > 2.0)
+      f"raw ${v.eff}%.3f below 0.8: unstable host window - ${ioEvidence.mkString("; ")}; medians pooled over ${v.extraRounds} extra A/B round(s) still straddle contended windows; quiet-host band 0.80-0.95 (BASELINE.md)"
+    else
+      f"raw ${v.eff}%.3f below 0.8 and under 0.9x all same-window ceilings (cpu ${v.cpuCeil}%.3f, bw ${v.bwCeil}%.3f, io ${v.ioCeil}%.3f) with no I/O-collapse or swing signal - UNEXPLAINED, investigate"
+  }
+
   /** One scaling session at parallelism `p` — runnable in-process or (the
     * default) inside a freshly forked JVM via [[ScalingArm]]. AQE is OFF:
     * the loop re-executes one physical plan, and both AQE's materialized
@@ -655,38 +711,12 @@ object Bench {
       // cache runs at GB/s — a median below the floor means the window is
       // DEVICE-bound (cache evicted / device saturated), not engine-bound
       val writeQuiet = sys.env.getOrElse("SPARK_GRAFT_WRITE_QUIET_SECS_PER_1M", "6.2").toDouble * benchRows / 1e6
-      val ioFloor = sys.env.getOrElse("SPARK_GRAFT_IO_READ_FLOOR_MBPS", "1000").toDouble
-      val wrFloor = sys.env.getOrElse("SPARK_GRAFT_IO_WRITE_FLOOR_MBPS", "150").toDouble
-      val ioCollapsed = s.ioMbps < ioFloor
-      val wrCollapsed = s.wrMbps < wrFloor
-      // linear-in-rows quiet band is calibrated at the driver's 1M-row
-      // scale; below ~500k fixed job overhead dominates and the ratio
-      // false-positives (smoke runs at 100k read 5x on a quiet host)
-      val writeContended = benchRows >= 500000 && pipeWriteSec > 2.5 * writeQuiet
-      // the arm job is read-shaped (scan -> fused projection, shuffle-free,
-      // no writes), so the io READ ceiling joins the bound only when its
-      // absolute throughput proves the window device-bound; cache-hot, the
-      // membw ceiling already models the arms' byte movement
-      val candidates = Seq("cpu" -> s.cpuCeil, "membw" -> s.bwCeil) ++
-        (if (ioCollapsed) Seq("io-read" -> s.ioCeil) else Nil)
-      val (boundName, bound) = candidates.minBy(_._2)
-      val ioEvidence =
-        (if (ioCollapsed) Seq(f"corpus re-read ${s.ioMbps}%.0f MB/s at 4N (floor $ioFloor%.0f, same-window membw ${s.bwMbps}%.0f)") else Nil) ++
-        (if (wrCollapsed) Seq(f"fsync write sweep ${s.wrMbps}%.0f MB/s (floor $wrFloor%.0f)") else Nil) ++
-        (if (writeContended) Seq(f"pipeline_write $pipeWriteSec%.1fs vs quiet ~$writeQuiet%.1fs") else Nil) ++
-        (if (s.swing > 2.0) Seq(f"interleaved ceiling samples swung ${s.swing}%.2fx across windows") else Nil)
-      val verdict =
-        if (s.eff >= 0.8)
-          f"raw ${s.eff}%.3f meets the >=0.8 target" +
-            (if (ioEvidence.nonEmpty) s" (despite host I/O pressure: ${ioEvidence.mkString("; ")})" else "")
-        else if (s.eff / bound >= 0.9)
-          f"raw ${s.eff}%.3f below 0.8 but ${s.eff / bound}%.2fx the binding same-window ceiling ($boundName $bound%.3f; cpu ${s.cpuCeil}%.3f, membw ${s.bwCeil}%.3f, io ${s.ioCeil}%.3f) - host contention bounds this window, not the engine; quiet-host band 0.80-0.95 (BASELINE.md)"
-        else if (ioCollapsed || wrCollapsed || writeContended)
-          f"raw ${s.eff}%.3f below 0.8: host-I/O-bounded window - ${ioEvidence.mkString("; ")}; device/page-cache contention taxes the arms asymmetrically and is invisible to the cpu/membw ceilings; quiet-host band 0.80-0.95 (BASELINE.md)"
-        else if (s.swing > 2.0)
-          f"raw ${s.eff}%.3f below 0.8: unstable host window - ${ioEvidence.mkString("; ")}; medians pooled over ${s.extraRounds} extra A/B round(s) still straddle contended windows; quiet-host band 0.80-0.95 (BASELINE.md)"
-        else
-          f"raw ${s.eff}%.3f below 0.8 and under 0.9x all same-window ceilings (cpu ${s.cpuCeil}%.3f, bw ${s.bwCeil}%.3f, io ${s.ioCeil}%.3f) with no I/O-collapse or swing signal - UNEXPLAINED, investigate"
+      val verdict = scalingVerdict(VerdictInputs(
+        s.eff, s.cpuCeil, s.bwCeil, s.ioCeil, s.ioMbps, s.wrMbps, s.bwMbps,
+        s.swing, s.extraRounds, pipeWriteSec, benchRows,
+        writeQuietPer1M = sys.env.getOrElse("SPARK_GRAFT_WRITE_QUIET_SECS_PER_1M", "6.2").toDouble,
+        ioFloor = sys.env.getOrElse("SPARK_GRAFT_IO_READ_FLOOR_MBPS", "1000").toDouble,
+        wrFloor = sys.env.getOrElse("SPARK_GRAFT_IO_WRITE_FLOOR_MBPS", "150").toDouble))
       f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":${s.thrN}%.1f,"files_per_sec_4n":${s.thr4N}%.1f,"efficiency":${s.eff}%.3f,"cpu_ceiling_efficiency":${s.cpuCeil}%.3f,"efficiency_vs_ceiling":${s.eff / s.cpuCeil}%.3f,"mem_bw_ceiling_efficiency":${s.bwCeil}%.3f,"efficiency_vs_bw_ceiling":${s.eff / s.bwCeil}%.3f,"io_ceiling_efficiency":${s.ioCeil}%.3f,"efficiency_vs_io_ceiling":${s.eff / s.ioCeil}%.3f,"io_read_mbps_4n":${s.ioMbps}%.1f,"io_write_mbps_4n":${s.wrMbps}%.1f,"mem_bw_mbps_4n":${s.bwMbps}%.1f,"ceiling_window_swing":${s.swing}%.2f,"extra_ab_rounds":${s.extraRounds},"write_quiet_band_sec":$writeQuiet%.1f,"rep_secs_4n":${arr(s.reps4N)},"rep_secs_n":${arr(s.repsN)},"plan_serial_secs":${arr(s.planSecs)},"scaling_mode":"${if (s.fork) "forked-fresh-jvm-per-arm" else "in-process-sessions"}","scaling_verdict":"$verdict","estimator":"median, A/B-alternated ${if (s.fork) "fresh-JVM" else "in-process"} sessions, plan-once-execute-many (serial planning published separately; a production job plans once per 10^5 tasks); ceilings = pure-CPU, memory-bandwidth and file-I/O (page-cache corpus re-read + fsync write sweep) N-vs-4N microbenchmarks sampled in the parent JVM INTERLEAVED with the arms (one sample before the first A/B round and after every round), pooled per-shape medians; arms and ceilings share the same host-weather window; sub-bar runs with >2x window swing buy extra A/B rounds in-run"}"""
     }.getOrElse("")
 
