@@ -605,8 +605,11 @@ object Bench {
         "dedup_paragraphs",
         // ExactSubstr duplicated-span removal (Lee et al. 2022 §4.1):
         // rolling window hashes + hash-aggregated canonical min + map-side
-        // span strip — the suffix-array-free distributed reduction
-        "strip_dup_spans",
+        // span strip — the suffix-array-free distributed reduction; the
+        // _offset row is the unbounded-doc/hash-id path (global-char-offset
+        // occurrence key via the distributed prefix sum) whose cost delta
+        // vs the packed key is the prefix-sum pass + id-keyed join
+        "strip_dup_spans", "strip_dup_spans_offset",
         // quality-aware cluster-canonical dedup (keep best member per
         // transitive cluster, ties to min id)
         "dedup_cluster_best",

@@ -90,6 +90,52 @@ object QueryCatalog {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
+  /** Shared fixture + oracle for the strip_dup_spans pair (packed-key
+    * default and offset oversize mode — both must reproduce the SAME full
+    * rule, so they share one SQL verbatim). The fixture plants exact
+    * 40-char repeats: an injected header/footer across doc classes plus
+    * whatever natural repeats the vocab-generated text carries; the oracle
+    * recomputes the rule on window STRINGS (the engine keys on 64-bit
+    * rolling hashes — hash-exact agreement doubles as collision evidence,
+    * the dedup_paragraphs argument at 40x the key mass). */
+  private def stripFixture(s: SparkSession, dir: String) =
+    t(s, dir, "documents").select(col("doc_id"), concat(
+      when(col("doc_id") % 4 === 0,
+        lit("/* Auto-generated by build tool v3. Do not edit this header block. */ "))
+        .otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 10 === 0,
+        lit(" /* End of generated section: see build manifest for provenance. */"))
+        .otherwise(lit(""))).as("text"))
+  private val stripDupSpansOracleSql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/* Auto-generated by build tool v3. Do not edit this header block. */ ' ELSE '' END)
+      |    || text ||
+      |    (CASE WHEN doc_id % 10 = 0 THEN ' /* End of generated section: see build manifest for provenance. */' ELSE '' END) AS text
+      |  FROM documents),
+      |idx AS (SELECT CAST(i AS INT) AS i FROM range(0, 4096) AS t(i)),
+      |occ AS (
+      |  SELECT doc_id, i AS p, substr(text, i+1, 40) AS g
+      |  FROM docs JOIN idx ON i <= length(text) - 40),
+      |marked AS (
+      |  SELECT doc_id, p,
+      |         row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+      |         count(*) OVER (PARTITION BY g) AS c
+      |  FROM occ),
+      |dup AS (SELECT doc_id, p FROM marked WHERE c >= 2 AND rn > 1),
+      |chars AS (
+      |  SELECT d.doc_id, i, substr(d.text, i+1, 1) AS ch
+      |  FROM docs d JOIN idx ON i <= length(d.text) - 1),
+      |kept AS (
+      |  SELECT c.doc_id, c.i, c.ch FROM chars c
+      |  WHERE NOT EXISTS (SELECT 1 FROM dup u
+      |                    WHERE u.doc_id = c.doc_id AND c.i >= u.p AND c.i < u.p + 40))
+      |SELECT d.doc_id AS doc_id,
+      |       coalesce((SELECT string_agg(ch, '' ORDER BY i)
+      |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
+      |FROM docs d""".stripMargin
+
   /** One row per word occurrence with its DSIR md5 bucket (B = 256 = 16²,
     * so the bucket is the first TWO md5 hex chars) — the SQL mirror of
     * [[graft.functions.DsirKernel]]'s tokenize + bucketOf. */
@@ -1784,44 +1830,21 @@ object QueryCatalog {
     // hash-exact agreement doubles as collision evidence, the
     // dedup_paragraphs argument at 40× the key mass).
     Q("strip_dup_spans",
-      (s, dir) => {
-        val d = t(s, dir, "documents").select(col("doc_id"), concat(
-          when(col("doc_id") % 4 === 0,
-            lit("/* Auto-generated by build tool v3. Do not edit this header block. */ "))
-            .otherwise(lit("")),
-          col("text"),
-          when(col("doc_id") % 10 === 0,
-            lit(" /* End of generated section: see build manifest for provenance. */"))
-            .otherwise(lit(""))).as("text"))
-        graft.operators.ExactSubstr.stripDupSpans(d, "text", "doc_id", gramLen = 40)
-      },
-      Some("""WITH docs AS (
-             |  SELECT doc_id,
-             |    (CASE WHEN doc_id % 4 = 0 THEN '/* Auto-generated by build tool v3. Do not edit this header block. */ ' ELSE '' END)
-             |    || text ||
-             |    (CASE WHEN doc_id % 10 = 0 THEN ' /* End of generated section: see build manifest for provenance. */' ELSE '' END) AS text
-             |  FROM documents),
-             |idx AS (SELECT CAST(i AS INT) AS i FROM range(0, 4096) AS t(i)),
-             |occ AS (
-             |  SELECT doc_id, i AS p, substr(text, i+1, 40) AS g
-             |  FROM docs JOIN idx ON i <= length(text) - 40),
-             |marked AS (
-             |  SELECT doc_id, p,
-             |         row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
-             |         count(*) OVER (PARTITION BY g) AS c
-             |  FROM occ),
-             |dup AS (SELECT doc_id, p FROM marked WHERE c >= 2 AND rn > 1),
-             |chars AS (
-             |  SELECT d.doc_id, i, substr(d.text, i+1, 1) AS ch
-             |  FROM docs d JOIN idx ON i <= length(d.text) - 1),
-             |kept AS (
-             |  SELECT c.doc_id, c.i, c.ch FROM chars c
-             |  WHERE NOT EXISTS (SELECT 1 FROM dup u
-             |                    WHERE u.doc_id = c.doc_id AND c.i >= u.p AND c.i < u.p + 40))
-             |SELECT d.doc_id AS doc_id,
-             |       coalesce((SELECT string_agg(ch, '' ORDER BY i)
-             |                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
-             |FROM docs d""".stripMargin)),
+      (s, dir) => graft.operators.ExactSubstr.stripDupSpans(
+        stripFixture(s, dir), "text", "doc_id", gramLen = 40),
+      Some(stripDupSpansOracleSql)),
+
+    // the SAME rule through the offset oversize mode (occurrence key =
+    // global char offset via the distributed prefix sum instead of the
+    // 2^24 packed id·pos): keep-first policy and every cut are defined to
+    // be bit-identical, so it shares the oracle verbatim — a hash-exact
+    // equivalence proof of the unbounded path, on top of the >16M-char and
+    // hash-id cases ExactSubstrSpec pins
+    Q("strip_dup_spans_offset",
+      (s, dir) => graft.operators.ExactSubstr.stripDupSpans(
+        stripFixture(s, dir), "text", "doc_id", gramLen = 40,
+        oversize = graft.operators.ExactSubstr.OversizeOffset),
+      Some(stripDupSpansOracleSql)),
 
     // SPAN-level benchmark decontamination: every ≥40-char training-corpus
     // substring that also appears in the benchmark suite is cut (document

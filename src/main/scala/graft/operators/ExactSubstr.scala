@@ -82,15 +82,30 @@ object ExactSubstr {
     *    This mirrors the reference's log-and-continue posture
     *    ($P/DQ.sApplyDQRuleExpression.sql:616 — errors are logged so sibling
     *    rules keep running, never job-fatal).
+    *  - [[OversizeOffset]]: oversized docs are PROCESSED, not exempted — the
+    *    occurrence key becomes the GLOBAL CHARACTER OFFSET (doc-start prefix
+    *    sum + position; [[Packing.exclusiveOffsets]], the same two-phase
+    *    distributed scan the pack planner uses), which is injective for ANY
+    *    doc length and ANY unique long id (including hash-shaped — no re-key
+    *    step) and orders identically to (id, pos), so the keep-first policy
+    *    and every stripped span are bit-identical to the packed key's
+    *    wherever both are defined. Cost over the default: one tiny
+    *    prefix-sum pass plus one id-keyed join of the occurrence relation
+    *    against the (doc_id, offset) frame — doc-count-sized, so a
+    *    broadcast at moderate scale and a co-partitioned join (free for
+    *    id-bucketed corpora) beyond. The ceiling is total corpus chars
+    *    < 2⁶³ — 9 exabytes, i.e. physics, not a knob.
     *  - [[OversizeStrict]]: opt-in strictness — any out-of-range row
     *    raise_errors the job (the round-≤4 behavior), for callers who treat
     *    an oversized doc as a data-contract violation.
     * Id-range violations (id ≥ 2³⁹, i.e. hash-shaped ids) stay strict under
-    * BOTH policies: they are a caller contract (re-key first — shuffleRank /
-    * zip-style), not a data property, and silently exempting them would hide
-    * a mis-wired pipeline. */
+    * the exempt/strict policies: there they are a caller contract (re-key
+    * first — shuffleRank / zip-style), not a data property, and silently
+    * exempting them would hide a mis-wired pipeline. Offset mode lifts the
+    * contract itself (the global offset never multiplies by the id). */
   val OversizeExempt = "exempt"
   val OversizeStrict = "strict"
+  val OversizeOffset = "offset"
 
   /** Audit relation for [[OversizeExempt]]: one row per routed-around doc —
     * (id, n_chars). Sink it beside the run summary the way rule-hit logs are
@@ -103,9 +118,9 @@ object ExactSubstr {
   private def eligible(df: DataFrame, contentColName: String,
                        oversize: String): DataFrame = oversize match {
     case OversizeExempt => df.where(length(col(contentColName)).cast("long") < MaxPos)
-    case OversizeStrict => df
+    case OversizeStrict | OversizeOffset => df
     case other => throw new IllegalArgumentException(
-      s"oversize policy must be '$OversizeExempt' or '$OversizeStrict', got '$other'")
+      s"oversize policy must be '$OversizeExempt', '$OversizeStrict' or '$OversizeOffset', got '$other'")
   }
 
   private def packed(id: Column, pos: Column): Column =
@@ -119,11 +134,24 @@ object ExactSubstr {
     * Exposed for diagnostics (dup-span mass reports) and tests. */
   def dupSpanOccurrences(df: DataFrame, contentColName: String, idColName: String,
                          gramLen: Int, oversize: String = OversizeExempt): DataFrame = {
-    val occ = eligible(df, contentColName, oversize).select(
+    val occBase = eligible(df, contentColName, oversize).select(
       col(idColName).as("__id"),
       posexplode(SpanSignatures.gramHashes(col(contentColName), gramLen))
         .as(Seq("__pos", "__h")))
-      .withColumn("__pk", packed(col("__id"), col("__pos")))
+    val occ = oversize match {
+      case OversizeOffset =>
+        // global character offset as the occurrence key: injective for any
+        // (unique) long id and any doc length, same (id, pos) order as the
+        // packed key — see the OversizeOffset policy doc above
+        val offs = Packing.exclusiveOffsets(df,
+            col(idColName), length(col(contentColName)))
+          .select(col("doc_id").as("__id"), col("offset").as("__docbase"))
+        occBase.join(offs, Seq("__id"))
+          .withColumn("__pk", col("__docbase") + col("__pos"))
+          .drop("__docbase")
+      case _ =>
+        occBase.withColumn("__pk", packed(col("__id"), col("__pos")))
+    }
     val winners = occ.groupBy("__h")
       .agg(count(lit(1)).as("__n"), min(col("__pk")).as("__wp"))
       .where(col("__n") >= 2)

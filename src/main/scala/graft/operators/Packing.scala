@@ -49,13 +49,19 @@ object Packing {
     *                    the same plan (property-tested) — size it so
     *                    max(id)/bucketWidth ≈ 10⁵–10⁶ buckets at your scale
     */
-  def packPlan(df: DataFrame, idCol: Column, nTokensCol: Column,
-               seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
-    require(seqLen > 0, "seqLen must be positive")
+  /** The two-phase scan alone, factored for reuse: (doc_id, n_tokens,
+    * offset) where `offset` is the EXCLUSIVE prefix sum of `nTokensCol` in
+    * ascending doc_id order — each doc's first unit's absolute position in
+    * the concatenated stream. Ids must be unique (they define the order);
+    * negative (hash-shaped) ids are fine — truncating `div` is monotone, so
+    * bucket order follows id order. Consumers: [[packPlan]] (token
+    * offsets) and [[ExactSubstr]]'s offset oversize mode (char offsets as
+    * an unbounded injective occurrence key). */
+  def exclusiveOffsets(df: DataFrame, idCol: Column, nTokensCol: Column,
+                       bucketWidth: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val base = df
       .select(idCol.cast("long").as("doc_id"), nTokensCol.cast("long").as("n_tokens"))
-      .where(col("n_tokens") > 0)
       .withColumn("__b", expr(s"doc_id div ${bucketWidth}L"))
 
     // phase 2: local exclusive prefix, parallel across buckets
@@ -84,6 +90,17 @@ object Packing {
 
     local.join(broadcast(bases), Seq("__b"))
       .withColumn("offset", col("__base") + col("__loc"))
+      .select("doc_id", "n_tokens", "offset")
+  }
+
+  def packPlan(df: DataFrame, idCol: Column, nTokensCol: Column,
+               seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    // zero-token docs occupy no stream positions: they contribute 0 to every
+    // downstream offset either way, so filtering before the scan only
+    // shrinks the windowed relation (the output contract excludes them)
+    exclusiveOffsets(df.where(nTokensCol.cast("long") > 0), idCol, nTokensCol,
+        bucketWidth)
       // `div` (integer division on longs) — floor() would round-trip
       // through double and corrupt offsets past 2^53 (a 10¹²-file corpus
       // at ~1k tokens/doc sits at 10¹⁵ stream positions)

@@ -136,6 +136,70 @@ class ExactSubstrSpec extends SparkSpec {
     assert(occPlan.contains("length"))
   }
 
+  test("offset mode: identical output to the default on an in-range corpus") {
+    val docs = Seq(
+      (1L, s"alpha $span omega"),
+      (2L, s"beta $span tail"),
+      (3L, "no duplicated content in this one at all, long enough to window"))
+      .toDF("doc_id", "text")
+    val exempt = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val offset = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L,
+        oversize = ExactSubstr.OversizeOffset)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(offset == exempt) // same keep-first policy, same cuts, bit-identical
+  }
+
+  test("offset mode: a >16M-char doc is PROCESSED — dup span cut past the 2^24 boundary") {
+    // non-repeating filler (an LCG over a 62-symbol alphabet — 62^L ≈ 8e17
+    // vs ~1.4e14 window pairs, so accidental self-duplicates are ~1e-4
+    // unlikely; a 26-symbol alphabet would EXPECT one): plain 'z'*16M would
+    // be one giant self-duplicated window run and keep-first would shred
+    // the filler itself
+    def filler(n: Int, seed: Long): String = {
+      val alphabet = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString
+      val sb = new StringBuilder(n); var s = seed
+      var i = 0
+      while (i < n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        sb.append(alphabet((math.floorMod(s >>> 33, 62L)).toInt))
+        i += 1
+      }
+      sb.toString
+    }
+    val huge = filler((1 << 24) + 64, seed = 7L) + span // span sits at pos ~16.78M
+    val docs = Seq((1L, s"alpha $span omega"), (7L, huge)).toDF("doc_id", "text")
+    // default policy: the oversized doc passes through untouched
+    val exempt = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exempt(7L) == huge)
+    // offset mode: the later copy inside the oversized doc is CUT, at a
+    // position no 2^24 packing could address; the filler survives intact
+    val got = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L,
+        oversize = ExactSubstr.OversizeOffset)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == s"alpha $span omega") // first occurrence kept
+    assert(got(7L) == huge.dropRight(span.length), // exactly the span removed
+      s"expected ${huge.length - span.length} chars, got ${got(7L).length}")
+  }
+
+  test("offset mode: hash-shaped ids (negative / >= 2^39) work without re-keying") {
+    val docs = Seq(
+      (-5L, s"alpha $span omega"),      // negative hash id, smallest → canonical
+      (1L << 45, s"beta $span tail"))   // over the packed MaxId bound
+      .toDF("doc_id", "text")
+    // packed modes reject these ids (caller must re-key)…
+    intercept[Exception] {
+      ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L).collect()
+    }
+    // …offset mode processes them directly, keep-first by id order
+    val got = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L,
+        oversize = ExactSubstr.OversizeOffset)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(-5L) == s"alpha $span omega")
+    assert(!got(1L << 45).contains(span))
+  }
+
   test("oversize strict mode is the opt-in backstop; id-range stays strict under both") {
     // strict: an out-of-range row fails the job (the data-contract posture)
     val badId = Seq((1L << 40, "some text long enough to window here"))
