@@ -726,8 +726,17 @@ object Bench {
     val qJson = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queries.map(_._2).sum + pipeSec
     val thrAtCpus = benchRows / pipeSec
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_rows":$benchRows,"pipeline_sec":$pipeSec%.3f,"pipeline_files_per_sec":$thrAtCpus%.1f,"pipeline_write_sec":$pipeWriteSec%.3f,"pipeline_with_audit_sec":$auditSec%.3f${if (failedQueries.nonEmpty) failedQueries.map(n => "\"" + n + "\"").mkString(",\"failed_queries\":[", ",", "]") else ""}$scalingJson}""")
+    val jsonLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_rows":$benchRows,"pipeline_sec":$pipeSec%.3f,"pipeline_files_per_sec":$thrAtCpus%.1f,"pipeline_write_sec":$pipeWriteSec%.3f,"pipeline_with_audit_sec":$auditSec%.3f${if (failedQueries.nonEmpty) failedQueries.map(n => "\"" + n + "\"").mkString(",\"failed_queries\":[", ",", "]") else ""}$scalingJson}"""
+    println(jsonLine)
+    // stdout capture is lossy in practice (the round-4 artifact of record
+    // was a FRONT-TRUNCATED raw capture with parsed:null — ADVICE r4 #1);
+    // the same payload also lands in a file so a clipped pipe never costs
+    // the round its bench record
+    val backup = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last_local.json")
+    try Files.writeString(Paths.get(backup), jsonLine + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] backup write to $backup failed: $e") }
     spark.stop()
   }
 }

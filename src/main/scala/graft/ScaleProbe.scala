@@ -671,6 +671,19 @@ object ScaleProbe {
       }.sum
       require(got == expected, s"es: stripped total $got != expected $expected (orig $orig)")
       println(s"[probe] es: removed ${orig - got} of $orig chars, closed-form exact")
+      // the OFFSET oversize mode on the same fixture: the measured delta vs
+      // the packed run above is exactly the cost of the unbounded key —
+      // the prefix-sum pass (two tiny aggregates) + the id-keyed join of
+      // the occ relation against the (id, offset) frame. Results must be
+      // bit-identical (same closed form) — the equivalence claim, at scale.
+      val gotOff = time(s"es strip OFFSET mode ($rows docs, L=40)") {
+        operators.ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = 40,
+            oversize = operators.ExactSubstr.OversizeOffset)
+          .agg(sum(length(col("text")))).head().getLong(0)
+      }
+      require(gotOff == expected,
+        s"es offset: stripped total $gotOff != expected $expected")
+      println(s"[probe] es offset mode: identical closed form, removed ${orig - gotOff} chars")
     }
     if (ops("dc")) {
       // SPAN-level benchmark decontamination at corpus scale. Fixture: 50
