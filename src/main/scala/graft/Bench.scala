@@ -626,8 +626,10 @@ object Bench {
         "fork_pairs",
         // model-based quality scoring (constant logistic head, map-only
         // codegen'd projection) and learned-BPE token counting (driver
-        // merge training over the capped word table + map-only encode)
-        "quality_classifier", "bpe_token_count",
+        // merge training over the capped word table + map-only encode);
+        // _fit adds the distributed batch-GD TRAINING pass (one O(dim)
+        // aggregate per iteration) before the same map-only scoring
+        "quality_classifier", "quality_classifier_fit", "bpe_token_count",
         // DSIR importance resampling end-to-end (one conditional count-agg
         // fit pass + map-only fixed-point scoring + TakeOrdered selection)
         "dsir_select",

@@ -2289,6 +2289,39 @@ object QueryCatalog {
            |  FROM embeddings)""".stripMargin
       }),
 
+    // the TRAINED form, closed as a dynamic oracle (the dsir_select
+    // recipe): the distributed batch-GD fit runs ON SPARK at verify time
+    // against the actual table (auto-label: class < 5 — the DCLM-bootstrap
+    // shape, labels from a rule not a human), its fitted weights embed as
+    // full-precision literals (Double.toString round-trips exactly through
+    // DuckDB's correctly-rounded parser), and DuckDB independently replays
+    // the scoring pass. Score rides the gate's round-6 float tolerance
+    // (fit-to-fit merge-order drift ~1e-15, 9 orders below it); the
+    // threshold FLAG is deliberately not in this row — a trained boundary
+    // can sit arbitrarily close to some row, and flag parity is already
+    // pinned by quality_classifier's exact-weights form.
+    Q("quality_classifier_fit",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (w, b) = graft.operators.ModelScore.fitLogistic(
+          emb, col("embedding"), (col("label") < 5).cast("int"), dim = 64,
+          iters = 20, lr = 1.0)
+        emb.select(col("vec_id"),
+          graft.operators.ModelScore.score(col("embedding"), w, b)
+            .as("quality_score"))
+      },
+      None,
+      dynamicOracle = Some { (s, dir) =>
+        val emb = t(s, dir, "embeddings")
+        val (w, b) = graft.operators.ModelScore.fitLogistic(
+          emb, col("embedding"), (col("label") < 5).cast("int"), dim = 64,
+          iters = 20, lr = 1.0)
+        val wl = graft.operators.ModelScore.fittedSqlList(w)
+        s"""SELECT vec_id,
+           |  1.0/(1.0+exp(-(list_dot_product(CAST(embedding AS DOUBLE[]), $wl) + ($b)))) AS quality_score
+           |FROM embeddings""".stripMargin
+      }),
+
     // --------------------------------------------- similarity search
     Q("ann_topk",
       (s, dir) => graft.operators.Similarity.bruteForceTopK(

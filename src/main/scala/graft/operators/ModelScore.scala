@@ -16,10 +16,13 @@ import graft.functions.VectorKernels
   * ([[graft.functions.LinearScoreExpr]], one codegen'd pass, no shuffle, no
   * broadcast round-trip), so this op composes with any downstream
   * filter/groupBy without adding an exchange, exactly like the heuristic
-  * quality gates in [[graft.rules.CodeQuality]]. TRAINING the head is out of
-  * scope by design (it is a driver-side scikit/torch job over a few thousand
-  * labeled rows in every published pipeline); [[syntheticHead]] provides a
-  * deterministic stand-in with the exact schema a trained head would ship.
+  * quality gates in [[graft.rules.CodeQuality]]. TRAINING the head splits by
+  * label source: the few-thousand-row HUMAN-labeled case is a driver-side
+  * scikit/torch job in every published pipeline ([[syntheticHead]] is the
+  * deterministic stand-in with the exact schema such a head ships), while
+  * the AUTO-labeled bootstrap (DCLM-fastText shape: labels from a heuristic
+  * rule or a reference-corpus membership over millions of rows) is corpus-
+  * scale and gets the distributed batch-GD fit below ([[fitLogistic]]).
   */
 object ModelScore {
 
@@ -61,4 +64,77 @@ object ModelScore {
   def weightsSqlList(weights: Array[Double]): String =
     weights.map(w => new java.math.BigDecimal(w).toPlainString)
       .mkString("[", ", ", "]")
+
+  /** Distributed batch-gradient-descent fit of the logistic head over an
+    * AUTO-LABELED training frame — the DCLM-fastText bootstrap at corpus
+    * scale (labels from a heuristic rule / reference-corpus membership, so
+    * the training set is as big as the corpus and a driver-side fit stops
+    * being an option).
+    *
+    * Per iteration: ONE aggregation job. A projection computes the per-row
+    * residual `sigmoid(w·x + b) − y` once (`__e`; the dot product is a
+    * single codegen'd [[graft.functions.VectorKernels.linearScore]] pass,
+    * not dim copies), then `sum(__e · x_j)` for every j plus `sum(__e)`
+    * hash-aggregate with map-side partials — communication is O(dim) per
+    * round regardless of corpus size, the textbook data-parallel GD shape.
+    * The projected (x, y) frame is persisted across iterations so the
+    * source scan runs once, not `iters` times; pass persist = false for
+    * corpora that dwarf cluster storage (each iteration then re-scans —
+    * still one job each).
+    *
+    * Determinism note: per-partition partial sums merge in task-completion
+    * order, so repeated fits can differ in the last few ulps (~1e-15
+    * relative). Downstream consumers must treat weights as ONE fit's
+    * artifact — embed the fitted values (full-precision
+    * `Double.toString` round-trips exactly through a correctly-rounded SQL
+    * parser), never re-fit and expect bit equality. Margins survive: the
+    * verify-gate's round-6 score tolerance sits ~9 orders above the drift.
+    *
+    * @param labelCol 0/1 (castable to double); rows with NULL vector,
+    *                 wrong length, or NULL label are excluded from the fit
+    * @return (weights[dim], bias) */
+  def fitLogistic(df: DataFrame, vecCol: Column, labelCol: Column, dim: Int,
+                  iters: Int = 30, lr: Double = 1.0, l2: Double = 0.0,
+                  persist: Boolean = true): (Array[Double], Double) = {
+    require(dim > 0 && iters > 0 && lr > 0 && l2 >= 0)
+    val data0 = df
+      .select(vecCol.cast("array<double>").as("__x"),
+        labelCol.cast("double").as("__y"))
+      .where(col("__x").isNotNull && size(col("__x")) === dim &&
+        col("__y").isNotNull)
+    val data = if (persist)
+      data0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else data0
+    try {
+      val n = data.count().toDouble
+      require(n > 0, "fitLogistic: no usable (vector, label) rows")
+      val w = Array.fill(dim)(0.0)
+      var b = 0.0
+      var it = 0
+      while (it < iters) {
+        val withE = data.withColumn("__e",
+          VectorKernels.linearScore(col("__x"), w, b) - col("__y"))
+        val aggs = (0 until dim).map(j =>
+          sum(col("__e") * element_at(col("__x"), j + 1)).as(s"g$j")) :+
+          sum(col("__e")).as("gb")
+        val g = withE.agg(aggs.head, aggs.tail: _*).head()
+        var j = 0
+        while (j < dim) {
+          w(j) -= lr * (g.getDouble(j) / n + l2 * w(j))
+          j += 1
+        }
+        b -= lr * g.getDouble(dim) / n
+        it += 1
+      }
+      (w, b)
+    } finally if (persist) { data.unpersist(): Unit }
+  }
+
+  /** Full-precision rendering of FITTED weights for SQL oracles:
+    * `Double.toString` emits the shortest decimal that round-trips to the
+    * exact same double under correctly-rounded parsing (DuckDB is), unlike
+    * [[weightsSqlList]]'s exact-binary-fraction form which only suits
+    * hand-picked k/2^m weights. DuckDB accepts E-notation doubles. */
+  def fittedSqlList(weights: Array[Double]): String =
+    weights.map(_.toString).mkString("[", ", ", "]")
 }

@@ -775,4 +775,54 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
   }
+
+  test("fitLogistic: distributed batch GD matches a driver-side reference and separates") {
+    import graft.operators.ModelScore
+    def sig(d: Double) = 1.0 / (1.0 + math.exp(-d))
+    // deterministic separable set: y = 1 iff 2*x0 - x1 > 0.3 (plus two
+    // malformed rows the fit must exclude)
+    val pts = (0 until 200).map { i =>
+      val x0 = ((i * 37) % 200) / 100.0 - 1.0
+      val x1 = ((i * 91) % 200) / 100.0 - 1.0
+      val y = if (2 * x0 - x1 > 0.3) 1 else 0
+      (i.toLong, Array(x0.toFloat, x1.toFloat), y)
+    }
+    val df = pts.toDF("id", "x", "y")
+      .unionAll(Seq((900L, Array(1.0f), 1), // wrong dim
+        (901L, null.asInstanceOf[Array[Float]], 0)).toDF("id", "x", "y"))
+    val (w, b) = ModelScore.fitLogistic(df, col("x"), col("y"), dim = 2,
+      iters = 60, lr = 2.0, persist = false)
+
+    // driver-side reference: same math (p - y gradients, same lr schedule);
+    // Spark's partial-sum merge order differs, so compare with a tolerance
+    // far above merge drift and far below any meaningful weight scale
+    var rw = Array(0.0, 0.0); var rb = 0.0
+    val xs = pts.map { case (_, x, y) => (x.map(_.toDouble), y.toDouble) }
+    for (_ <- 1 to 60) {
+      var g0 = 0.0; var g1 = 0.0; var gb = 0.0
+      xs.foreach { case (x, y) =>
+        val e = sig(rb + rw(0) * x(0) + rw(1) * x(1)) - y
+        g0 += e * x(0); g1 += e * x(1); gb += e
+      }
+      val n = xs.size
+      rw = Array(rw(0) - 2.0 * g0 / n, rw(1) - 2.0 * g1 / n); rb -= 2.0 * gb / n
+    }
+    assert(math.abs(w(0) - rw(0)) < 1e-9 && math.abs(w(1) - rw(1)) < 1e-9 &&
+      math.abs(b - rb) < 1e-9, s"spark (${w.toSeq}, $b) vs ref (${rw.toSeq}, $rb)")
+
+    // the fit separates its own training data (the DCLM-bootstrap claim:
+    // the head reproduces the auto-label rule it was trained on)
+    val acc = pts.count { case (_, x, y) =>
+      (sig(b + w(0) * x(0) + w(1) * x(1)) >= 0.5) == (y == 1)
+    }.toDouble / pts.size
+    assert(acc >= 0.97, s"train accuracy $acc")
+    // learned direction ∝ (2, -1): the ratio pins the sign structure
+    assert(w(0) > 0 && w(1) < 0 && math.abs(w(0) / -w(1) - 2.0) < 0.5,
+      s"direction ${w.toSeq}")
+
+    // fitted-weight SQL rendering round-trips exactly (shortest repr)
+    val rendered = ModelScore.fittedSqlList(w)
+    val parsed = rendered.stripPrefix("[").stripSuffix("]").split(", ").map(_.toDouble)
+    assert(parsed.toSeq == w.toSeq)
+  }
 }
