@@ -81,6 +81,25 @@ object Bench {
   // measuring thread start/join noise (the JMH-blackhole rule)
   private val ceilSink = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Time `threads` workers to completion, sinking their results (the
+    * JMH-blackhole rule) and RETHROWING any worker failure after the join:
+    * a silently-dead worker would shorten the measured wall and overstate
+    * the sweep's MB/s exactly when the window is worst (disk full or an
+    * IOException mid-sweep) — the inflated reading would then keep the
+    * collapse floor from firing in the one window it exists for. */
+  private def timedThreads(threads: Int)(work: Int => Long): Double = {
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map(t => new Thread(() =>
+      try { ceilSink.addAndGet(work(t)): Unit }
+      catch { case e: Throwable => failure.compareAndSet(null, e): Unit }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (failure.get() != null)
+      throw new RuntimeException("ceiling sweep worker failed", failure.get())
+    sec
+  }
+
   /** One pure-CPU burn at `threads`: a fixed total amount of hash mixing —
     * no Spark, no I/O, no allocation. See [[ceilingSample]]. */
   private def cpuBurn(threads: Int): Double = {
@@ -92,10 +111,7 @@ object Bench {
       h
     }
     ceilSink.addAndGet(work()) // warm JIT on the calling thread
-    val t0 = System.nanoTime()
-    val ts = (1 to threads).map(_ => new Thread(() => { ceilSink.addAndGet(work()): Unit }))
-    ts.foreach(_.start()); ts.foreach(_.join())
-    (System.nanoTime() - t0) / 1e9
+    timedThreads(threads)(_ => work())
   }
 
   /** Same-session MEMORY-BANDWIDTH scaling ceiling: a fixed number of
@@ -131,10 +147,7 @@ object Bench {
       }
       s
     }
-    val t0 = System.nanoTime()
-    val ts = (0 until threads).map(t => new Thread(() => { ceilSink.addAndGet(work(t)): Unit }))
-    ts.foreach(_.start()); ts.foreach(_.join())
-    (System.nanoTime() - t0) / 1e9
+    timedThreads(threads)(work)
   }
 
   /** Same-session FILE-I/O scaling ceiling: a fixed number of full re-reads
@@ -185,10 +198,7 @@ object Bench {
       }
       s
     }
-    val t0 = System.nanoTime()
-    val ts = (0 until threads).map(t => new Thread(() => { ceilSink.addAndGet(work(t)): Unit }))
-    ts.foreach(_.start()); ts.foreach(_.join())
-    val sec = (System.nanoTime() - t0) / 1e9
+    val sec = timedThreads(threads)(work)
     (sec, passes.toLong * totalBytes / 1e6 / sec)
   }
 
@@ -223,10 +233,7 @@ object Bench {
       } finally { ch.close(); java.nio.file.Files.deleteIfExists(f): Unit }
       s
     }
-    val t0 = System.nanoTime()
-    val ts = (0 until threads).map(t => new Thread(() => { ceilSink.addAndGet(work(t)): Unit }))
-    ts.foreach(_.start()); ts.foreach(_.join())
-    val sec = (System.nanoTime() - t0) / 1e9
+    val sec = timedThreads(threads)(work)
     java.nio.file.Files.deleteIfExists(dir)
     (sec, totalBytes / 1e6 / sec)
   }
@@ -319,12 +326,19 @@ object Bench {
         (if (ioEvidence.nonEmpty) s" (despite host I/O pressure: ${ioEvidence.mkString("; ")})" else "")
     else if (v.eff / bound >= 0.9)
       f"raw ${v.eff}%.3f below 0.8 but ${v.eff / bound}%.2fx the binding same-window ceiling ($boundName $bound%.3f; cpu ${v.cpuCeil}%.3f, membw ${v.bwCeil}%.3f, io ${v.ioCeil}%.3f) - host contention bounds this window, not the engine; quiet-host band 0.80-0.95 (BASELINE.md)"
-    else if (ioCollapsed || wrCollapsed || writeContended)
+    // only SAME-WINDOW signals may classify: the io sweeps sample the exact
+    // windows the arms ran in, while pipeline_write is measured minutes
+    // later in the headline phase — letting it trigger alone would excuse a
+    // genuine regression whenever a co-tenant hits the disk AFTER the
+    // healthy scaling window (the two-window lottery again, inverted). It
+    // stays citation-only evidence in every branch.
+    else if (ioCollapsed || wrCollapsed)
       f"raw ${v.eff}%.3f below 0.8: host-I/O-bounded window - ${ioEvidence.mkString("; ")}; device/page-cache contention taxes the arms asymmetrically and is invisible to the cpu/membw ceilings; quiet-host band 0.80-0.95 (BASELINE.md)"
     else if (v.swing > 2.0)
       f"raw ${v.eff}%.3f below 0.8: unstable host window - ${ioEvidence.mkString("; ")}; medians pooled over ${v.extraRounds} extra A/B round(s) still straddle contended windows; quiet-host band 0.80-0.95 (BASELINE.md)"
     else
-      f"raw ${v.eff}%.3f below 0.8 and under 0.9x all same-window ceilings (cpu ${v.cpuCeil}%.3f, bw ${v.bwCeil}%.3f, io ${v.ioCeil}%.3f) with no I/O-collapse or swing signal - UNEXPLAINED, investigate"
+      f"raw ${v.eff}%.3f below 0.8 and under 0.9x all same-window ceilings (cpu ${v.cpuCeil}%.3f, bw ${v.bwCeil}%.3f, io ${v.ioCeil}%.3f) with no same-window I/O-collapse or swing signal - UNEXPLAINED, investigate" +
+        (if (ioEvidence.nonEmpty) s" (cross-window note: ${ioEvidence.mkString("; ")})" else "")
   }
 
   /** One scaling session at parallelism `p` — runnable in-process or (the
@@ -714,12 +728,15 @@ object Bench {
       // quiet-band expectations, env-overridable: pipeline write ~6.2s/1M
       // rows (BASELINE.md quiet band); corpus re-read through a warm page
       // cache runs at GB/s — a median below the floor means the window is
-      // DEVICE-bound (cache evicted / device saturated), not engine-bound
-      val writeQuiet = sys.env.getOrElse("SPARK_GRAFT_WRITE_QUIET_SECS_PER_1M", "6.2").toDouble * benchRows / 1e6
+      // DEVICE-bound (cache evicted / device saturated), not engine-bound.
+      // Parsed ONCE: the committed write_quiet_band_sec field and the band
+      // the verdict gates on must be the same number by construction.
+      val writeQuietPer1M = sys.env.getOrElse("SPARK_GRAFT_WRITE_QUIET_SECS_PER_1M", "6.2").toDouble
+      val writeQuiet = writeQuietPer1M * benchRows / 1e6
       val verdict = scalingVerdict(VerdictInputs(
         s.eff, s.cpuCeil, s.bwCeil, s.ioCeil, s.ioMbps, s.wrMbps, s.bwMbps,
         s.swing, s.extraRounds, pipeWriteSec, benchRows,
-        writeQuietPer1M = sys.env.getOrElse("SPARK_GRAFT_WRITE_QUIET_SECS_PER_1M", "6.2").toDouble,
+        writeQuietPer1M = writeQuietPer1M,
         ioFloor = sys.env.getOrElse("SPARK_GRAFT_IO_READ_FLOOR_MBPS", "1000").toDouble,
         wrFloor = sys.env.getOrElse("SPARK_GRAFT_IO_WRITE_FLOOR_MBPS", "150").toDouble))
       f""","scaling":{"rows":$benchRows,"n":$scaleN,"files_per_sec_n":${s.thrN}%.1f,"files_per_sec_4n":${s.thr4N}%.1f,"efficiency":${s.eff}%.3f,"cpu_ceiling_efficiency":${s.cpuCeil}%.3f,"efficiency_vs_ceiling":${s.eff / s.cpuCeil}%.3f,"mem_bw_ceiling_efficiency":${s.bwCeil}%.3f,"efficiency_vs_bw_ceiling":${s.eff / s.bwCeil}%.3f,"io_ceiling_efficiency":${s.ioCeil}%.3f,"efficiency_vs_io_ceiling":${s.eff / s.ioCeil}%.3f,"io_read_mbps_4n":${s.ioMbps}%.1f,"io_write_mbps_4n":${s.wrMbps}%.1f,"mem_bw_mbps_4n":${s.bwMbps}%.1f,"ceiling_window_swing":${s.swing}%.2f,"extra_ab_rounds":${s.extraRounds},"write_quiet_band_sec":$writeQuiet%.1f,"rep_secs_4n":${arr(s.reps4N)},"rep_secs_n":${arr(s.repsN)},"plan_serial_secs":${arr(s.planSecs)},"scaling_mode":"${if (s.fork) "forked-fresh-jvm-per-arm" else "in-process-sessions"}","scaling_verdict":"$verdict","estimator":"median, A/B-alternated ${if (s.fork) "fresh-JVM" else "in-process"} sessions, plan-once-execute-many (serial planning published separately; a production job plans once per 10^5 tasks); ceilings = pure-CPU, memory-bandwidth and file-I/O (page-cache corpus re-read + fsync write sweep) N-vs-4N microbenchmarks sampled in the parent JVM INTERLEAVED with the arms (one sample before the first A/B round and after every round), pooled per-shape medians; arms and ceilings share the same host-weather window; sub-bar runs with >2x window swing buy extra A/B rounds in-run"}"""

@@ -24,27 +24,33 @@ import org.apache.spark.sql.functions._
 object AutoSize {
 
   /** @param rows        exact input row count (footer-only for plain scans)
-    * @param avgChars    mean doc length over the prefix sample (truncation-
-    *                    corrected upward by assuming truncated docs continue
-    *                    at least to the cap — a conservative UNDER-estimate
-    *                    of true length, which over-sizes k, the safe side)
+    * @param avgChars    mean UNTRUNCATED doc length over the prefix sample —
+    *                    measured as `length(textCol)` before the per-doc
+    *                    char cap, so long docs contribute their true length
+    *                    to the gram-count estimate (capping them at
+    *                    maxCharsPerDoc would UNDER-estimate total grams and
+    *                    under-size k — the unsafe direction: k falls with
+    *                    the estimate, and a too-small k is exactly the
+    *                    gram-space saturation the sizing exists to prevent)
     * @param effAlphabet effective character diversity exp(H) of the sampled
-    *                    char distribution — the `alphabet` winnowParams
-    *                    wants (raw distinct-char counts overstate diversity
-    *                    when 90% of mass sits on 11 symbols, the adversarial
-    *                    16M-probe regime) */
+    *                    (truncated) char distribution — the `alphabet`
+    *                    winnowParams wants (raw distinct-char counts
+    *                    overstate diversity when 90% of mass sits on 11
+    *                    symbols, the adversarial 16M-probe regime) */
   case class InputEstimate(rows: Long, avgChars: Long, effAlphabet: Int)
 
   def estimate(df: DataFrame, textCol: Column,
                sampleDocs: Int = 1024, maxCharsPerDoc: Int = 4096): InputEstimate = {
     val rows = df.count()
     require(rows > 0, "autoSize on an empty input")
-    val sample = df.select(substring(textCol, 1, maxCharsPerDoc).as("__t"))
+    val sampled = df.select(substring(textCol, 1, maxCharsPerDoc).as("__t"),
+        length(textCol).cast("long").as("__len"))
       .where(col("__t").isNotNull).limit(sampleDocs)
-      .collect().map(_.getString(0))
-    val avgChars = if (sample.isEmpty) 512L
-      else math.max(1L, sample.map(_.length.toLong).sum / sample.length)
-    // char entropy over the pooled sample (bounded: ≤ 4 MB of chars)
+      .collect()
+    val sample = sampled.map(_.getString(0))
+    val avgChars = if (sampled.isEmpty) 512L
+      else math.max(1L, sampled.map(_.getLong(1)).sum / sampled.length)
+    // char entropy over the pooled truncated sample (bounded: ≤ 4 MB)
     val freq = new scala.collection.mutable.HashMap[Char, Long]()
     sample.foreach(_.foreach(c => freq.update(c, freq.getOrElse(c, 0L) + 1L)))
     val total = freq.valuesIterator.sum.toDouble
@@ -57,18 +63,12 @@ object AutoSize {
   }
 
   /** [[Dedup.winnowParams]] resolved from the input itself:
-    * (k, maxFingerprintDocFreq) sized against gram-space saturation. */
+    * (k, maxFingerprintDocFreq) sized against gram-space saturation.
+    * (The embedding-LSH analogue needs only a row count, which production
+    * callers already have — [[Dedup.embeddingNearDupPairsLshSized]] takes
+    * it directly, so no sampling wrapper exists for it.) */
   def winnowParamsFor(df: DataFrame, textCol: Column): (Int, Long) = {
     val e = estimate(df, textCol)
     Dedup.winnowParams(e.rows, e.avgChars, e.effAlphabet)
-  }
-
-  /** [[Similarity.lshParams]] resolved from the input count:
-    * (planes, tables) for a cosine threshold. */
-  def lshParamsFor(df: DataFrame, theta: Double,
-                   targetRecall: Double = 0.95): (Int, Int) = {
-    val n = df.count()
-    require(n > 0, "autoSize on an empty input")
-    Similarity.lshParams(n, theta, targetRecall)
   }
 }

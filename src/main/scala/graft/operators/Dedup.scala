@@ -156,21 +156,6 @@ object Dedup {
     size(filter(zip_with(a, b, (x, y) => x === y), v => v))
       .cast("double") / lit(numHashes)
 
-  /** MinHash signature + banded LSH near-dup removal.
-    *
-    * shingle→minhash→band→bucket-join: rows sharing any band bucket become
-    * candidate pairs; a pair is a near-dup when the estimated Jaccard (the
-    * fraction of equal minhashes) reaches `jaccardThreshold`. The larger id
-    * of each confirmed pair is dropped (min-id survivor per cluster edge).
-    *
-    * Banding sensitivity ≈ (1/bands)^(rowsPerBand⁻¹): the defaults
-    * (64 hashes, 8 bands → r=8) sit at ~0.77, matched to the 0.8 threshold —
-    * a 0.5-Jaccard pair collides in a band with p=0.5⁸≈0.4%, so candidate
-    * volume tracks true near-dups instead of exploding on merely-similar
-    * corpora (r=4 is 16× more collision-prone at sim 0.5).
-    *
-    * @return surviving rows of `df` (original columns).
-    */
   /** [[minHashDedup]] with banding resolved from the THRESHOLD via the
     * S-curve solver ([[minhashParams]]) — the catalog-reachable form
     * (VERDICT r4 #6): a caller states the drop threshold and hash budget;
@@ -187,6 +172,21 @@ object Dedup {
       jaccardThreshold, maxBucketSize, persistSignatures)
   }
 
+  /** MinHash signature + banded LSH near-dup removal.
+    *
+    * shingle→minhash→band→bucket-join: rows sharing any band bucket become
+    * candidate pairs; a pair is a near-dup when the estimated Jaccard (the
+    * fraction of equal minhashes) reaches `jaccardThreshold`. The larger id
+    * of each confirmed pair is dropped (min-id survivor per cluster edge).
+    *
+    * Banding sensitivity ≈ (1/bands)^(rowsPerBand⁻¹): the defaults
+    * (64 hashes, 8 bands → r=8) sit at ~0.77, matched to the 0.8 threshold —
+    * a 0.5-Jaccard pair collides in a band with p=0.5⁸≈0.4%, so candidate
+    * volume tracks true near-dups instead of exploding on merely-similar
+    * corpora (r=4 is 16× more collision-prone at sim 0.5).
+    *
+    * @return surviving rows of `df` (original columns).
+    */
   def minHashDedup(df: DataFrame, textCol: Column, idCol: Column,
                    numHashes: Int = 64, bands: Int = 8,
                    shingleSize: Int = 5, jaccardThreshold: Double = 0.8,
@@ -439,24 +439,9 @@ object Dedup {
     * [[winnowParams]] and BASELINE.md): the former k=8 / unpruned defaults
     * are boilerplate-quadratic on saturating corpora (20.4 candidates/row
     * at 1M vs 0.05 true) and were a known-bad configuration for a naive
-    * caller. Pass [[winnowParams]] output to size k for a given corpus. */
-  /** [[winnowContainmentPairs]] with (k, maxFingerprintDocFreq) resolved at
-    * plan build from the input itself ([[AutoSize.winnowParamsFor]] →
-    * [[winnowParams]]) — the catalog-reachable form of the probe-validated
-    * sizing (VERDICT r4 #6): a caller that knows only its detection knobs
-    * (window, minContainment) gets gram-space-safe k for ITS corpus, not a
-    * literal that saturates on an unusual alphabet. Costs one footer-only
-    * count + a bounded prefix sample before planning. */
-  def winnowContainmentPairsAuto(df: DataFrame, textCol: Column, idCol: Column,
-                                 window: Int = 12,
-                                 minContainment: Double = 0.5,
-                                 maxBucketSize: Int = DefaultBucketCap,
-                                 persistSignatures: Boolean = true): DataFrame = {
-    val (k, maxDf) = AutoSize.winnowParamsFor(df, textCol)
-    winnowContainmentPairs(df, textCol, idCol, k, window, minContainment,
-      maxBucketSize, maxDf, persistSignatures)
-  }
-
+    * caller. Pass [[winnowParams]] output to size k for a given corpus,
+    * or use [[winnowContainmentPairsAuto]] below to resolve it from the
+    * corpus itself. */
   def winnowContainmentPairs(df: DataFrame, textCol: Column, idCol: Column,
                              k: Int = 12, window: Int = 12,
                              minContainment: Double = 0.5,
@@ -490,6 +475,23 @@ object Dedup {
           / least(size(col("__fp_a")), size(col("__fp_b"))).cast("double"))
       .where(col("containment") >= minContainment)
       .select("doc_id_a", "doc_id_b", "containment")
+  }
+
+  /** [[winnowContainmentPairs]] with (k, maxFingerprintDocFreq) resolved at
+    * plan build from the input itself ([[AutoSize.winnowParamsFor]] →
+    * [[winnowParams]]) — the catalog-reachable form of the probe-validated
+    * sizing (VERDICT r4 #6): a caller that knows only its detection knobs
+    * (window, minContainment) gets gram-space-safe k for ITS corpus, not a
+    * literal that saturates on an unusual alphabet. Costs one footer-only
+    * count + a bounded prefix sample before planning. */
+  def winnowContainmentPairsAuto(df: DataFrame, textCol: Column, idCol: Column,
+                                 window: Int = 12,
+                                 minContainment: Double = 0.5,
+                                 maxBucketSize: Int = DefaultBucketCap,
+                                 persistSignatures: Boolean = true): DataFrame = {
+    val (k, maxDf) = AutoSize.winnowParamsFor(df, textCol)
+    winnowContainmentPairs(df, textCol, idCol, k, window, minContainment,
+      maxBucketSize, maxDf, persistSignatures)
   }
 
   /** Embedding near-dup pairs by cosine ≥ threshold — exact all-pairs form

@@ -109,15 +109,22 @@ object ExactSubstr {
 
   /** Audit relation for [[OversizeExempt]]: one row per routed-around doc —
     * (id, n_chars). Sink it beside the run summary the way rule-hit logs are
-    * (S5/S6 posture), so exemptions are observable, not silent. */
+    * (S5/S6 posture), so exemptions are observable, not silent.
+    *
+    * The boundary is `len − gramLen ≥ 2²⁴`, not `len ≥ 2²⁴`: positions run
+    * 0..len−gramLen, so a doc of length up to 2²⁴+gramLen−1 still packs
+    * (its largest window position is < 2²⁴) and must NOT be exempted —
+    * exempting it would silently diverge from strict mode on input strict
+    * mode processes without error. `gramLen` must match the strip call's. */
   def oversizedDocs(df: DataFrame, contentColName: String,
-                    idColName: String): DataFrame =
-    df.where(length(col(contentColName)).cast("long") >= MaxPos)
+                    idColName: String, gramLen: Int = 40): DataFrame =
+    df.where(length(col(contentColName)).cast("long") >= MaxPos + gramLen)
       .select(col(idColName), length(col(contentColName)).cast("long").as("n_chars"))
 
   private def eligible(df: DataFrame, contentColName: String,
-                       oversize: String): DataFrame = oversize match {
-    case OversizeExempt => df.where(length(col(contentColName)).cast("long") < MaxPos)
+                       oversize: String, gramLen: Int): DataFrame = oversize match {
+    case OversizeExempt => // packable ⟺ max window pos (len − gramLen) < 2²⁴
+      df.where(length(col(contentColName)).cast("long") < MaxPos + gramLen)
     case OversizeStrict | OversizeOffset => df
     case other => throw new IllegalArgumentException(
       s"oversize policy must be '$OversizeExempt', '$OversizeStrict' or '$OversizeOffset', got '$other'")
@@ -134,7 +141,7 @@ object ExactSubstr {
     * Exposed for diagnostics (dup-span mass reports) and tests. */
   def dupSpanOccurrences(df: DataFrame, contentColName: String, idColName: String,
                          gramLen: Int, oversize: String = OversizeExempt): DataFrame = {
-    val occBase = eligible(df, contentColName, oversize).select(
+    val occBase = eligible(df, contentColName, oversize, gramLen).select(
       col(idColName).as("__id"),
       posexplode(SpanSignatures.gramHashes(col(contentColName), gramLen))
         .as(Seq("__pos", "__h")))

@@ -90,8 +90,13 @@ object ModelScore {
     * parser), never re-fit and expect bit equality. Margins survive: the
     * verify-gate's round-6 score tolerance sits ~9 orders above the drift.
     *
-    * @param labelCol 0/1 (castable to double); rows with NULL vector,
-    *                 wrong length, or NULL label are excluded from the fit
+    * @param labelCol 0/1 (castable to double); rows with NULL vector, a
+    *                 NULL element inside the vector, wrong length, or NULL
+    *                 label are excluded from the fit — a null element would
+    *                 otherwise null the row's residual, silently damping
+    *                 every gradient by the malformed fraction while the row
+    *                 still counted in n (and nulling the sums outright when
+    *                 ALL rows are malformed)
     * @return (weights[dim], bias) */
   def fitLogistic(df: DataFrame, vecCol: Column, labelCol: Column, dim: Int,
                   iters: Int = 30, lr: Double = 1.0, l2: Double = 0.0,
@@ -101,7 +106,7 @@ object ModelScore {
       .select(vecCol.cast("array<double>").as("__x"),
         labelCol.cast("double").as("__y"))
       .where(col("__x").isNotNull && size(col("__x")) === dim &&
-        col("__y").isNotNull)
+        !exists(col("__x"), _.isNull) && col("__y").isNotNull)
     val data = if (persist)
       data0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else data0

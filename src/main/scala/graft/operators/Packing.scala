@@ -31,24 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Pack plan over `df`: one row per document with `n_tokens > 0` —
-    * (id, n_tokens, offset, start_seq, start_off, end_seq, n_crossings).
-    *
-    * `offset` is the document's first token's absolute position in the
-    * concatenated stream (docs concatenated in ascending id order);
-    * `start_seq`/`end_seq` the first/last training sequence (of length
-    * `seqLen`) the document touches; `start_off` its offset inside
-    * `start_seq`; `n_crossings` how many sequence boundaries cut through it
-    * (0 = the document trains as one contiguous span).
-    *
-    * Zero-token documents are excluded (they occupy no stream positions);
-    * ids must be unique — they define the concatenation order, and a
-    * duplicated id would make the stream ambiguous.
-    *
-    * @param bucketWidth id-range width per scan tile; any value ≥ 1 yields
-    *                    the same plan (property-tested) — size it so
-    *                    max(id)/bucketWidth ≈ 10⁵–10⁶ buckets at your scale
-    */
   /** The two-phase scan alone, factored for reuse: (doc_id, n_tokens,
     * offset) where `offset` is the EXCLUSIVE prefix sum of `nTokensCol` in
     * ascending doc_id order — each doc's first unit's absolute position in
@@ -93,6 +75,24 @@ object Packing {
       .select("doc_id", "n_tokens", "offset")
   }
 
+  /** Pack plan over `df`: one row per document with `n_tokens > 0` —
+    * (id, n_tokens, offset, start_seq, start_off, end_seq, n_crossings).
+    *
+    * `offset` is the document's first token's absolute position in the
+    * concatenated stream (docs concatenated in ascending id order);
+    * `start_seq`/`end_seq` the first/last training sequence (of length
+    * `seqLen`) the document touches; `start_off` its offset inside
+    * `start_seq`; `n_crossings` how many sequence boundaries cut through it
+    * (0 = the document trains as one contiguous span).
+    *
+    * Zero-token documents are excluded (they occupy no stream positions);
+    * ids must be unique — they define the concatenation order, and a
+    * duplicated id would make the stream ambiguous.
+    *
+    * @param bucketWidth id-range width per scan tile; any value ≥ 1 yields
+    *                    the same plan (property-tested) — size it so
+    *                    max(id)/bucketWidth ≈ 10⁵–10⁶ buckets at your scale
+    */
   def packPlan(df: DataFrame, idCol: Column, nTokensCol: Column,
                seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")

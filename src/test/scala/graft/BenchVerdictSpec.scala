@@ -51,13 +51,26 @@ class BenchVerdictSpec extends AnyFunSuite {
     assert(!v.contains("UNEXPLAINED"), v)
   }
 
-  test("write-signal alone is enough: cache-hot reads, crawling writes") {
+  test("same-window write-sweep collapse is enough: cache-hot reads, crawling writes") {
     // page cache intact (reads at memcpy rates) but the device queue is
-    // saturated by a co-tenant: only pipeline_write and the fsync sweep see
-    // it — the exact blind spot the round-4 instruments had
+    // saturated by a co-tenant DURING the scaling window: the fsync sweep
+    // (same-window) sees it — the exact blind spot the round-4 instruments
+    // had
     val v = Bench.scalingVerdict(in(eff = 0.60, pipeWrite = 40.0, wrMbps = 50))
     assert(v.contains("host-I/O-bounded window"), v)
     assert(!v.contains("UNEXPLAINED"), v)
+  }
+
+  test("a cross-window write blowout alone cannot excuse a sub-bar reading") {
+    // all SAME-WINDOW instruments healthy (sweeps in quiet bands, swing
+    // low): a pipeline_write blowout measured minutes later in the headline
+    // phase is evidence of LATER contention, not of the scaling window's —
+    // letting it classify would be the two-window lottery inverted, hiding
+    // a genuine regression behind post-hoc weather. It stays a citation.
+    val v = Bench.scalingVerdict(in(eff = 0.60, pipeWrite = 40.0))
+    assert(v.contains("UNEXPLAINED"), v)
+    assert(v.contains("cross-window note"), v)
+    assert(v.contains("pipeline_write 40.0s"), v)
   }
 
   test("io-read collapse joins the bound only when device-bound") {

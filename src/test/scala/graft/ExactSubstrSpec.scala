@@ -200,6 +200,47 @@ class ExactSubstrSpec extends SparkSpec {
     assert(!got(1L << 45).contains(span))
   }
 
+  test("exempt boundary is len - gramLen, not len: a just-packable long doc is processed") {
+    // a doc of length 2^24 + L - 1 has max window position 2^24 - 1 — it
+    // PACKS, strict mode processes it without error, and the default
+    // exempt mode must process it identically rather than silently
+    // diverging (the off-by-gramLen the round-5 review caught). LCG filler:
+    // non-self-duplicating (see the offset-mode test for the alphabet math)
+    def filler(n: Int, seed: Long): String = {
+      val alphabet = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString
+      val sb = new StringBuilder(n); var s = seed
+      var i = 0
+      while (i < n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        sb.append(alphabet((math.floorMod(s >>> 33, 62L)).toInt))
+        i += 1
+      }
+      sb.toString
+    }
+    // len = (2^24 - 1 - span.length) + span.length + (L - 1) + ... build to
+    // exactly 2^24 + L - 1 chars with the dup span at the very end
+    val justPackable = filler((1 << 24) + L - 1 - span.length, seed = 3L) + span
+    assert(justPackable.length == (1 << 24) + L - 1)
+    val docs = Seq((1L, s"alpha $span omega"), (6L, justPackable))
+      .toDF("doc_id", "text")
+    val exempt = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the doc was PROCESSED: the later span copy is cut (the old len >= 2^24
+    // boundary would have exempted it byte-identical)
+    assert(exempt(6L) == justPackable.dropRight(span.length))
+    assert(exempt(1L) == s"alpha $span omega")
+    // strict mode agrees byte-for-byte — no divergence on packable input
+    val strict = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L,
+        oversize = ExactSubstr.OversizeStrict)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict == exempt)
+    // and the audit relation agrees: nothing is oversized at this gramLen
+    assert(ExactSubstr.oversizedDocs(docs, "text", "doc_id", gramLen = L).count() == 0)
+    // one char longer and it IS oversized
+    val over = Seq((6L, justPackable + "!")).toDF("doc_id", "text")
+    assert(ExactSubstr.oversizedDocs(over, "text", "doc_id", gramLen = L).count() == 1)
+  }
+
   test("oversize strict mode is the opt-in backstop; id-range stays strict under both") {
     // strict: an out-of-range row fails the job (the data-contract posture)
     val badId = Seq((1L << 40, "some text long enough to window here"))

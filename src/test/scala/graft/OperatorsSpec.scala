@@ -787,9 +787,14 @@ class OperatorsSpec extends SparkSpec {
       val y = if (2 * x0 - x1 > 0.3) 1 else 0
       (i.toLong, Array(x0.toFloat, x1.toFloat), y)
     }
+    val jf = (v: Float) => java.lang.Float.valueOf(v)
     val df = pts.toDF("id", "x", "y")
-      .unionAll(Seq((900L, Array(1.0f), 1), // wrong dim
-        (901L, null.asInstanceOf[Array[Float]], 0)).toDF("id", "x", "y"))
+      .unionAll(Seq(
+        (900L, Array(jf(1.0f)), 1),                       // wrong dim
+        (901L, null.asInstanceOf[Array[java.lang.Float]], 0), // null vector
+        (902L, Array(jf(1.0f), null), 1),                 // NULL ELEMENT: would
+        // null the residual and damp every gradient while counting in n
+        (903L, Array(null, jf(0.5f)), 0)).toDF("id", "x", "y"))
     val (w, b) = ModelScore.fitLogistic(df, col("x"), col("y"), dim = 2,
       iters = 60, lr = 2.0, persist = false)
 
