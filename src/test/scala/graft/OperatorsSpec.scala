@@ -829,5 +829,24 @@ class OperatorsSpec extends SparkSpec {
     val rendered = ModelScore.fittedSqlList(w)
     val parsed = rendered.stripPrefix("[").stripSuffix("]").split(", ").map(_.toDouble)
     assert(parsed.toSeq == w.toSeq)
+
+    // 100 TB shape of one gradient iteration: residual computed once in a
+    // projection, then a map-side-combined global aggregate — partial
+    // HashAggregates on the scan side, ONE single-partition exchange
+    // carrying only the O(dim) gradient partials, final merge. No sort, no
+    // second exchange.
+    val clean = pts.toDF("id", "x", "y")
+      .select(col("x").cast("array<double>").as("__x"), col("y").cast("double").as("__y"))
+      .withColumn("__e", graft.functions.VectorKernels.linearScore(
+        col("__x"), Array(0.1, -0.1), 0.0) - col("__y"))
+    val gradPlan = clean.agg(
+        sum(col("__e") * element_at(col("__x"), 1)).as("g0"),
+        sum(col("__e") * element_at(col("__x"), 2)).as("g1"),
+        sum(col("__e")).as("gb"))
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(gradPlan).size >= 2, gradPlan) // partial + final
+    assert("Exchange".r.findAllIn(gradPlan).size == 1 &&
+      gradPlan.contains("SinglePartition"), gradPlan)
+    assert(!gradPlan.contains("Sort"), gradPlan)
   }
 }
