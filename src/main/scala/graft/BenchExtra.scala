@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Round-6 optimization measurement harness (guide §1) — SEPARATE from the
+  * frozen [[Bench]] main so the driver contract stays untouched.
+  *
+  * Replicates Bench's session shape exactly (master local[$SPARK_GRAFT_CPUS],
+  * shuffle.partitions = cpus, AQE on, 2MB maxPartitionBytes, openCost 0,
+  * UTC) and, for each requested query name:
+  *   - runs it `reps` times with the same action Bench uses
+  *     (`queryExecution.toRdd.count()` — computes every row, no driver copy),
+  *     labelling each job for the UI;
+  *   - prints every sample plus min/median so warm-up vs steady state is
+  *     visible;
+  *   - optionally dumps `.explain("formatted")` to plans/r06/<name>_<tag>.txt
+  *     (the judge-checkable plan artifact).
+  *
+  * Usage:
+  *   sbt "runMain graft.BenchExtra <tag> <query1> <query2> ..."
+  *   env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  *        SPARK_GRAFT_CPUS (default 32), GRAFT_REPS (default 3),
+  *        GRAFT_PLANS=0 to skip plan dumps.
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchExtra <tag> <query...>")
+    val tag = args(0)
+    val names = args.drop(1).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("GRAFT_REPS", "3").toInt
+    val dumpPlans = sys.env.getOrElse("GRAFT_PLANS", "1") == "1"
+
+    val unknown = names.filterNot(QueryCatalog.byName.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-extra")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Files.createDirectories(Paths.get("/root/repo/plans/r06"))
+
+    names.foreach { name =>
+      val q = QueryCatalog.byName(name)
+      val samples = (1 to reps).map { i =>
+        spark.sparkContext.setJobDescription(s"$name rep$i")
+        val t0 = System.nanoTime()
+        val df = q.run(spark, sfDir)
+        df.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.sparkContext.setJobDescription(null)
+      if (dumpPlans) {
+        // the judge artifact: initial formatted plan + (appended) the final
+        // AQE-re-optimized plan of an executed run, so runtime join
+        // conversions are visible
+        val qe = q.run(spark, sfDir).queryExecution
+        qe.toRdd.count()
+        val plan = qe.explainString(FormattedMode) +
+          "\n\n== Final AQE Plan (after execution) ==\n" + qe.executedPlan.toString
+        Files.writeString(Paths.get(s"/root/repo/plans/r06/${name}_$tag.txt"), plan)
+      }
+      val sorted = samples.sorted
+      val med = sorted(sorted.size / 2)
+      println(f"[extra] $name%-28s min=${sorted.head}%.3f med=$med%.3f samples=${samples.map(s => f"$s%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -195,4 +195,61 @@ object SpanSignatures {
   def stripSpans(text: Column, positions: Column, gramLen: Int): Column =
     ColumnBridge.column(SpanStripExpr(
       ColumnBridge.expression(text), ColumnBridge.expression(positions), gramLen))
+  /** Lexicographic min of an (a, b) long pair ([[LexMinPairAgg]]) as a
+    * `struct<a:bigint, b:bigint>`. */
+  def lexMinPair(a: Column, b: Column): Column =
+    ColumnBridge.column(LexMinPairAgg(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)).toAggregateExpression())
+}
+
+/** HASH-aggregable lexicographic min over a pair of longs — the canonical
+  * (first) occurrence selector for [[graft.operators.ExactSubstr]]'s
+  * unbounded-key mode: `lexmin((id, pos))` keeps the same (id, pos) order a
+  * packed `min(id·2²⁴ + pos)` encodes, but with NO range precondition on
+  * either component (any signed long id — hash-shaped included — and any
+  * position). The built-in `min(struct(id, pos))` computes the same value
+  * but its struct buffer is not UnsafeRow-mutable, so Spark plans a
+  * SortAggregate — a per-partition SORT of one row per corpus character,
+  * exactly the suffix-array work this operator family avoids. This
+  * DeclarativeAggregate keeps two mutable LONG buffer slots →
+  * HashAggregateExec, map-side partials, whole-stage codegen.
+  *
+  * Inputs must be non-null (the occurrence relation's are by construction);
+  * groups always see ≥ 1 row, so the MaxValue init values never surface —
+  * and a real (MaxValue, MaxValue) input would still replace them (tie
+  * comparison takes the equal-keys branch). */
+case class LexMinPairAgg(a: Expression, b: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, If, Literal, Or, And, LessThan, LessThanOrEqual, CreateNamedStruct}
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false)))
+
+  private lazy val mA = AttributeReference("lexMinA", LongType, nullable = false)()
+  private lazy val mB = AttributeReference("lexMinB", LongType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(mA, mB)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(Long.MaxValue), Literal(Long.MaxValue))
+
+  private def lt(xa: Expression, xb: Expression,
+                 ya: Expression, yb: Expression): Expression =
+    Or(LessThan(xa, ya), And(LessThanOrEqual(xa, ya), LessThan(xb, yb)))
+
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(lt(a, b, mA, mB), a, mA),
+    If(lt(a, b, mA, mB), b, mB))
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    If(lt(mA.left, mB.left, mA.right, mB.right), mA.left, mA.right),
+    If(lt(mA.left, mB.left, mA.right, mB.right), mB.left, mB.right))
+  override lazy val evaluateExpression: Expression =
+    CreateNamedStruct(Seq(Literal("a"), mA, Literal("b"), mB))
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): LexMinPairAgg =
+    copy(a = newLeft, b = newRight)
 }

@@ -398,14 +398,19 @@ case class LinearScoreExpr(child: Expression, weights: Array[Double], bias: Doub
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("linWeights", weights, "double[]")
+    // weights AND bias ride the references array (not source literals): the
+    // generated source is then byte-identical across plans that differ only
+    // in the head's values — e.g. successive fitLogistic iterations — so the
+    // codegen cache serves every iteration after the first instead of
+    // recompiling the projection+aggregate stage 20 times per fit
+    val wRef = ctx.addReferenceObj("linWeights", weights :+ bias, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
       val fname = ctx.freshName("linearScore")
       val getE = if (childFloat) "(double) e.getFloat(i)" else "e.getDouble(i)"
       val fn = ctx.addNewFunction(fname,
         s"""
           private double $fname(org.apache.spark.sql.catalyst.util.ArrayData e) {
-            double d = $bias;
+            double d = $wRef[${weights.length}];
             for (int i = 0; i < ${weights.length}; i++) d += $wRef[i] * $getE;
             return 1.0 / (1.0 + java.lang.Math.exp(-d));
           }
@@ -444,4 +449,90 @@ object VectorKernels {
       centroidsFlat, k, dim, nprobe))
   def linearScore(vec: Column, weights: Array[Double], bias: Double): Column =
     ColumnBridge.column(LinearScoreExpr(ColumnBridge.expression(vec), weights, bias))
+  def gradSum(err: Column, vec: Column, dim: Int): Column =
+    ColumnBridge.column(GradSumAgg(ColumnBridge.expression(err),
+      ColumnBridge.expression(vec), dim).toAggregateExpression())
+}
+
+/** Logistic-regression gradient aggregate: ONE fixed-size array-summing
+  * aggregate per GD iteration — `[Σ e·x_0, …, Σ e·x_{dim−1}, Σ e]` as a
+  * single `array<double>` of dim+1 cells — replacing the dim+1 scalar
+  * `sum()` columns the round-5 fit built (a 4097-column aggregate plan at
+  * production dims 768–4096; VERDICT r5 next-round #1). Same map-side-
+  * combined TypedImperativeAggregate shape as [[NgramCountsAggBase]]: each
+  * partition accumulates one flat buffer, partials merge element-wise,
+  * O(dim) bytes per partition cross the wire at any corpus size. Per-row
+  * accumulation order matches the scalar-sum form (row order within a
+  * partition, task-completion order across partitions), so fitted weights
+  * sit in the same documented ~1e-15 merge-order drift regime.
+  *
+  * Null semantics mirror `sum`: a row with NULL err or NULL vec contributes
+  * nothing (fitLogistic pre-filters those anyway); a vector of the wrong
+  * length raises — a silent skip would damp gradients undetectably. */
+case class GradSumAgg(err: Expression, vec: Expression, dim: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(dim > 0, "dim must be positive")
+  override def left: Expression = err
+  override def right: Expression = vec
+  private lazy val vecFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim + 1)
+
+  override def update(buffer: Array[Double],
+                      input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
+    val e = err.eval(input)
+    val x = vec.eval(input)
+    if (e != null && x != null) {
+      val ev = e.asInstanceOf[Double]
+      val xs = x.asInstanceOf[ArrayData]
+      require(xs.numElements() == dim,
+        s"GradSumAgg: vector length ${xs.numElements()} != dim $dim")
+      var j = 0
+      while (j < dim) {
+        buffer(j) += ev * (if (vecFloat) xs.getFloat(j).toDouble else xs.getDouble(j))
+        j += 1
+      }
+      buffer(dim) += ev
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    var j = 0
+    while (j <= dim) { buffer(j) += other(j); j += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate((dim + 1) * 8)
+    var j = 0
+    while (j <= dim) { bb.putDouble(buffer(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](dim + 1)
+    var j = 0
+    while (j <= dim) { out(j) = bb.getDouble(); j += 1 }
+    out
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): GradSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GradSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): GradSumAgg =
+    copy(err = newLeft, vec = newRight)
 }

@@ -83,18 +83,21 @@ object ExactSubstr {
     *    ($P/DQ.sApplyDQRuleExpression.sql:616 — errors are logged so sibling
     *    rules keep running, never job-fatal).
     *  - [[OversizeOffset]]: oversized docs are PROCESSED, not exempted — the
-    *    occurrence key becomes the GLOBAL CHARACTER OFFSET (doc-start prefix
-    *    sum + position; [[Packing.exclusiveOffsets]], the same two-phase
-    *    distributed scan the pack planner uses), which is injective for ANY
-    *    doc length and ANY unique long id (including hash-shaped — no re-key
-    *    step) and orders identically to (id, pos), so the keep-first policy
-    *    and every stripped span are bit-identical to the packed key's
-    *    wherever both are defined. Cost over the default: one tiny
-    *    prefix-sum pass plus one id-keyed join of the occurrence relation
-    *    against the (doc_id, offset) frame — doc-count-sized, so a
-    *    broadcast at moderate scale and a co-partitioned join (free for
-    *    id-bucketed corpora) beyond. The ceiling is total corpus chars
-    *    < 2⁶³ — 9 exabytes, i.e. physics, not a knob.
+    *    canonical occurrence per window is the lexicographic (id, pos) min,
+    *    hash-aggregated directly by [[graft.functions.LexMinPairAgg]] (two
+    *    mutable long buffer slots → HashAggregate; the min(struct)
+    *    built-in would SortAggregate one row per corpus character).
+    *    Defined for ANY doc length and ANY signed long id (hash-shaped
+    *    included — no re-key step), and it IS the (id, pos) order, so the
+    *    keep-first policy and every stripped span are bit-identical to the
+    *    packed key's wherever both are defined. Cost over the default: 4
+    *    extra bytes per occurrence on the single hash-keyed exchange
+    *    ((id, pos) vs the packed 8-byte long) — the plan shape is
+    *    otherwise the packed plan unchanged. (Round ≤ 5 derived a
+    *    global-character-offset key via a prefix sum + id-keyed join; the
+    *    join's product-inflated size estimate made AQE broadcast the
+    *    corpus-character-scale occurrence relation — see
+    *    OPTIMIZATION_r06.md.)
     *  - [[OversizeStrict]]: opt-in strictness — any out-of-range row
     *    raise_errors the job (the round-≤4 behavior), for callers who treat
     *    an oversized doc as a data-contract violation.
@@ -141,31 +144,55 @@ object ExactSubstr {
     * Exposed for diagnostics (dup-span mass reports) and tests. */
   def dupSpanOccurrences(df: DataFrame, contentColName: String, idColName: String,
                          gramLen: Int, oversize: String = OversizeExempt): DataFrame = {
-    val occBase = eligible(df, contentColName, oversize, gramLen).select(
+    val occ = eligible(df, contentColName, oversize, gramLen).select(
       col(idColName).as("__id"),
       posexplode(SpanSignatures.gramHashes(col(contentColName), gramLen))
         .as(Seq("__pos", "__h")))
-    val occ = oversize match {
+    oversize match {
       case OversizeOffset =>
-        // global character offset as the occurrence key: injective for any
-        // (unique) long id and any doc length, same (id, pos) order as the
-        // packed key — see the OversizeOffset policy doc above
-        val offs = Packing.exclusiveOffsets(df,
-            col(idColName), length(col(contentColName)))
-          .select(col("doc_id").as("__id"), col("offset").as("__docbase"))
-        occBase.join(offs, Seq("__id"))
-          .withColumn("__pk", col("__docbase") + col("__pos"))
-          .drop("__docbase")
+        // Unbounded occurrence key, round-6 form: the canonical (globally
+        // first) occurrence per window is selected DIRECTLY as the
+        // lexicographic min of (id, pos) — a hash-aggregable two-long-buffer
+        // DeclarativeAggregate ([[graft.functions.LexMinPairAgg]]; the
+        // min(struct) built-in would SortAggregate one row per corpus
+        // character). Same keep-first order as the packed key and the
+        // round-5 global-char-offset key, with no precondition on either
+        // component: any signed long id (hash-shaped included, no re-key)
+        // and any in-doc position. This replaces the round-5 prefix-sum +
+        // id-keyed join of the occurrence relation — whose join-product
+        // size estimate misled AQE into BROADCASTING the corpus-character-
+        // scale occurrence relation and serializing it through the
+        // doc-count probe's single coalesced partition (measured 2.2–7.8 s
+        // at sf0.1 vs 1.3 s packed; see OPTIMIZATION_r06.md) — with the
+        // packed plan's exact shape: scan-side rolling hashes, ONE
+        // hash-keyed exchange, HashAggregate count+lexmin, dup-mass
+        // join-back. Cost vs packed: 4 extra bytes per occurrence on the
+        // one key shuffle ((id, pos) vs the packed long).
+        // __posL as a real column (not a predicate-side cast) keeps the
+        // occurrence relation's estimated row WIDER than the winners
+        // aggregate's — the same width relation the packed branch has — so
+        // the size-only estimator builds the WINNERS side of the join
+        // (BuildRight), not a corpus-character-scale hashed relation of
+        // the occurrence side (the flip this column exists to prevent)
+        val keyed = occ.withColumn("__posL", col("__pos").cast("long"))
+        val winners = keyed.groupBy("__h")
+          .agg(count(lit(1)).as("__n"),
+            SpanSignatures.lexMinPair(col("__id"), col("__posL")).as("__w"))
+          .where(col("__n") >= 2)
+          .select(col("__h"), col("__w.a").as("__wid"), col("__w.b").as("__wpos"))
+        keyed.join(winners, Seq("__h"))
+          .where(col("__id") =!= col("__wid") || col("__posL") =!= col("__wpos"))
+          .select(col("__id").as(idColName), col("__pos").as("pos"))
       case _ =>
-        occBase.withColumn("__pk", packed(col("__id"), col("__pos")))
+        val keyed = occ.withColumn("__pk", packed(col("__id"), col("__pos")))
+        val winners = keyed.groupBy("__h")
+          .agg(count(lit(1)).as("__n"), min(col("__pk")).as("__wp"))
+          .where(col("__n") >= 2)
+          .select(col("__h"), col("__wp"))
+        keyed.join(winners, Seq("__h"))
+          .where(col("__pk") =!= col("__wp"))
+          .select(col("__id").as(idColName), col("__pos").as("pos"))
     }
-    val winners = occ.groupBy("__h")
-      .agg(count(lit(1)).as("__n"), min(col("__pk")).as("__wp"))
-      .where(col("__n") >= 2)
-      .select(col("__h"), col("__wp"))
-    occ.join(winners, Seq("__h"))
-      .where(col("__pk") =!= col("__wp"))
-      .select(col("__id").as(idColName), col("__pos").as("pos"))
   }
 
   /** The corpus with duplicated spans cut: content column rewritten with

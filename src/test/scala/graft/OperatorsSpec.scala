@@ -830,23 +830,62 @@ class OperatorsSpec extends SparkSpec {
     val parsed = rendered.stripPrefix("[").stripSuffix("]").split(", ").map(_.toDouble)
     assert(parsed.toSeq == w.toSeq)
 
-    // 100 TB shape of one gradient iteration: residual computed once in a
-    // projection, then a map-side-combined global aggregate — partial
-    // HashAggregates on the scan side, ONE single-partition exchange
-    // carrying only the O(dim) gradient partials, final merge. No sort, no
-    // second exchange.
+    // 100 TB shape of one gradient iteration (round-6 form): residual
+    // computed once in a projection, then ONE map-side-combined global
+    // aggregate whose gradient state is a single dim+1-cell array
+    // (GradSumAgg) — not dim+1 scalar sum() columns, which bloat to a
+    // 4097-column plan at production dims. Partial aggregates on the scan
+    // side, ONE single-partition exchange carrying O(dim) bytes per
+    // partition, final merge. No sort, no second exchange, exactly one
+    // aggregate node pair.
     val clean = pts.toDF("id", "x", "y")
       .select(col("x").cast("array<double>").as("__x"), col("y").cast("double").as("__y"))
       .withColumn("__e", graft.functions.VectorKernels.linearScore(
         col("__x"), Array(0.1, -0.1), 0.0) - col("__y"))
-    val gradPlan = clean.agg(
-        sum(col("__e") * element_at(col("__x"), 1)).as("g0"),
-        sum(col("__e") * element_at(col("__x"), 2)).as("g1"),
-        sum(col("__e")).as("gb"))
+    val gradPlan = clean.agg(count(lit(1)).as("__n"),
+        graft.functions.VectorKernels.gradSum(col("__e"), col("__x"), 2).as("__g"))
       .queryExecution.executedPlan.toString
-    assert("HashAggregate".r.findAllIn(gradPlan).size >= 2, gradPlan) // partial + final
+    assert("ObjectHashAggregate".r.findAllIn(gradPlan).size == 2, gradPlan) // partial + final, nothing else
     assert("Exchange".r.findAllIn(gradPlan).size == 1 &&
       gradPlan.contains("SinglePartition"), gradPlan)
     assert(!gradPlan.contains("Sort"), gradPlan)
+  }
+
+  test("fitLogistic: production-dim (1024) fit in one narrow-schema aggregate per iteration") {
+    import graft.operators.ModelScore
+    def sig(d: Double) = 1.0 / (1.0 + math.exp(-d))
+    val dim = 1024
+    // deterministic set: label from a sparse linear rule over a 1024-dim
+    // embedding (3 informative coordinates, the rest pseudo-random noise)
+    val pts = (0 until 120).map { i =>
+      val x = Array.tabulate(dim) { j =>
+        (((i * 2654435761L + j * 40503L) >>> 16) % 1000L) / 500.0 - 1.0
+      }
+      val y = if (2 * x(0) - x(7) + 0.5 * x(511) > 0.2) 1 else 0
+      (i.toLong, x, y)
+    }
+    val df = pts.toDF("id", "x", "y")
+    val (w, b) = ModelScore.fitLogistic(df, col("x"), col("y"), dim = dim,
+      iters = 5, lr = 1.0, persist = false)
+
+    // driver-side reference, same math and schedule
+    var rw = new Array[Double](dim); var rb = 0.0
+    for (_ <- 1 to 5) {
+      val g = new Array[Double](dim); var gb = 0.0
+      pts.foreach { case (_, x, y) =>
+        var d = rb; var j = 0
+        while (j < dim) { d += rw(j) * x(j); j += 1 }
+        val e = sig(d) - y
+        j = 0
+        while (j < dim) { g(j) += e * x(j); j += 1 }
+        gb += e
+      }
+      val n = pts.size
+      var j = 0
+      while (j < dim) { rw(j) -= g(j) / n; j += 1 }
+      rb -= gb / n
+    }
+    val maxDiff = (0 until dim).map(j => math.abs(w(j) - rw(j))).max max math.abs(b - rb)
+    assert(maxDiff < 1e-9, s"max |spark - ref| = $maxDiff")
   }
 }
