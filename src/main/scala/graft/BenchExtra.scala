@@ -49,16 +49,45 @@ object BenchExtra {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-job wall-clock tracing (GRAFT_JOBS=1): find which of a query's
+    // AQE stage-jobs actually carry the time
+    val jobSecs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobDone = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(js.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")
+        jobSecs.put(js.jobId, (System.nanoTime(), d)): Unit
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(jobSecs.remove(je.jobId)).foreach { case (t0, d) =>
+          jobDone.add((je.jobId, (System.nanoTime() - t0) / 1e9, d)): Unit
+        }
+      }
+    })
+
     Files.createDirectories(Paths.get("/root/repo/plans/r06"))
 
     names.foreach { name =>
       val q = QueryCatalog.byName(name)
       val samples = (1 to reps).map { i =>
         spark.sparkContext.setJobDescription(s"$name rep$i")
+        val j0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
         val t0 = System.nanoTime()
         val df = q.run(spark, sfDir)
         df.queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val j1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+        if (sys.env.getOrElse("GRAFT_JOBS", "0") == "1") {
+          println(f"[extra-jobs] $name rep$i jobs=${j1 - j0} sec=$sec%.3f")
+          Thread.sleep(200) // let JobEnd events drain
+          val done = scala.jdk.CollectionConverters.IteratorHasAsScala(
+            jobDone.iterator()).asScala.toSeq
+          jobDone.clear()
+          done.sortBy(-_._2).take(8).foreach { case (id, s, _) =>
+            println(f"[extra-jobs]   job$id ${s}%.3f s")
+          }
+        }
+        sec
       }
       spark.sparkContext.setJobDescription(null)
       if (dumpPlans) {

@@ -112,19 +112,30 @@ object Dedup {
     //   n > dropAbove  → dropped (stop-fingerprint move, see scaladoc)
     // Per-row list duplication is bounded by cap (≤ 200 longs), and
     // WindowExec spills per-bucket buffers, so mega-buckets stay safe.
+    // ONE reference to the windowed relation (round-6): the small-bucket
+    // pair fan-out and the big-bucket star link are emitted from the SAME
+    // projection as a per-row struct array (explode drops the null rows of
+    // unmatched WHEN branches), where the round-5 two-branch union
+    // (smallPairs ∪ bigPairs) referenced `enriched` twice — AQE does NOT
+    // reuse the two branches' identical exchanges (measured: two separate
+    // ShuffleQueryStages each re-running the banded scan, its kernel, and
+    // the (band, bucket) exchange — the whole candidate-generation pass
+    // paid double in every caller: minhash, winnow, embed-LSH, both delta
+    // probes).
     val w = Window.partitionBy(col("__band"), col("__bucket"))
     val enriched = banded
       .withColumn("__bn", count(lit(1)).over(w))
       .withColumn("__bmin", min(col("__id")).over(w))
       .withColumn("__ids", collect_list(when(col("__bn") <= cap, col("__id"))).over(w))
-    val smallPairs = enriched
-      .where(col("__bn") <= cap)
-      .select(col("__id").as(idA),
-        explode(filter(col("__ids"), x => x > col("__id"))).as(idB))
-    val bigPairs = enriched
-      .where(col("__bn") > cap && col("__bn") <= dropAbove && col("__id") =!= col("__bmin"))
-      .select(col("__bmin").as(idA), col("__id").as(idB))
-    smallPairs.unionAll(bigPairs).dropDuplicates(idA, idB)
+    enriched.select(explode(
+        when(col("__bn") <= cap,
+          transform(filter(col("__ids"), x => x > col("__id")),
+            x => struct(col("__id").as("a"), x.as("b"))))
+        .when(col("__bn") <= dropAbove && col("__id") =!= col("__bmin"),
+          array(struct(col("__bmin").as("a"), col("__id").as("b"))))
+      ).as("__pair"))
+      .select(col("__pair.a").as(idA), col("__pair.b").as(idB))
+      .dropDuplicates(idA, idB)
   }
 
   /** Banded LSH bucket relation from a MinHash signature frame: one row per

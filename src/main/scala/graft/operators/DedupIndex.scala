@@ -204,7 +204,11 @@ object DedupIndex {
     // the corpus-sized store (the store is the probe's dominant I/O; one
     // pass, not two). Persisted because both the candidate window and the
     // verify-sig lookup consume it.
-    val probeKeys = deltaBanded.select(col("__band"), col("__bucket")).distinct()
+    // broadcast builds dedup keys inside the hashed relation, so the
+    // pre-distinct's exchange+aggregate only earns its keep on the
+    // non-broadcast (shuffle-join) path, where it shrinks the probe side
+    val probeKeysRaw = deltaBanded.select(col("__band"), col("__bucket"))
+    val probeKeys = if (bcast) probeKeysRaw else probeKeysRaw.distinct()
     val touchedIndex = Dedup.minHashBanded(
         indexSigs.select(col("doc_id").as("__id"), col("sig").as("__sig")),
         m.numHashes, m.bands, carrySig = true)

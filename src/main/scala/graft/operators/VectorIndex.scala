@@ -157,7 +157,11 @@ object VectorIndex {
       vecs.select(col("vec_id").as("__id"),
         posexplode(col("sig")).as(Seq("__band", "__bucket")))
     val deltaBanded = explodeSigs(deltaVecs)
-    val probeKeys = deltaBanded.select(col("__band"), col("__bucket")).distinct()
+    // broadcast builds dedup keys inside the hashed relation, so the
+    // pre-distinct's exchange+aggregate only earns its keep on the
+    // non-broadcast (shuffle-join) path, where it shrinks the probe side
+    val probeKeysRaw = deltaBanded.select(col("__band"), col("__bucket"))
+    val probeKeys = if (bcast) probeKeysRaw else probeKeysRaw.distinct()
     // high-water filter (torn appends invisible) + broadcast semi
     // restriction. Unlike DedupIndex — whose signature rides this explode
     // because re-deriving it means re-hashing the corpus text — the banded
@@ -166,24 +170,31 @@ object VectorIndex {
     // materializes numTables vector copies per store row — ~68 GB in
     // flight for a 16M-row index at 16 tables, vs ~25 GB sig-only; at 4M
     // both shapes fit and measure within host noise of each other), and
-    // the verify vectors come off a second, vec-column-only scan
-    // restricted to touched ids below — cheap here precisely because the
+    // the verify vectors come off a second, vec-column-only scan joined
+    // to the candidate relation below — cheap here precisely because the
     // vector is STORED (for text the second scan would re-shingle and
     // re-hash the corpus, measured 88 s vs 2.6 s at 16M in BASELINE.md).
     // Both scans are map-side; nothing corpus-sized is exchanged.
     val store = spark.read.parquet(vecsPath(dir, m)).where(col("vec_id") <= hw)
     val touchedIndex = explodeSigs(store.select("vec_id", "sig"))
       .join(hint(probeKeys), Seq("__band", "__bucket"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = Dedup.cappedCandidates(
         touchedIndex.unionByName(deltaBanded),
         "__id_a", "__id_b", maxBucketSize)
       .where(col("__id_b") > hw)
-    val touchedIds = touchedIndex.select(col("__id").as("vec_id")).distinct()
+    // The verify-vector lookup joins the candidate relation DIRECTLY
+    // against the store's vec-column-only scan. Round ≤ 5 first restricted
+    // that scan with a touchedIds semi-join (distinct exchange + its own
+    // broadcast + a dropDuplicates exchange, and a persist of touchedIndex
+    // to feed it) — but the semi-join reads the same store scan the verify
+    // join reads, and on the non-broadcast path it shuffles the same
+    // vector mass the verify join's exchange would, so the restriction
+    // bought no I/O and no shuffle at either scale; five AQE stage-jobs
+    // per probe, gone. Store rows duplicated by a torn append verify
+    // twice; the terminal distinct on drops absorbs them (same argument
+    // as the candidate relation's own dedup).
     val vecsA = store.select("vec_id", "vec")
-      .join(hint(touchedIds), Seq("vec_id"), "left_semi")
-      .dropDuplicates("vec_id")
       .unionAll(deltaVecs.select("vec_id", "vec"))
     val drops = hint(candidates)
       .join(vecsA.select(col("vec_id").as("__id_a"), col("vec").as("__va")), Seq("__id_a"))
@@ -192,7 +203,7 @@ object VectorIndex {
       .select(col("__id_b").as("__drop_id")).distinct()
     val survivors =
       delta.join(hint(drops), idCol.cast("long") === col("__drop_id"), "left_anti")
-    (survivors, () => { deltaVecs.unpersist(); touchedIndex.unpersist(); () })
+    (survivors, () => { deltaVecs.unpersist(); () })
   }
 
   /** Fold survivors in — delta-sized commit, duplicate-tolerant retries

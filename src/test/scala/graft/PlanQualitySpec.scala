@@ -183,21 +183,20 @@ class PlanQualitySpec extends SparkSpec {
       .toDF("__id", "__band", "__bucket")
     val cands = operators.Dedup.cappedCandidates(banded, "a", "b", cap = 200)
     assert(cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
-    // the FINAL adaptive plan: the small-pairs and star-link branches both
-    // shuffle the banded relation on (band, bucket) with canonically
-    // identical children, so AQE materializes ONE exchange and the second
-    // branch reads it as ReusedExchange — the source is scanned once and
-    // no join appears anywhere
+    // the FINAL adaptive plan (round-6 form): both pair kinds are emitted
+    // from ONE struct-array projection over the windowed relation, so the
+    // banded exchange appears EXACTLY ONCE — no second branch, no reuse
+    // machinery to depend on (round 5 relied on AQE ReusedExchange across
+    // the two union branches, which held in this unit shape but NOT in the
+    // composed probes — vec_delta_hi's final plan materialized two
+    // separate ShuffleQueryStages and re-ran the banded scan + kernel)
     val p = cands.queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"candidate generation must be join-free:\n$p")
     val bandedStages = shuffleStages(cands.queryExecution.executedPlan)
       .filter(_.output.exists(_.name == "__band"))
-    val materialized = bandedStages.count(_.plan.isInstanceOf[
-      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
-    val reused = bandedStages.count(_.plan.isInstanceOf[
-      org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
-    assert(materialized == 1 && reused >= 1,
-      s"banded relation must shuffle once and be reused ($materialized materialized, $reused reused):\n$p")
+    assert(bandedStages.size == 1 && bandedStages.head.plan.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec],
+      s"banded relation must shuffle exactly once (single-reference form):\n$p")
   }
 
   test("license detection: zero-exchange map-side projection over a pruned scan") {
@@ -320,8 +319,13 @@ class PlanQualitySpec extends SparkSpec {
       case r: ReusedExchangeExec => holdsBandGen(r.child)
       case _ => false
     })
-    assert(materialized == 1 && reused >= 1,
-      s"banded exchange must materialize once and be reused in minHashDedup " +
+    // round-6: the single-reference cappedCandidates form means the banded
+    // exchange appears exactly once with NOTHING left to reuse — the
+    // round-5 assertion (1 materialized + ≥1 ReusedExchange) encoded the
+    // two-branch union shape, whose reuse did not survive composition into
+    // the index probes (two separate ShuffleQueryStages measured there)
+    assert(materialized == 1 && reused == 0,
+      s"banded exchange must materialize exactly once in minHashDedup " +
         s"($materialized materialized, $reused reused):\n" +
         out.queryExecution.executedPlan.toString)
   }
