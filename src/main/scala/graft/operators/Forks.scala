@@ -41,23 +41,35 @@ object Forks {
     * vendored-bloated fork could outscore its canonical parent. */
   private def prunedPostings(df: DataFrame, repoCol: Column, fileKeyCol: Column,
                              maxFileDf: Long): (DataFrame, DataFrame) = {
+    // The per-repo size rides every posting as a SECOND window over the
+    // same chain (round-6): the round-5 shape computed sizes as a separate
+    // groupBy over a second reference to `kept`, and exchange reuse did
+    // not cover it — the corpus scan, fingerprint hash, and the distinct's
+    // two exchanges all ran TWICE per query (observed in fork_pairs' final
+    // adaptive plan). One more 8-byte column on the postings shuffle buys
+    // the second full index-build pass back, and the n_a/n_b lookup joins
+    // disappear outright (the pair aggregate reads the size off its own
+    // rows). Mega-repo window partitions spill like the __df window's.
     val sets = df.select(repoCol.as("__repo"), fileKeyCol.as("__fp")).distinct()
     val kept = sets
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
       .where(col("__df") <= maxFileDf)
-      .select("__repo", "__fp")
-    (kept, kept.groupBy(col("__repo")).agg(count(lit(1)).as("__n")))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__repo"))))
+      .select("__repo", "__fp", "__n")
+    (kept, kept.select(col("__repo"), col("__n")).dropDuplicates("__repo"))
   }
 
-  private def pairsFrom(kept: DataFrame, sizes: DataFrame,
-                        threshold: Double): DataFrame = {
-    val a = kept.select(col("__fp"), col("__repo").as("repo_a"))
-    val b = kept.select(col("__fp"), col("__repo").as("repo_b"))
+  private def pairsFrom(kept: DataFrame, threshold: Double): DataFrame = {
+    val a = kept.select(col("__fp"), col("__repo").as("repo_a"), col("__n").as("__na"))
+    val b = kept.select(col("__fp"), col("__repo").as("repo_b"), col("__n").as("__nb"))
     a.join(b, Seq("__fp")).where(col("repo_a") < col("repo_b"))
-      .groupBy(col("repo_a"), col("repo_b")).agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("__repo").as("repo_a"), col("__n").as("n_a")), Seq("repo_a"))
-      .join(sizes.select(col("__repo").as("repo_b"), col("__n").as("n_b")), Seq("repo_b"))
+      .groupBy(col("repo_a"), col("repo_b"))
+      // __na/__nb are constant within a (repo_a, repo_b) group — max() just
+      // reads the size off the group's own rows (no lookup join)
+      .agg(count(lit(1)).as("n_shared"), max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"))
       .withColumn("jaccard", col("n_shared").cast("double")
         / (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
       .where(col("jaccard") >= threshold)
@@ -72,8 +84,8 @@ object Forks {
   def forkPairs(df: DataFrame, repoCol: Column, fileKeyCol: Column,
                 threshold: Double = 0.7,
                 maxFileDf: Long = 1000L): DataFrame = {
-    val (kept, sizes) = prunedPostings(df, repoCol, fileKeyCol, maxFileDf)
-    pairsFrom(kept, sizes, threshold)
+    val (kept, _) = prunedPostings(df, repoCol, fileKeyCol, maxFileDf)
+    pairsFrom(kept, threshold)
   }
 
   /** Fork dedup: collapse each transitive fork cluster to its LARGEST
@@ -94,7 +106,7 @@ object Forks {
                  threshold: Double = 0.7,
                  maxFileDf: Long = 1000L): DataFrame = {
     val (kept, sizes) = prunedPostings(df, repoCol, fileKeyCol, maxFileDf)
-    val pairs = pairsFrom(kept, sizes, threshold)
+    val pairs = pairsFrom(kept, threshold)
       .select(xxhash64(col("repo_a")).as("__ha"), xxhash64(col("repo_b")).as("__hb"))
     // every repo enters the scored relation — a repo whose files are ALL
     // vendored-pruned has size 0 and no pair evidence, so it survives as a

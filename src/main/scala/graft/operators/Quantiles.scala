@@ -27,11 +27,11 @@ import graft.functions.{DoubleSortKeyExpr, HashSignatures}
   * with map-side partial aggregation, so the exchange carries at most
   * 65 536 rows per prior bin regardless of corpus size — and after 4
   * rounds the surviving prefix IS the exact 64-bit key of the rank-r
-  * value, inverted back to its double on the driver. Work at 100 TB:
-  * 4 column-pruned scans of the score column + 4 kilobyte-scale shuffles
-  * (a caller looping many quantile calls over an expensive derived score
-  * should materialize or persist the score projection first — the scans
-  * re-evaluate it). Ranks are over the value MULTISET, so the rank-r value
+  * value, inverted back to its double on the driver. Work at 100 TB: ONE
+  * column-pruned scan of the score column (the 8-byte key projection is
+  * persisted for the bisection's lifetime, so rounds 2..4 read the
+  * cache, not the kernel — round-6 change) + 4 kilobyte-scale shuffles.
+  * Ranks are over the value MULTISET, so the rank-r value
   * is tie-order-independent and any SQL engine replays it with a plain
   * ROW_NUMBER window — the `quality_buckets` oracle does exactly that.
   *
@@ -109,9 +109,17 @@ object Quantiles {
   private def search(df: DataFrame, valueCol: Column,
                      mkRanks: Long => Seq[Long]): Option[Seq[Double]] = {
     val v = valueCol.cast("double")
+    // persisted for the bisection's lifetime (search is eager — every
+    // consumer is a collect() inside this call, so the unpersist below is
+    // safe): without it each of the 64/B histogram rounds re-evaluates
+    // valueCol — typically an expensive text kernel (regex/alnum/surprisal)
+    // — over the full corpus scan; with it the kernel and scan run once and
+    // rounds 2..4 read an 8-byte-per-row cached column (spills to disk at
+    // corpus scale, still far below three extra full text passes)
     val keyed = df
       .where(v.isNotNull && !isnan(v))
       .select(HashSignatures.doubleSortKey(v).as("__qk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def histogram(shift: Int, prefixes: Option[Seq[Long]]): Seq[(Long, Long)] = {
       val filtered = prefixes match {
@@ -126,7 +134,7 @@ object Quantiles {
     // round 1: full histogram over the top 16 bits; also yields n
     val top = histogram(64 - B, None)
     val n = top.map(_._2).sum
-    if (n == 0) return None
+    if (n == 0) { keyed.unpersist(blocking = false); return None }
     val ranks = mkRanks(n)
 
     // (rank, prefix, count strictly below prefix's range)
@@ -152,6 +160,7 @@ object Quantiles {
       states = locate(states, bins, filtered = true)
       shift -= B
     }
+    keyed.unpersist(blocking = false)
     Some(states.map(s => DoubleSortKeyExpr.invert(s._2)))
   }
 }
