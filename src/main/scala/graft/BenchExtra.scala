@@ -50,10 +50,13 @@ object BenchExtra {
     spark.sparkContext.setLogLevel("WARN")
 
     // per-job wall-clock tracing (GRAFT_JOBS=1): find which of a query's
-    // AQE stage-jobs actually carry the time
+    // AQE stage-jobs actually carry the time. Listener registered only when
+    // tracing is on — otherwise jobDone is never drained and would retain a
+    // tuple per stage-job for the session's lifetime.
+    val traceJobs = sys.env.getOrElse("GRAFT_JOBS", "0") == "1"
     val jobSecs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val jobDone = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    if (traceJobs) spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val d = Option(js.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")
         jobSecs.put(js.jobId, (System.nanoTime(), d)): Unit
@@ -77,7 +80,7 @@ object BenchExtra {
         df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         val j1 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-        if (sys.env.getOrElse("GRAFT_JOBS", "0") == "1") {
+        if (traceJobs) {
           println(f"[extra-jobs] $name rep$i jobs=${j1 - j0} sec=$sec%.3f")
           Thread.sleep(200) // let JobEnd events drain
           val done = scala.jdk.CollectionConverters.IteratorHasAsScala(

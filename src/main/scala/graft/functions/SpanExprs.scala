@@ -217,14 +217,25 @@ object SpanSignatures {
   * Inputs must be non-null (the occurrence relation's are by construction);
   * groups always see ≥ 1 row, so the MaxValue init values never surface —
   * and a real (MaxValue, MaxValue) input would still replace them (tie
-  * comparison takes the equal-keys branch). */
+  * comparison takes the equal-keys branch).
+  *
+  * Declares `inputTypes = (long, long)` with implicit coercion so callers
+  * with narrower integral key columns (int doc ids are common) get an
+  * analyzer-inserted widening cast instead of a mismatched-branch-type
+  * codegen failure — the update/merge expressions below compare the raw
+  * children against the LONG buffer slots and are never themselves
+  * rewritten by the analyzer. */
 case class LexMinPairAgg(a: Expression, b: Expression)
     extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
     with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, If, Literal, Or, And, LessThan, LessThanOrEqual, CreateNamedStruct}
 
   override def left: Expression = a
   override def right: Expression = b
+  // no explicit Seq[AbstractDataType] annotation: that type is
+  // private[sql]; the inferred Seq[LongType.type] conforms covariantly
+  override def inputTypes = Seq(LongType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("a", LongType, nullable = false),

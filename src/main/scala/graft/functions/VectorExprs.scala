@@ -367,7 +367,7 @@ case class LinearScoreExpr(child: Expression, weights: Array[Double], bias: Doub
     extends UnaryExpression {
   require(weights.nonEmpty, "empty weight vector")
   require(!bias.isNaN && !bias.isInfinite && weights.forall(w => !w.isNaN && !w.isInfinite),
-    "weights/bias must be finite (bias is emitted as a Java literal in codegen)")
+    "weights/bias must be finite (a non-finite head poisons every score silently)")
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true // length mismatch nulls (see CosineSimExpr)
@@ -466,9 +466,12 @@ object VectorKernels {
   * partition, task-completion order across partitions), so fitted weights
   * sit in the same documented ~1e-15 merge-order drift regime.
   *
-  * Null semantics mirror `sum`: a row with NULL err or NULL vec contributes
-  * nothing (fitLogistic pre-filters those anyway); a vector of the wrong
-  * length raises — a silent skip would damp gradients undetectably. */
+  * Null semantics: a row with NULL err or NULL vec contributes nothing
+  * (mirroring `sum`; fitLogistic pre-filters those anyway); a vector of the
+  * wrong length OR with a NULL element raises — a silent skip would damp
+  * gradients undetectably, and a per-coordinate skip (what the replaced
+  * per-column `sum(e * element_at(x, j))` form did) yields a gradient
+  * that is inconsistent across coordinates with no error. */
 case class GradSumAgg(err: Expression, vec: Expression, dim: Int,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
@@ -495,6 +498,7 @@ case class GradSumAgg(err: Expression, vec: Expression, dim: Int,
         s"GradSumAgg: vector length ${xs.numElements()} != dim $dim")
       var j = 0
       while (j < dim) {
+        require(!xs.isNullAt(j), s"GradSumAgg: NULL element at index $j")
         buffer(j) += ev * (if (vecFloat) xs.getFloat(j).toDouble else xs.getDouble(j))
         j += 1
       }

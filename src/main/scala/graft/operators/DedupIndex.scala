@@ -204,9 +204,15 @@ object DedupIndex {
     // the corpus-sized store (the store is the probe's dominant I/O; one
     // pass, not two). Persisted because both the candidate window and the
     // verify-sig lookup consume it.
-    // broadcast builds dedup keys inside the hashed relation, so the
-    // pre-distinct's exchange+aggregate only earns its keep on the
-    // non-broadcast (shuffle-join) path, where it shrinks the probe side
+    // No pre-distinct on the broadcast path: the semi join only tests key
+    // EXISTENCE, so duplicate build rows are harmless for correctness, and
+    // skipping the distinct drops its exchange+aggregate round-trip. The
+    // hashed relation does retain duplicate keys (it is a multimap, not a
+    // set), so the broadcast carries up to delta×bands entries instead of
+    // the distinct keys — bounded by the same broadcast-delta limit that
+    // gates this path, and worst-case (all keys unique) identical to the
+    // distinct form. The distinct still guards the shuffle-join path,
+    // where it shrinks the probe-side exchange.
     val probeKeysRaw = deltaBanded.select(col("__band"), col("__bucket"))
     val probeKeys = if (bcast) probeKeysRaw else probeKeysRaw.distinct()
     val touchedIndex = Dedup.minHashBanded(

@@ -148,6 +148,22 @@ object ExactSubstr {
       col(idColName).as("__id"),
       posexplode(SpanSignatures.gramHashes(col(contentColName), gramLen))
         .as(Seq("__pos", "__h")))
+    // ONE keep-first pipeline for both key modes (they differ only in how
+    // the canonical occurrence is keyed/selected): group by window hash,
+    // keep hashes seen ≥ 2 times, aggregate the canonical (first) key as
+    // `__w`, and return every occurrence `isWinner` rejects. Sharing the
+    // shape here is what keeps the two modes' cuts bit-identical by
+    // construction — the property the shared oracle asserts.
+    def nonCanonical(keyed: DataFrame, winnerAgg: Column,
+                     isWinner: Column): DataFrame = {
+      val winners = keyed.groupBy("__h")
+        .agg(count(lit(1)).as("__n"), winnerAgg.as("__w"))
+        .where(col("__n") >= 2)
+        .select(col("__h"), col("__w"))
+      keyed.join(winners, Seq("__h"))
+        .where(!isWinner) // keys are non-null: !(===) ≡ any-component =!=
+        .select(col("__id").as(idColName), col("__pos").as("pos"))
+    }
     oversize match {
       case OversizeOffset =>
         // Unbounded occurrence key, round-6 form: the canonical (globally
@@ -175,23 +191,12 @@ object ExactSubstr {
         // (BuildRight), not a corpus-character-scale hashed relation of
         // the occurrence side (the flip this column exists to prevent)
         val keyed = occ.withColumn("__posL", col("__pos").cast("long"))
-        val winners = keyed.groupBy("__h")
-          .agg(count(lit(1)).as("__n"),
-            SpanSignatures.lexMinPair(col("__id"), col("__posL")).as("__w"))
-          .where(col("__n") >= 2)
-          .select(col("__h"), col("__w.a").as("__wid"), col("__w.b").as("__wpos"))
-        keyed.join(winners, Seq("__h"))
-          .where(col("__id") =!= col("__wid") || col("__posL") =!= col("__wpos"))
-          .select(col("__id").as(idColName), col("__pos").as("pos"))
+        nonCanonical(keyed,
+          SpanSignatures.lexMinPair(col("__id"), col("__posL")),
+          col("__id") === col("__w.a") && col("__posL") === col("__w.b"))
       case _ =>
         val keyed = occ.withColumn("__pk", packed(col("__id"), col("__pos")))
-        val winners = keyed.groupBy("__h")
-          .agg(count(lit(1)).as("__n"), min(col("__pk")).as("__wp"))
-          .where(col("__n") >= 2)
-          .select(col("__h"), col("__wp"))
-        keyed.join(winners, Seq("__h"))
-          .where(col("__pk") =!= col("__wp"))
-          .select(col("__id").as(idColName), col("__pos").as("pos"))
+        nonCanonical(keyed, min(col("__pk")), col("__pk") === col("__w"))
     }
   }
 

@@ -120,6 +120,10 @@ object Quantiles {
       .where(v.isNotNull && !isnan(v))
       .select(HashSignatures.doubleSortKey(v).as("__qk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // finally, not per-exit-path: a failed collect() (task failure, job
+    // cancel) or a locate() invariant breach must not leak a corpus-scale
+    // cached column for the driver's lifetime
+    try {
 
     def histogram(shift: Int, prefixes: Option[Seq[Long]]): Seq[(Long, Long)] = {
       val filtered = prefixes match {
@@ -134,7 +138,7 @@ object Quantiles {
     // round 1: full histogram over the top 16 bits; also yields n
     val top = histogram(64 - B, None)
     val n = top.map(_._2).sum
-    if (n == 0) { keyed.unpersist(blocking = false); return None }
+    if (n == 0) return None // finally below unpersists
     val ranks = mkRanks(n)
 
     // (rank, prefix, count strictly below prefix's range)
@@ -160,7 +164,8 @@ object Quantiles {
       states = locate(states, bins, filtered = true)
       shift -= B
     }
-    keyed.unpersist(blocking = false)
     Some(states.map(s => DoubleSortKeyExpr.invert(s._2)))
+
+    } finally keyed.unpersist(blocking = false)
   }
 }

@@ -157,9 +157,15 @@ object VectorIndex {
       vecs.select(col("vec_id").as("__id"),
         posexplode(col("sig")).as(Seq("__band", "__bucket")))
     val deltaBanded = explodeSigs(deltaVecs)
-    // broadcast builds dedup keys inside the hashed relation, so the
-    // pre-distinct's exchange+aggregate only earns its keep on the
-    // non-broadcast (shuffle-join) path, where it shrinks the probe side
+    // No pre-distinct on the broadcast path: the semi join only tests key
+    // EXISTENCE, so duplicate build rows are harmless for correctness, and
+    // skipping the distinct drops its exchange+aggregate round-trip. The
+    // hashed relation does retain duplicate keys (it is a multimap, not a
+    // set), so the broadcast carries up to delta×bands entries instead of
+    // the distinct keys — bounded by the same broadcast-delta limit that
+    // gates this path, and worst-case (all keys unique) identical to the
+    // distinct form. The distinct still guards the shuffle-join path,
+    // where it shrinks the probe-side exchange.
     val probeKeysRaw = deltaBanded.select(col("__band"), col("__bucket"))
     val probeKeys = if (bcast) probeKeysRaw else probeKeysRaw.distinct()
     // high-water filter (torn appends invisible) + broadcast semi

@@ -183,6 +183,21 @@ class ExactSubstrSpec extends SparkSpec {
       s"expected ${huge.length - span.length} chars, got ${got(7L).length}")
   }
 
+  test("offset mode: an IntegerType id column is widened, not a codegen crash") {
+    // regression: LexMinPairAgg's long buffer slots compared against an
+    // un-cast int id → mismatched branch types (round-5's prefix-sum key
+    // cast ids to long internally). ImplicitCastInputTypes now widens.
+    val docs = Seq(
+      (1, s"alpha $span omega"),
+      (2, s"beta $span tail"))
+      .toDF("doc_id", "text") // doc_id is Int
+    val got = ExactSubstr.stripDupSpans(docs, "text", "doc_id", gramLen = L,
+        oversize = ExactSubstr.OversizeOffset)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(1) == s"alpha $span omega") // first occurrence kept
+    assert(!got(2).contains(span))
+  }
+
   test("offset mode: hash-shaped ids (negative / >= 2^39) work without re-keying") {
     val docs = Seq(
       (-5L, s"alpha $span omega"),      // negative hash id, smallest → canonical

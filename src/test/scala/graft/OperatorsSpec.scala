@@ -888,4 +888,30 @@ class OperatorsSpec extends SparkSpec {
     val maxDiff = (0 until dim).map(j => math.abs(w(j) - rw(j))).max max math.abs(b - rb)
     assert(maxDiff < 1e-9, s"max |spark - ref| = $maxDiff")
   }
+
+  test("gradSum: a NULL vector element raises, a NULL vector row is skipped") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("__e", DoubleType),
+      StructField("__x", ArrayType(DoubleType, containsNull = true))))
+    // NULL row contributes nothing (mirrors sum): [Σe·x0, Σe·x1, Σe] over
+    // the single live row only
+    val ok = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1.5, Seq(2.0, 4.0)), Row(9.9, null))), schema)
+      .agg(graft.functions.VectorKernels.gradSum(col("__e"), col("__x"), 2))
+      .head().getSeq[Double](0)
+    assert(ok == Seq(3.0, 6.0, 1.5))
+    // a NULL ELEMENT inside a live vector raises — a per-coordinate skip
+    // (the pre-round-6 per-column sum form) silently skews the gradient
+    val err = intercept[Exception] {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1.0, Seq[Any](2.0, null)))), schema)
+        .agg(graft.functions.VectorKernels.gradSum(col("__e"), col("__x"), 2))
+        .head()
+    }
+    assert(err.getMessage.contains("NULL element") ||
+      Option(err.getCause).exists(_.getMessage.contains("NULL element")))
+  }
 }
